@@ -1,0 +1,237 @@
+"""Functional calculus: differentiable / linear / proximable functionals and
+automatic proximation rules.
+
+Re-design of /root/reference/pycsou/core/functional.py:20-313.  Gradients of
+differentiable functionals default to ``jax.grad`` of the (pure, jittable)
+``apply`` — the reference hand-writes each gradient.  The prox transformation
+rules ([ProxAlg] Section 2.2) are kept verbatim: they are mathematical
+identities XLA cannot derive, and each rule node's ``prox`` remains a pure
+jittable function of ``(x, tau)`` so the whole solver iteration fuses.
+"""
+from __future__ import annotations
+
+from numbers import Number
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycsou_tpu._module import static_field
+from pycsou_tpu.core.linop import LinearOperator, UnitaryMixin
+from pycsou_tpu.core.map import DifferentiableMap, Map
+from pycsou_tpu.utils.shapes import as_shape
+
+__all__ = [
+    "Functional",
+    "DifferentiableFunctional",
+    "LinearFunctional",
+    "ProximableFunctional",
+    "ProxFuncPostComp",
+    "ProxFuncAffineSum",
+    "ProxFuncPreComp",
+    "ProxFuncPreCompUnitOp",
+]
+
+_INF = float("inf")
+
+
+class Functional(Map):
+    """Scalar-valued map (reference functional.py:20): ``codim_shape == ()``."""
+
+    def __init__(self, dim_shape, lipschitz: float = _INF):
+        Map.__init__(self, dim_shape, (), lipschitz=lipschitz)
+
+
+class DifferentiableFunctional(Functional, DifferentiableMap):
+    """Differentiable functional (reference functional.py:48).
+
+    ``gradient`` defaults to ``jax.grad(self.apply)`` — closed-form overrides
+    only where cheaper (e.g. quadratic forms).
+    """
+
+    def __init__(self, dim_shape, lipschitz: float = _INF, diff_lipschitz: float = _INF):
+        DifferentiableMap.__init__(self, dim_shape, (), lipschitz=lipschitz, diff_lipschitz=diff_lipschitz)
+
+    def jacobianT(self, x) -> jax.Array:
+        """Gradient *array* at ``x`` (the reference convention for
+        functionals; the chain-rule node evaluates operators on it)."""
+        return jax.grad(self.apply)(jnp.asarray(x))
+
+    def gradient(self, x) -> jax.Array:
+        return self.jacobianT(x)
+
+
+class LinearFunctional(LinearOperator, Functional):
+    """Linear functional ``x -> <v, x>`` (reference functional.py:78)."""
+
+    def __init__(self, dim_shape, lipschitz: float = _INF, dtype=np.float32):
+        LinearOperator.__init__(self, dim_shape, (), lipschitz=lipschitz, dtype=dtype)
+
+    def asvector(self) -> jax.Array:
+        """The Riesz representer ``v = A^H 1``."""
+        one = jnp.ones((), dtype=self.dtype)
+        return self.adjoint(one)
+
+
+class ProximableFunctional(Functional):
+    """Convex functional with a tractable proximity operator
+    (reference functional.py:90).
+
+    ``prox(x, tau)`` must be a pure jittable function.  ``fenchel_prox``
+    follows from Moreau's identity (functional.py:176-207).
+    """
+
+    def prox(self, x: jax.Array, tau) -> jax.Array:
+        raise NotImplementedError
+
+    def fenchel_prox(self, z: jax.Array, sigma) -> jax.Array:
+        """prox of the sigma-scaled Fenchel conjugate via Moreau's identity:
+        ``prox_{sigma f*}(z) = z - sigma * prox_{f/sigma}(z/sigma)``."""
+        z = jnp.asarray(z)
+        return z - sigma * self.prox(z / sigma, 1.0 / sigma)
+
+    def shifter(self, shift) -> "ProxFuncPreComp":
+        """Shifted functional keeping the prox (reference functional.py:209)."""
+        return ProxFuncPreComp(self, scale=1.0, shift=shift)
+
+    # -- prox-preserving arithmetic (reference functional.py:225-250) ------
+    def __add__(self, other):
+        if isinstance(other, LinearFunctional):
+            return ProxFuncAffineSum(self, linear_part=other, intercept=0.0)
+        return super().__add__(other)
+
+    def __mul__(self, other):
+        from pycsou_tpu.ops.basic import HomothetyOperator
+
+        if isinstance(other, Number):
+            return ProxFuncPreComp(self, scale=other, shift=0.0)
+        if isinstance(other, (np.ndarray, jax.Array)) and not isinstance(other, Map):
+            # diagonal precomposition rule — valid for separable functionals
+            # (reference functional.py:233 applies the same formula)
+            return ProxFuncPreComp(self, scale=jnp.asarray(other), shift=0.0)
+        if isinstance(other, HomothetyOperator):
+            return ProxFuncPreComp(self, scale=other.constant, shift=0.0)
+        if isinstance(other, UnitaryMixin):
+            return ProxFuncPreCompUnitOp(self, other)
+        return super().__mul__(other)
+
+    def __rmul__(self, other):
+        if isinstance(other, Number) and other > 0:
+            return ProxFuncPostComp(self, scale=float(other), shift=0.0)
+        return super().__rmul__(other)
+
+
+# ---------------------------------------------------------------------------
+# Automatic proximation rule nodes (reference functional.py:253-313)
+# ---------------------------------------------------------------------------
+
+
+class ProxFuncPostComp(ProximableFunctional):
+    """``alpha * f + c`` for ``alpha > 0``:
+    ``prox_{tau g} = prox_{tau alpha f}`` (functional.py:253)."""
+
+    func: ProximableFunctional = None
+    scale: float = static_field(default=1.0)
+    shift: float = static_field(default=0.0)
+
+    def __init__(self, func: ProximableFunctional, scale: float, shift: float = 0.0):
+        super().__init__(func.dim_shape, lipschitz=abs(scale) * func.lipschitz)
+        self.func = func
+        self.scale = float(scale)
+        self.shift = float(shift)
+
+    def apply(self, x):
+        return self.scale * self.func.apply(x) + self.shift
+
+    def prox(self, x, tau):
+        return self.func.prox(x, tau * self.scale)
+
+    # gradient passthrough when the base functional is differentiable
+    def gradient(self, x):
+        return self.scale * self.func.gradient(x)
+
+    @property
+    def diff_lipschitz(self):
+        return abs(self.scale) * getattr(self.func, "diff_lipschitz", _INF)
+
+
+class ProxFuncAffineSum(ProximableFunctional):
+    """``f + <a, .> + c``: ``prox(x) = prox_f(x - tau a)`` (functional.py:268)."""
+
+    func: ProximableFunctional = None
+    linear_part: LinearFunctional = None
+    intercept: float = static_field(default=0.0)
+
+    def __init__(self, func: ProximableFunctional, linear_part: LinearFunctional, intercept: float = 0.0):
+        if as_shape(linear_part.dim_shape) != func.dim_shape:
+            raise ValueError("affine part has mismatched domain")
+        super().__init__(func.dim_shape, lipschitz=func.lipschitz + linear_part.lipschitz)
+        self.func = func
+        self.linear_part = linear_part
+        self.intercept = float(intercept)
+
+    def apply(self, x):
+        return self.func.apply(x) + self.linear_part.apply(x) + self.intercept
+
+    def prox(self, x, tau):
+        a = self.linear_part.asvector()
+        return self.func.prox(x - tau * a, tau)
+
+    def gradient(self, x):
+        return self.func.gradient(x) + self.linear_part.asvector()
+
+    @property
+    def diff_lipschitz(self):
+        return getattr(self.func, "diff_lipschitz", _INF)
+
+
+class ProxFuncPreComp(ProximableFunctional):
+    """``f(scale * x + shift)`` for scalar or elementwise ``scale``:
+    ``prox(x, tau) = (prox_f(scale x + shift, tau scale^2) - shift)/scale``
+    (functional.py:286; elementwise scale valid for separable ``f``)."""
+
+    func: ProximableFunctional = None
+    scale: jax.Array = None
+    shift: jax.Array = None
+
+    def __init__(self, func: ProximableFunctional, scale, shift):
+        scl = np.max(np.abs(np.asarray(scale))) if not isinstance(scale, jax.Array) else None
+        lip = func.lipschitz * float(scl) if scl is not None else _INF
+        super().__init__(func.dim_shape, lipschitz=lip)
+        self.func = func
+        self.scale = jnp.asarray(scale)
+        self.shift = jnp.asarray(shift)
+
+    def apply(self, x):
+        return self.func.apply(self.scale * x + self.shift)
+
+    def prox(self, x, tau):
+        return (self.func.prox(self.scale * x + self.shift, tau * self.scale**2) - self.shift) / self.scale
+
+    def gradient(self, x):
+        return self.scale * self.func.gradient(self.scale * x + self.shift)
+
+
+class ProxFuncPreCompUnitOp(ProximableFunctional):
+    """``f o U`` with ``U`` unitary: ``prox = U^H prox_f(U x, tau)``
+    (functional.py:302)."""
+
+    func: ProximableFunctional = None
+    unitary: LinearOperator = None
+
+    def __init__(self, func: ProximableFunctional, unitary: LinearOperator):
+        if not isinstance(unitary, UnitaryMixin):
+            raise TypeError("operator must be unitary for this prox rule")
+        super().__init__(unitary.dim_shape, lipschitz=func.lipschitz)
+        self.func = func
+        self.unitary = unitary
+
+    def apply(self, x):
+        return self.func.apply(self.unitary.apply(x))
+
+    def prox(self, x, tau):
+        return self.unitary.adjoint(self.func.prox(self.unitary.apply(x), tau))
+
+    def gradient(self, x):
+        return self.unitary.adjoint(self.func.gradient(self.unitary.apply(x)))
