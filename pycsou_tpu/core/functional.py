@@ -127,6 +127,16 @@ class ProximableFunctional(Functional):
 # ---------------------------------------------------------------------------
 
 
+def _diff_variant(cls, func):
+    """If the wrapped functional is differentiable, build the node as its
+    *differentiable* subclass so downstream arithmetic keeps the chain rule
+    (e.g. ``SquaredL2Loss * G`` must stay a DifferentiableMap)."""
+    diff_cls = _PLAIN_TO_DIFF.get(cls)
+    if diff_cls is not None and isinstance(func, DifferentiableMap):
+        return object.__new__(diff_cls)
+    return object.__new__(cls)
+
+
 class ProxFuncPostComp(ProximableFunctional):
     """``alpha * f + c`` for ``alpha > 0``:
     ``prox_{tau g} = prox_{tau alpha f}`` (functional.py:253)."""
@@ -134,6 +144,9 @@ class ProxFuncPostComp(ProximableFunctional):
     func: ProximableFunctional = None
     scale: float = static_field(default=1.0)
     shift: float = static_field(default=0.0)
+
+    def __new__(cls, func, *args, **kwargs):
+        return _diff_variant(cls, func)
 
     def __init__(self, func: ProximableFunctional, scale: float, shift: float = 0.0):
         super().__init__(func.dim_shape, lipschitz=abs(scale) * func.lipschitz)
@@ -162,6 +175,9 @@ class ProxFuncAffineSum(ProximableFunctional):
     func: ProximableFunctional = None
     linear_part: LinearFunctional = None
     intercept: float = static_field(default=0.0)
+
+    def __new__(cls, func, *args, **kwargs):
+        return _diff_variant(cls, func)
 
     def __init__(self, func: ProximableFunctional, linear_part: LinearFunctional, intercept: float = 0.0):
         if as_shape(linear_part.dim_shape) != func.dim_shape:
@@ -194,14 +210,22 @@ class ProxFuncPreComp(ProximableFunctional):
     func: ProximableFunctional = None
     scale: jax.Array = None
     shift: jax.Array = None
+    _max_scale: Optional[float] = static_field(default=None)
+
+    def __new__(cls, func, *args, **kwargs):
+        return _diff_variant(cls, func)
 
     def __init__(self, func: ProximableFunctional, scale, shift):
-        scl = np.max(np.abs(np.asarray(scale))) if not isinstance(scale, jax.Array) else None
-        lip = func.lipschitz * float(scl) if scl is not None else _INF
+        try:
+            scl = float(np.max(np.abs(np.asarray(scale))))
+            lip = func.lipschitz * scl
+        except Exception:
+            scl, lip = None, _INF
         super().__init__(func.dim_shape, lipschitz=lip)
         self.func = func
         self.scale = jnp.asarray(scale)
         self.shift = jnp.asarray(shift)
+        self._max_scale = scl
 
     def apply(self, x):
         return self.func.apply(self.scale * x + self.shift)
@@ -212,6 +236,13 @@ class ProxFuncPreComp(ProximableFunctional):
     def gradient(self, x):
         return self.scale * self.func.gradient(self.scale * x + self.shift)
 
+    @property
+    def diff_lipschitz(self):
+        scl = getattr(self, "_max_scale", None)
+        if scl is None:
+            return _INF
+        return scl**2 * getattr(self.func, "diff_lipschitz", _INF)
+
 
 class ProxFuncPreCompUnitOp(ProximableFunctional):
     """``f o U`` with ``U`` unitary: ``prox = U^H prox_f(U x, tau)``
@@ -219,6 +250,9 @@ class ProxFuncPreCompUnitOp(ProximableFunctional):
 
     func: ProximableFunctional = None
     unitary: LinearOperator = None
+
+    def __new__(cls, func, *args, **kwargs):
+        return _diff_variant(cls, func)
 
     def __init__(self, func: ProximableFunctional, unitary: LinearOperator):
         if not isinstance(unitary, UnitaryMixin):
@@ -235,3 +269,39 @@ class ProxFuncPreCompUnitOp(ProximableFunctional):
 
     def gradient(self, x):
         return self.unitary.adjoint(self.func.gradient(self.unitary.apply(x)))
+
+    @property
+    def diff_lipschitz(self):
+        return getattr(self.func, "diff_lipschitz", _INF)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable variants of the prox-rule nodes.  Chosen automatically by
+# ``__new__`` when the wrapped functional is differentiable, so composed
+# losses (e.g. a shifted SquaredL2Norm) stay DifferentiableMaps and the chain
+# rule / auto step-size machinery keeps working.
+# ---------------------------------------------------------------------------
+
+
+class DiffProxFuncPostComp(ProxFuncPostComp, DifferentiableFunctional):
+    pass
+
+
+class DiffProxFuncAffineSum(ProxFuncAffineSum, DifferentiableFunctional):
+    pass
+
+
+class DiffProxFuncPreComp(ProxFuncPreComp, DifferentiableFunctional):
+    pass
+
+
+class DiffProxFuncPreCompUnitOp(ProxFuncPreCompUnitOp, DifferentiableFunctional):
+    pass
+
+
+_PLAIN_TO_DIFF = {
+    ProxFuncPostComp: DiffProxFuncPostComp,
+    ProxFuncAffineSum: DiffProxFuncAffineSum,
+    ProxFuncPreComp: DiffProxFuncPreComp,
+    ProxFuncPreCompUnitOp: DiffProxFuncPreCompUnitOp,
+}

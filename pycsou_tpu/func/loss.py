@@ -1,0 +1,136 @@
+"""Loss functionals: norms/balls precomposed with a data shift, plus KL
+divergence.
+
+TPU-native equivalent of /root/reference/pycsou/func/loss.py (689 LoC).
+Losses are built by the shift rule ``phi(x - y)`` — the factories return
+prox/grad-preserving shifted functionals (reference loss.py:20-120).
+"""
+from __future__ import annotations
+
+from numbers import Number
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from pycsou_tpu.core.functional import (
+    DifferentiableFunctional,
+    ProximableFunctional,
+    ProxFuncPreComp,
+)
+from pycsou_tpu.func.base import IndicatorFunctional
+from pycsou_tpu.func.penalty import (
+    L1Ball,
+    L1Norm,
+    L2Ball,
+    L2Norm,
+    LInftyBall,
+    LInftyNorm,
+    SquaredL1Norm,
+    SquaredL2Norm,
+)
+
+__all__ = [
+    "ProximableLoss",
+    "DifferentiableLoss",
+    "L2Loss",
+    "SquaredL2Loss",
+    "L2BallLoss",
+    "L1Loss",
+    "SquaredL1Loss",
+    "L1BallLoss",
+    "LInftyLoss",
+    "LInftyBallLoss",
+    "ConsistencyLoss",
+    "KLDivergence",
+]
+
+
+def ProximableLoss(func: ProximableFunctional, data) -> ProximableFunctional:
+    """``phi(x - y)`` keeping the prox (reference loss.py:20-69)."""
+    return ProxFuncPreComp(func, scale=1.0, shift=-jnp.asarray(data))
+
+
+def DifferentiableLoss(func: DifferentiableFunctional, data):
+    """``phi(x - y)`` keeping gradient and Lipschitz constants
+    (reference loss.py:72-120)."""
+    return func.shifter(shift=-jnp.asarray(data))
+
+
+def L2Loss(dim_shape, data) -> ProximableFunctional:
+    """``||y - x||_2`` (reference loss.py:123)."""
+    return ProximableLoss(L2Norm(dim_shape), data=data)
+
+
+def SquaredL2Loss(dim_shape, data):
+    """``||y - x||_2^2`` — the workhorse differentiable data fidelity
+    (reference loss.py:165; beta = 2)."""
+    return DifferentiableLoss(SquaredL2Norm(dim_shape), data=data)
+
+
+def L2BallLoss(dim_shape, data, radius: float = 1.0) -> ProximableFunctional:
+    """Indicator of ``||y - x||_2 <= radius`` (reference loss.py:222)."""
+    return ProximableLoss(L2Ball(dim_shape, radius=radius), data=data)
+
+
+def L1Loss(dim_shape, data) -> ProximableFunctional:
+    """``||y - x||_1`` — robust data fidelity (reference loss.py:280)."""
+    return ProximableLoss(L1Norm(dim_shape), data=data)
+
+
+def SquaredL1Loss(dim_shape, data, prox_computation: str = "sort") -> ProximableFunctional:
+    """``||y - x||_1^2`` (reference loss.py:329)."""
+    return ProximableLoss(SquaredL1Norm(dim_shape, prox_computation=prox_computation), data=data)
+
+
+def L1BallLoss(dim_shape, data, radius: float = 1.0) -> ProximableFunctional:
+    """Indicator of ``||y - x||_1 <= radius`` (reference loss.py:371)."""
+    return ProximableLoss(L1Ball(dim_shape, radius=radius), data=data)
+
+
+def LInftyLoss(dim_shape, data) -> ProximableFunctional:
+    """``||y - x||_inf`` (reference loss.py:429)."""
+    return ProximableLoss(LInftyNorm(dim_shape), data=data)
+
+
+def LInftyBallLoss(dim_shape, data, radius: float = 1.0) -> ProximableFunctional:
+    """Indicator of ``||y - x||_inf <= radius`` (reference loss.py:478)."""
+    return ProximableLoss(LInftyBall(dim_shape, radius=radius), data=data)
+
+
+def ConsistencyLoss(dim_shape, data) -> IndicatorFunctional:
+    """Equality indicator ``x == y`` with prox ``y`` (reference loss.py:536)."""
+    data = jnp.asarray(data)
+    return IndicatorFunctional(
+        dim_shape,
+        condition_fn=lambda x: jnp.all(x == data),
+        projection_fn=lambda x: jnp.broadcast_to(data, jnp.asarray(x).shape).astype(jnp.asarray(x).dtype),
+    )
+
+
+class KLDivergence(ProximableFunctional):
+    """Generalised Kullback-Leibler divergence ``D(y||x)`` — the Poisson
+    noise data fidelity (reference loss.py:590).
+
+    ``F(x) = sum y log(y/x) + x - y`` on x >= 0, with closed-form prox
+    ``(x - tau + sqrt((x - tau)^2 + 4 tau y)) / 2`` (reference loss.py:666-682).
+    """
+
+    data: jax.Array = None
+
+    def __init__(self, dim_shape, data):
+        super().__init__(dim_shape)
+        self.data = jnp.asarray(data)
+
+    def apply(self, x):
+        x = jnp.asarray(x)
+        y = self.data
+        # convention: y log(y/x) = 0 where y == 0; +inf if any x < 0
+        ratio = jnp.where((y > 0) & (x > 0), y / jnp.where(x > 0, x, 1.0), 1.0)
+        terms = jnp.where(y > 0, y * jnp.log(ratio), 0.0) + x - y
+        val = jnp.sum(terms)
+        return jnp.where(jnp.any(x < 0), jnp.inf, val)
+
+    def prox(self, x, tau):
+        x = jnp.asarray(x)
+        return 0.5 * (x - tau + jnp.sqrt((x - tau) ** 2 + 4 * tau * self.data))

@@ -1,0 +1,385 @@
+"""Penalty functionals: norms, balls, barriers, entropy, quadratic forms.
+
+TPU-native equivalent of /root/reference/pycsou/func/penalty.py (991 LoC).
+Every ``apply``/``prox``/``gradient`` is a pure jittable function; host-side
+root-finding in the reference (brentq for SquaredL1Norm 'root' and the l1-ball
+projection, penalty.py:300-309 / math/prox.py:158-164) is replaced by
+sort/cumsum or fixed-iteration bisection formulations that fuse into the
+solver loop.
+"""
+from __future__ import annotations
+
+import math
+from numbers import Number
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycsou_tpu._module import static_field
+from pycsou_tpu.core.functional import (
+    DifferentiableFunctional,
+    ProximableFunctional,
+)
+from pycsou_tpu.core.linop import LinearOperator
+from pycsou_tpu.func.base import IndicatorFunctional, LpNorm
+from pycsou_tpu.math.prox import (
+    lambertw,
+    proj_l1_ball,
+    proj_l2_ball,
+    proj_linfty_ball,
+    proj_nonnegative_orthant,
+    proj_segment,
+    soft,
+)
+from pycsou_tpu.utils.shapes import as_shape, size_of
+
+__all__ = [
+    "L2Norm",
+    "SquaredL2Norm",
+    "L2Ball",
+    "L1Norm",
+    "SquaredL1Norm",
+    "L1Ball",
+    "LInftyNorm",
+    "LInftyBall",
+    "L21Norm",
+    "NonNegativeOrthant",
+    "Segment",
+    "RealLine",
+    "ImagLine",
+    "LogBarrier",
+    "ShannonEntropy",
+    "QuadraticForm",
+]
+
+_INF = float("inf")
+
+
+class L2Norm(LpNorm):
+    """``||x||_2`` (reference penalty.py:23): prox is the block soft
+    threshold ``max(1 - tau/||x||, 0) x``."""
+
+    def __init__(self, dim_shape):
+        super().__init__(dim_shape, lipschitz=1.0)
+
+    def apply(self, x):
+        return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
+
+    def dual_ball_projection(self, x):
+        return proj_l2_ball(x, 1.0)
+
+    def prox(self, x, tau):
+        x = jnp.asarray(x)
+        nrm = jnp.sqrt(jnp.real(jnp.vdot(x, x)))
+        scale = jnp.maximum(1.0 - tau / jnp.maximum(nrm, 1e-30), 0.0)
+        return scale * x
+
+
+class SquaredL2Norm(DifferentiableFunctional, ProximableFunctional):
+    """``||x||_2^2`` (reference penalty.py:73): gradient ``2x`` (beta = 2);
+    also proximable with ``prox(x, tau) = x / (1 + 2 tau)`` (an extension the
+    reference omits)."""
+
+    def __init__(self, dim_shape):
+        DifferentiableFunctional.__init__(self, dim_shape, lipschitz=_INF, diff_lipschitz=2.0)
+
+    def apply(self, x):
+        return jnp.real(jnp.vdot(x, x))
+
+    def jacobianT(self, x):
+        return 2 * jnp.asarray(x)
+
+    def prox(self, x, tau):
+        return jnp.asarray(x) / (1.0 + 2.0 * tau)
+
+
+def L2Ball(dim_shape, radius: float) -> IndicatorFunctional:
+    """Indicator of ``||x||_2 <= radius`` (reference penalty.py:134)."""
+    return IndicatorFunctional(
+        dim_shape,
+        condition_fn=lambda x: jnp.sqrt(jnp.real(jnp.vdot(x, x))) <= radius,
+        projection_fn=lambda x: proj_l2_ball(x, radius),
+    )
+
+
+class L1Norm(LpNorm):
+    """``||x||_1`` (reference penalty.py:194): prox = soft threshold."""
+
+    def __init__(self, dim_shape):
+        super().__init__(dim_shape, lipschitz=math.sqrt(size_of(as_shape(dim_shape))))
+
+    def apply(self, x):
+        return jnp.sum(jnp.abs(x))
+
+    def dual_ball_projection(self, x):
+        return proj_linfty_ball(x, 1.0)
+
+    def prox(self, x, tau):
+        return soft(x, tau)
+
+    # reference-compatible alias (penalty.py:243)
+    def soft(self, x, tau):
+        return soft(x, tau)
+
+
+class SquaredL1Norm(ProximableFunctional):
+    """``||x||_1^2`` (reference penalty.py:248) with both prox algorithms:
+
+    * ``'sort'`` — [OnKerLearn] Algorithm 2 via sort/cumsum (penalty.py:310-316),
+      fully vectorised and jittable;
+    * ``'root'`` — [FirstOrd] Lemma 6.70; the reference's brentq root-finding
+      (penalty.py:300-309) becomes a fixed-iteration device bisection.
+    """
+
+    prox_computation: str = static_field(default="sort")
+
+    def __init__(self, dim_shape, prox_computation: str = "sort"):
+        super().__init__(dim_shape)
+        if prox_computation not in ("sort", "root"):
+            raise ValueError("prox_computation must be 'sort' or 'root'")
+        self.prox_computation = prox_computation
+
+    def apply(self, x):
+        return jnp.sum(jnp.abs(x)) ** 2
+
+    def prox(self, x, tau):
+        x = jnp.asarray(x)
+        if self.prox_computation == "sort":
+            return self._prox_sort(x, tau)
+        return self._prox_root(x, tau)
+
+    def _prox_sort(self, x, tau):
+        mag = jnp.abs(x).reshape(-1)
+        y = jnp.sort(mag)[::-1]
+        css = jnp.cumsum(y)
+        k = jnp.arange(1, y.size + 1, dtype=y.dtype)
+        test = y - (2 * tau / (1 + k * 2 * tau)) * css
+        idx = jnp.max(jnp.where(test > 0, jnp.arange(y.size), -1))
+        safe = jnp.maximum(idx, 0)
+        thr = (2 * tau / (1 + (safe + 1) * 2 * tau)) * css[safe]
+        thr = jnp.where(idx < 0, 0.0, thr)
+        return soft(x, thr)
+
+    def _prox_root(self, x, tau):
+        mag = jnp.abs(x)
+        norm = jnp.sqrt(jnp.sum(mag**2))
+        mu_max = jnp.maximum(jnp.max(mag**2) / (4 * tau), 2e-12)
+
+        def f(mu):
+            return jnp.sum(jnp.maximum(mag * jnp.sqrt(tau / mu) - 2 * tau, 0.0)) - 1.0
+
+        def body(_, ab):
+            a, b = ab
+            m = 0.5 * (a + b)
+            fa_pos = f(m) > 0
+            return (jnp.where(fa_pos, m, a), jnp.where(fa_pos, b, m))
+
+        a, b = jax.lax.fori_loop(0, 60, body, (jnp.asarray(1e-12), mu_max))
+        mu_star = 0.5 * (a + b)
+        lam = jnp.maximum(mag * jnp.sqrt(tau / mu_star) - 2 * tau, 0.0)
+        out = lam * x / (lam + 2 * tau)
+        return jnp.where(norm > 0, out, x)
+
+
+def L1Ball(dim_shape, radius: float) -> IndicatorFunctional:
+    """Indicator of ``||x||_1 <= radius`` (reference penalty.py:319)."""
+    return IndicatorFunctional(
+        dim_shape,
+        condition_fn=lambda x: jnp.sum(jnp.abs(x)) <= radius,
+        projection_fn=lambda x: proj_l1_ball(x, radius),
+    )
+
+
+class LInftyNorm(LpNorm):
+    """``||x||_inf`` (reference penalty.py:380): prox via Moreau + projection
+    onto the l1 ball."""
+
+    def __init__(self, dim_shape):
+        super().__init__(dim_shape, lipschitz=1.0)
+
+    def apply(self, x):
+        return jnp.max(jnp.abs(x))
+
+    def dual_ball_projection(self, x):
+        return proj_l1_ball(x, 1.0)
+
+
+def LInftyBall(dim_shape, radius: float) -> IndicatorFunctional:
+    """Indicator of ``||x||_inf <= radius`` (reference penalty.py:420)."""
+    return IndicatorFunctional(
+        dim_shape,
+        condition_fn=lambda x: jnp.max(jnp.abs(x)) <= radius,
+        projection_fn=lambda x: proj_linfty_ball(x, radius),
+    )
+
+
+class L21Norm(ProximableFunctional):
+    """Group-sparsity norm ``sum_g ||x_g||_2`` (reference penalty.py:480).
+
+    Two grouping modes, both with group-wise shrinkage prox
+    (penalty.py:551-557):
+
+    * ``axis`` mode (TPU-native, used for isotropic TV): groups are the
+      fibres along ``axis`` of an nd input, e.g. the 2-vector of forward
+      differences at each pixel of a ``(2, H, W)`` gradient field;
+    * ``groups`` mode (reference-parity): an integer label per entry, reduced
+      with ``segment_sum``.
+
+    Degenerate cases reproduce the reference's ``__new__`` dispatch
+    (penalty.py:525-530): all-distinct labels -> L1Norm; a single group ->
+    L2Norm.
+    """
+
+    groups: Optional[jax.Array] = None
+    n_groups: int = static_field(default=0)
+    axis: int = static_field(default=0)
+    mode: str = static_field(default="axis")
+
+    def __new__(cls, dim_shape, groups=None, axis: int = 0):
+        if groups is not None:
+            g = np.asarray(groups)
+            uniq = np.unique(g)
+            if uniq.size == g.size:
+                return L1Norm(dim_shape)
+            if uniq.size == 1:
+                return L2Norm(dim_shape)
+        return super().__new__(cls)
+
+    def __init__(self, dim_shape, groups=None, axis: int = 0):
+        super().__init__(dim_shape)
+        if groups is not None:
+            g = np.asarray(groups).reshape(-1)
+            _, inv = np.unique(g, return_inverse=True)
+            self.groups = jnp.asarray(inv, dtype=jnp.int32)
+            self.n_groups = int(inv.max()) + 1
+            self.mode = "groups"
+        else:
+            self.groups = None
+            self.n_groups = 0
+            self.mode = "axis"
+        self.axis = int(axis)
+
+    def _group_norms(self, x):
+        if self.mode == "axis":
+            return jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=self.axis, keepdims=True))
+        sq = jax.ops.segment_sum(jnp.abs(x.reshape(-1)) ** 2, self.groups, num_segments=self.n_groups)
+        return jnp.sqrt(sq)
+
+    def apply(self, x):
+        return jnp.sum(self._group_norms(jnp.asarray(x)))
+
+    def prox(self, x, tau):
+        x = jnp.asarray(x)
+        norms = self._group_norms(x)
+        scale = jnp.maximum(1.0 - tau / jnp.maximum(norms, 1e-30), 0.0)
+        if self.mode == "axis":
+            return scale * x
+        return (scale[self.groups] * x.reshape(-1)).reshape(x.shape)
+
+
+def NonNegativeOrthant(dim_shape) -> IndicatorFunctional:
+    """Indicator of ``x >= 0`` (reference penalty.py:563)."""
+    return IndicatorFunctional(
+        dim_shape,
+        condition_fn=lambda x: jnp.all(x >= 0),
+        projection_fn=proj_nonnegative_orthant,
+    )
+
+
+def Segment(dim_shape, a: float = 0.0, b: float = 1.0) -> IndicatorFunctional:
+    """Indicator of ``a <= x <= b`` per coordinate (reference penalty.py:615)."""
+    return IndicatorFunctional(
+        dim_shape,
+        condition_fn=lambda x: jnp.all((x >= a) & (x <= b)),
+        projection_fn=lambda x: proj_segment(x, a, b),
+    )
+
+
+def RealLine(dim_shape) -> IndicatorFunctional:
+    """Indicator of real-valued entries (reference penalty.py:671)."""
+    return IndicatorFunctional(
+        dim_shape,
+        condition_fn=lambda x: jnp.all(jnp.isreal(x)),
+        projection_fn=lambda x: jnp.real(x),
+    )
+
+
+def ImagLine(dim_shape) -> IndicatorFunctional:
+    """Indicator of purely imaginary entries (reference penalty.py:720)."""
+    return IndicatorFunctional(
+        dim_shape,
+        condition_fn=lambda x: jnp.all(jnp.real(x) == 0),
+        projection_fn=lambda x: 1j * jnp.imag(x),
+    )
+
+
+class LogBarrier(ProximableFunctional):
+    """``-sum log(x)`` (reference penalty.py:770): closed-form prox
+    ``(x + sqrt(x^2 + 4 tau))/2`` (penalty.py:824-840)."""
+
+    def __init__(self, dim_shape):
+        super().__init__(dim_shape)
+
+    def apply(self, x):
+        x = jnp.asarray(x)
+        y = jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), -jnp.inf)
+        return -jnp.sum(y)
+
+    def prox(self, x, tau):
+        x = jnp.asarray(x)
+        return (x + jnp.sqrt(x**2 + 4 * tau)) / 2
+
+
+class ShannonEntropy(ProximableFunctional):
+    """Negative Shannon entropy ``sum x log x`` for x >= 0
+    (reference penalty.py:843): prox via Lambert W
+    ``tau W(exp(x/tau - 1)/tau)`` (penalty.py:905-922), evaluated with a
+    jittable overflow-safe Halley/Newton solve instead of scipy.lambertw."""
+
+    def __init__(self, dim_shape):
+        super().__init__(dim_shape)
+
+    def apply(self, x):
+        x = jnp.asarray(x)
+        xlogx = jnp.where(x > 0, x * jnp.log(jnp.where(x > 0, x, 1.0)), 0.0)
+        return jnp.where(jnp.any(x < 0), jnp.inf, jnp.sum(xlogx))
+
+    def prox(self, x, tau):
+        x = jnp.asarray(x)
+        # solve w + log w = s with s = x/tau - 1 - log(tau); prox = tau * w
+        s = x / tau - 1.0 - jnp.log(tau)
+        w = jnp.where(s > 1.0, s - jnp.log(jnp.maximum(s, 1.0)), jnp.exp(jnp.minimum(s, 1.0)))
+        w = jnp.maximum(w, 1e-30)
+
+        def body(_, w):
+            g = w + jnp.log(w) - s
+            return jnp.maximum(w - g * w / (w + 1.0), 1e-30)
+
+        w = jax.lax.fori_loop(0, 30, body, w)
+        return tau * w
+
+
+class QuadraticForm(DifferentiableFunctional):
+    """``x^H L x`` for a (symmetric PSD) operator L, or ``||x||^2`` when
+    L is None (reference penalty.py:925): gradient ``2 L x``, beta = 2 ||L||."""
+
+    linop: Optional[LinearOperator] = None
+
+    def __init__(self, dim_shape, linop: Optional[LinearOperator] = None):
+        beta = 2.0 if linop is None else 2.0 * linop.diff_lipschitz
+        DifferentiableFunctional.__init__(self, dim_shape, lipschitz=_INF, diff_lipschitz=beta)
+        self.linop = linop
+
+    def apply(self, x):
+        x = jnp.asarray(x)
+        if self.linop is None:
+            return jnp.real(jnp.vdot(x, x))
+        return jnp.real(jnp.vdot(x, self.linop.apply(x)))
+
+    def jacobianT(self, x):
+        x = jnp.asarray(x)
+        if self.linop is None:
+            return 2 * x
+        return 2 * self.linop.apply(x)
