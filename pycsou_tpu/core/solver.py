@@ -1,0 +1,170 @@
+"""Iterative solver skeleton: fused on-device loops with chunked host sync.
+
+TPU-native re-design of the reference ``GenericIterativeAlgorithm``
+(/root/reference/pycsou/core/solver.py:17-134).  The reference's hot loop is
+host Python with a per-iteration ``deepcopy`` and pandas row append
+(solver.py:55-76, SURVEY §3.2); here the entire iteration body — operator
+applies, proxes, momentum, stopping metric — is a pure function driven by
+``lax.while_loop`` inside one jitted computation.  The host only syncs once
+per *chunk* (default: the ``verbose`` stride) to print diagnostics, and the
+per-iteration metric history is a fixed-size on-device buffer.
+"""
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycsou_tpu._module import Module, static_field
+
+__all__ = ["IterativeSolver", "SolveInfo"]
+
+_INF = float("inf")
+
+
+@partial(jax.jit, static_argnums=())
+def _run_chunk(solver, state, it_stop):
+    """Run iterations until convergence or ``it_stop``; one XLA computation."""
+
+    def cond(s):
+        it = s["it"]
+        not_done = it < it_stop
+        keep_going = jnp.logical_or(s["metric"] > solver.tol, it < solver.min_iter)
+        return jnp.logical_and(not_done, keep_going)
+
+    def body(s):
+        new = solver.step(s)
+        m = solver.metric(s, new)
+        it = s["it"] + 1
+        new["it"] = it
+        new["metric"] = m
+        new["history"] = s["history"].at[it - 1].set(m)
+        return new
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+class SolveInfo:
+    """Result bundle: final iterand(s), iteration count, metric history."""
+
+    def __init__(self, iterand: Dict[str, Any], n_iter: int, history: np.ndarray, converged: bool, elapsed: float):
+        self.iterand = iterand
+        self.n_iter = n_iter
+        self.history = history
+        self.converged = converged
+        self.elapsed = elapsed
+
+    def __getitem__(self, key):
+        return self.iterand[key]
+
+    def __repr__(self):
+        return (
+            f"SolveInfo(n_iter={self.n_iter}, converged={self.converged}, "
+            f"final_metric={self.history[self.n_iter - 1] if self.n_iter else float('inf'):.3e}, "
+            f"elapsed={self.elapsed:.3f}s)"
+        )
+
+
+class IterativeSolver(Module):
+    """Base driver.  Subclasses implement :meth:`initial_state` (a dict
+    pytree of iteration variables) and :meth:`step` (one pure iteration);
+    optionally override :meth:`metric` (default: relative improvement of the
+    ``'x'`` entry, the reference's stopping rule, proxalgs.py:360-364).
+    """
+
+    max_iter: int = static_field(default=500)
+    min_iter: int = static_field(default=10)
+    tol: float = static_field(default=1e-3)
+    verbose: Optional[int] = static_field(default=None)
+
+    def __init__(self, max_iter: int = 500, min_iter: int = 10, tol: float = 1e-3, verbose: Optional[int] = None):
+        self.max_iter = int(max_iter)
+        self.min_iter = int(min_iter)
+        self.tol = float(tol)
+        self.verbose = verbose
+
+    # -- to implement ------------------------------------------------------
+    def initial_state(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def step(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def metric(self, old: Dict[str, Any], new: Dict[str, Any]) -> jax.Array:
+        """Relative improvement of the primal iterand; +inf from a zero
+        iterand (reference proxalgs.py:386-394)."""
+        x_old, x_new = old["x"], new["x"]
+        n_old = jnp.sqrt(jnp.real(jnp.vdot(x_old, x_old)))
+        n_diff = jnp.sqrt(jnp.real(jnp.vdot(x_new - x_old, x_new - x_old)))
+        return jnp.where(n_old == 0, jnp.inf, n_diff / jnp.where(n_old == 0, 1.0, n_old))
+
+    # -- driver ------------------------------------------------------------
+    def _wrap_state(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        state = dict(state)
+        state.setdefault("it", jnp.asarray(0, dtype=jnp.int32))
+        state.setdefault("metric", jnp.asarray(_INF, dtype=jnp.float32))
+        state.setdefault("history", jnp.full((self.max_iter,), jnp.nan, dtype=jnp.float32))
+        return state
+
+    def solve(self) -> SolveInfo:
+        """Run to convergence with chunked host synchronisation."""
+        state = self._wrap_state(self.initial_state())
+        chunk = self.verbose if self.verbose else 100
+        t0 = time.perf_counter()
+        while True:
+            it = int(state["it"])
+            it_stop = min(it + chunk, self.max_iter)
+            state = _run_chunk(self, state, jnp.asarray(it_stop, dtype=jnp.int32))
+            it = int(state["it"])  # single host sync per chunk
+            m = float(state["metric"])
+            if self.verbose:
+                print(f"iter {it:6d}   relative improvement {m:.4e}")
+            converged = (m <= self.tol) and (it >= self.min_iter)
+            if converged or it >= self.max_iter:
+                break
+        elapsed = time.perf_counter() - t0
+        iterand = self.postprocess(state)
+        history = np.asarray(state["history"])[:it]
+        return SolveInfo(iterand, it, history, converged, elapsed)
+
+    # reference-compatible alias (solver.py:55)
+    def iterate(self) -> SolveInfo:
+        return self.solve()
+
+    def run_fixed(self, n_iter: int, state: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Run exactly ``n_iter`` iterations with NO convergence predicate —
+        a single ``lax.scan``-style computation for benchmarking and for
+        embedding a solver inside a larger jitted program."""
+        state = self._wrap_state(self.initial_state() if state is None else state)
+        return _run_fixed(self, state, n_iter)
+
+    def iterates(self, n: int, stride: int = 1):
+        """Generator over iterates (reference solver.py:88)."""
+        state = self._wrap_state(self.initial_state())
+        for _ in range(0, n, stride):
+            state = _run_fixed(self, state, stride)
+            yield self.postprocess(state)
+
+    def postprocess(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        """Map the final state to user-facing iterand dict (override freely)."""
+        return {k: v for k, v in state.items() if k not in ("history",)}
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _run_fixed(solver, state, n_iter: int):
+    def body(s, _):
+        new = solver.step(s)
+        m = solver.metric(s, new)
+        it = s["it"] + 1
+        new["it"] = it
+        new["metric"] = m
+        new["history"] = s["history"].at[it - 1].set(m)
+        return new, None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_iter)
+    return state
