@@ -1,0 +1,140 @@
+"""Convolution operators: FFT-based and direct 1-D/2-D convolution, moving
+averages.
+
+TPU-native equivalent of /root/reference/pycsou/linop/conv.py (422 LoC, which
+delegates to pylops/scipy.signal).  Design:
+
+* ``method='fft'`` — linear convolution via zero-padded r/c-FFT (``jnp.fft``,
+  XLA-fused); the 'same'-size centering matches the reference's even/odd
+  offset convention (conv.py:159-162).
+* ``method='direct'`` — ``lax.conv_general_dilated`` (MXU/VPU path, best for
+  short filters).
+* Adjoint (= correlation) is derived by ``jax.linear_transpose`` of the pure
+  ``apply`` — no hand-maintained adjoint code.
+* Exact Lipschitz constant for free: ``max |FFT(h)|`` on the padded grid
+  bounds the operator norm (the reference runs ARPACK svds instead).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycsou_tpu._module import static_field
+from pycsou_tpu.core.linop import LinearOperator
+from pycsou_tpu.utils.shapes import as_shape
+
+__all__ = ["Convolve1D", "Convolve2D", "MovingAverage1D", "MovingAverage2D"]
+
+
+def _fft_lipschitz(filt: np.ndarray, padded_shape: Tuple[int, ...]) -> float:
+    """||conv||_2 <= max |DFT(h)| over the zero-padded (full linear conv)
+    grid; slicing to 'same' size only shrinks the norm."""
+    h = np.asarray(filt, dtype=np.float64)
+    H = np.fft.fftn(h, s=padded_shape, axes=tuple(range(len(padded_shape))))
+    return float(np.max(np.abs(H)))
+
+
+class Convolve1D(LinearOperator):
+    """1-D convolution with a compactly supported filter
+    (reference linop/conv.py:20-163).
+
+    ``apply(x)[i] = sum_k h[k] x[i - k + offset]`` with the centre offset
+    ``offset = len(h)//2`` (reference's even/odd centering), zero boundary.
+    """
+
+    filt: jax.Array = None
+    method: str = static_field(default="fft")
+
+    def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32):
+        dim_shape = as_shape(dim_shape)
+        if len(dim_shape) != 1:
+            raise ValueError("Convolve1D expects a 1-D domain")
+        filt = jnp.asarray(filt, dtype=dtype)
+        if method == "auto":
+            method = "direct" if filt.shape[0] <= 32 else "fft"
+        if method not in ("fft", "direct"):
+            raise ValueError("method must be 'auto', 'fft' or 'direct'")
+        n, m = dim_shape[0], filt.shape[0]
+        lip = _fft_lipschitz(np.asarray(filt), (n + m - 1,))
+        super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
+        self.filt = filt
+        self.method = method
+
+    def apply(self, x):
+        n = self.dim_shape[0]
+        m = self.filt.shape[0]
+        ofs = m // 2
+        if self.method == "fft":
+            n_fft = n + m - 1
+            X = jnp.fft.rfft(x, n=n_fft)
+            H = jnp.fft.rfft(self.filt, n=n_fft)
+            full = jnp.fft.irfft(X * H, n=n_fft)
+            return full[ofs : ofs + n].astype(x.dtype)
+        # direct path: lax 1-D convolution on the VPU
+        lhs = x[None, None, :]
+        rhs = self.filt[::-1][None, None, :]
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding=[(m - 1 - ofs, ofs)]
+        )
+        return out[0, 0, :]
+
+
+class Convolve2D(LinearOperator):
+    """2-D convolution with a compact kernel, FFT-based by default
+    (reference linop/conv.py:167-295)."""
+
+    filt: jax.Array = None
+    method: str = static_field(default="fft")
+
+    def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32):
+        dim_shape = as_shape(dim_shape)
+        if len(dim_shape) != 2:
+            raise ValueError("Convolve2D expects a 2-D domain")
+        filt = jnp.asarray(filt, dtype=dtype)
+        if filt.ndim != 2:
+            raise ValueError("filter must be 2-D")
+        if method == "auto":
+            method = "direct" if filt.size <= 81 else "fft"
+        if method not in ("fft", "direct"):
+            raise ValueError("method must be 'auto', 'fft' or 'direct'")
+        padded = tuple(n + k - 1 for n, k in zip(dim_shape, filt.shape))
+        lip = _fft_lipschitz(np.asarray(filt), padded)
+        super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
+        self.filt = filt
+        self.method = method
+
+    def apply(self, x):
+        (n0, n1), (m0, m1) = self.dim_shape, self.filt.shape
+        o0, o1 = m0 // 2, m1 // 2
+        if self.method == "fft":
+            s = (n0 + m0 - 1, n1 + m1 - 1)
+            X = jnp.fft.rfft2(x, s=s)
+            H = jnp.fft.rfft2(self.filt, s=s)
+            full = jnp.fft.irfft2(X * H, s=s)
+            return full[o0 : o0 + n0, o1 : o1 + n1].astype(x.dtype)
+        lhs = x[None, None, :, :]
+        rhs = self.filt[::-1, ::-1][None, None, :, :]
+        out = jax.lax.conv_general_dilated(
+            lhs,
+            rhs,
+            window_strides=(1, 1),
+            padding=[(m0 - 1 - o0, o0), (m1 - 1 - o1, o1)],
+        )
+        return out[0, 0]
+
+
+def MovingAverage1D(dim_shape, window: int, dtype=np.float32) -> Convolve1D:
+    """Length-``window`` box filter (reference ``MovingAverage1D``,
+    conv.py:298-358)."""
+    filt = jnp.ones((window,), dtype=dtype) / window
+    return Convolve1D(dim_shape, filt, dtype=dtype)
+
+
+def MovingAverage2D(dim_shape, window: Tuple[int, int], dtype=np.float32) -> Convolve2D:
+    """2-D box filter (reference ``MovingAverage2D``, conv.py:362-417)."""
+    w0, w1 = window
+    filt = jnp.ones((w0, w1), dtype=dtype) / (w0 * w1)
+    return Convolve2D(dim_shape, filt, dtype=dtype)
