@@ -1,0 +1,14 @@
+from pycsou_tpu.parallel.mesh import distributed_init, make_mesh, replicated, shard_along
+from pycsou_tpu.parallel.solvers import DistributedTVDeconv2D
+from pycsou_tpu.parallel.spatial import (
+    halo_from_next,
+    halo_from_prev,
+    pdot,
+    pnorm,
+    sharded_conv2d,
+    sharded_conv2d_adjoint,
+    sharded_fdiff_rows,
+    sharded_fdiff_rows_adjoint,
+    sharded_grad2d,
+    sharded_grad2d_adjoint,
+)
