@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Headline benchmark: iterations/s of TV-regularised 2-D deconvolution
+(4096^2, Condat-Vu PDS) on TPU vs the reference's compute path on CPU.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is measured
+here: the *same* PDS iteration math executed with numpy/scipy-FFT (the
+reference's numeric engine — pylops delegates its FFT convolutions to
+scipy.signal, conv.py:163/285, and everything else is numpy ufuncs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <tpu iters/s>, "unit": "iters/s", "vs_baseline": <speedup>}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SHAPE = (4096, 4096)
+KSIZE = 15
+LAM = 0.05
+TPU_ITERS = 50
+TPU_REPS = 3
+NUMPY_ITERS = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def gaussian_kernel(k=KSIZE, sigma=2.0):
+    ax = np.arange(k) - k // 2
+    g = np.exp(-(ax**2) / (2 * sigma**2))
+    g2 = np.outer(g, g)
+    return (g2 / g2.sum()).astype(np.float32)
+
+
+def make_problem(rng):
+    h = gaussian_kernel()
+    x_true = np.abs(rng.standard_normal(SHAPE)).astype(np.float32)
+    from scipy.signal import fftconvolve
+
+    y = fftconvolve(x_true, h, mode="same").astype(np.float32)
+    y += 0.01 * rng.standard_normal(SHAPE).astype(np.float32)
+    return h, y
+
+
+def pds_params(h):
+    """Auto step sizes, identical to opt/proxalgs.py."""
+    import math
+
+    pad = (2 * 8192, 2 * 8192)
+    Hf = np.fft.fft2(h.astype(np.float64), s=(8192, 8192))
+    L_A = float(np.max(np.abs(Hf)))
+    beta = 2 * L_A**2
+    L_K = math.sqrt(8.0)
+    tau = (1 / L_K**2) * (-beta / 4 + math.sqrt(beta**2 / 16 + L_K**2))
+    return tau, tau, 0.9
+
+
+# --------------------------- TPU path ---------------------------------------
+
+
+def bench_tpu(h, y):
+    import jax
+    import jax.numpy as jnp
+
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.opt import PDS
+
+    log(f"devices: {jax.devices()}")
+    A = Convolve2D(SHAPE, h)
+    yj = jnp.asarray(y)
+    F = SquaredL2Loss(SHAPE, data=yj) * A
+    K = Gradient(SHAPE)
+    Hfun = LAM * L21Norm((2,) + SHAPE, axis=0)
+    solver = PDS(SHAPE, F=F, G=NonNegativeOrthant(SHAPE), H=Hfun, K=K, max_iter=1000)
+    log(f"tau=sigma={solver.tau:.4f} rho={solver.rho} beta={solver.beta:.4f}")
+
+    t0 = time.perf_counter()
+    state = solver.run_fixed(TPU_ITERS)
+    jax.block_until_ready(state["x"])
+    log(f"compile+first chunk: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(TPU_REPS):
+        t0 = time.perf_counter()
+        state = solver.run_fixed(TPU_ITERS, state=state)
+        jax.block_until_ready(state["x"])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    ips = TPU_ITERS / best
+    log(f"TPU: {TPU_ITERS} iters in {best:.3f}s -> {ips:.2f} iters/s (times: {times})")
+    return ips, state
+
+
+# --------------------------- numpy baseline ---------------------------------
+
+
+def bench_numpy(h, y):
+    """Reference compute path: scipy FFT convolution + numpy ufuncs,
+    replicating the identical PDS update (proxalgs.py:343-355)."""
+    from scipy.signal import fftconvolve
+
+    tau, sigma, rho = pds_params(h)
+    hf = h[::-1, ::-1]
+
+    def grad2d(x):
+        g = np.zeros((2,) + x.shape, x.dtype)
+        g[0, :-1] = x[1:] - x[:-1]
+        g[1, :, :-1] = x[:, 1:] - x[:, :-1]
+        return g
+
+    def div_adj(z):
+        # exact adjoint of grad2d: (D^T y)_j = y_{j-1} - y_j, edge y := 0
+        out = np.zeros(z.shape[1:], z.dtype)
+        y0 = z[0].copy()
+        y0[-1] = 0
+        out[1:] += y0[:-1]
+        out -= y0
+        y1 = z[1].copy()
+        y1[:, -1] = 0
+        out[:, 1:] += y1[:, :-1]
+        out -= y1
+        return out
+
+    x = np.zeros(SHAPE, np.float32)
+    z = np.zeros((2,) + SHAPE, np.float32)
+    t0 = time.perf_counter()
+    for _ in range(NUMPY_ITERS):
+        r = fftconvolve(x, h, mode="same").astype(np.float32) - y
+        grad = 2 * fftconvolve(r, hf, mode="same").astype(np.float32)
+        x_temp = np.maximum(x - tau * grad - tau * div_adj(z), 0.0)
+        v = z + sigma * grad2d(2 * x_temp - x)
+        mag = np.sqrt(v[0] ** 2 + v[1] ** 2)[None]
+        z_temp = v * (LAM / np.maximum(mag, LAM))
+        x = rho * x_temp + (1 - rho) * x
+        z = rho * z_temp + (1 - rho) * z
+    elapsed = time.perf_counter() - t0
+    ips = NUMPY_ITERS / elapsed
+    log(f"numpy baseline: {NUMPY_ITERS} iters in {elapsed:.2f}s -> {ips:.3f} iters/s")
+    return ips
+
+
+def main():
+    rng = np.random.default_rng(0)
+    log("building 4096^2 TV deconvolution problem ...")
+    h, y = make_problem(rng)
+
+    tpu_ips, _ = bench_tpu(h, y)
+    np_ips = bench_numpy(h, y)
+
+    print(
+        json.dumps(
+            {
+                "metric": "TV deconvolution 4096^2 PDS iterations/s (1 chip)",
+                "value": round(tpu_ips, 3),
+                "unit": "iters/s",
+                "vs_baseline": round(tpu_ips / np_ips, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,12 +36,35 @@ __all__ = [
 ]
 
 
+def next_fast_len(n: int) -> int:
+    """Smallest 5-smooth integer >= n (fast FFT size).  Padding a linear
+    convolution beyond n+m-1 is free: the extra tail only wraps zeros."""
+    if n <= 2:
+        return n
+    best = 1 << (n - 1).bit_length()  # next power of two is always valid
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            # round p35 up to >= n with powers of 2
+            k = p35
+            while k < n:
+                k *= 2
+            best = min(best, k)
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
 def _fft_lipschitz(filt: np.ndarray, padded_shape: Tuple[int, ...]) -> float:
     """||conv||_2 <= max |DFT(h)| over the zero-padded (full linear conv)
     grid; slicing to 'same' size only shrinks the norm."""
     h = np.asarray(filt, dtype=np.float64)
-    H = np.fft.fftn(h, s=padded_shape, axes=tuple(range(len(padded_shape))))
-    return float(np.max(np.abs(H)))
+    # 2x oversampled frequency grid: a tighter approximation of the
+    # continuous max |H(w)| that upper-bounds the linear-conv spectrum
+    dense = tuple(2 * next_fast_len(s) for s in padded_shape)
+    H = np.fft.fftn(h, s=dense, axes=tuple(range(len(dense))))
+    return float(np.max(np.abs(H))) * (1.0 + 1e-6)
 
 
 class Convolve1D(LinearOperator):
@@ -53,6 +76,7 @@ class Convolve1D(LinearOperator):
     """
 
     filt: jax.Array = None
+    h_hat: jax.Array = None
     method: str = static_field(default="fft")
 
     def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32):
@@ -68,6 +92,9 @@ class Convolve1D(LinearOperator):
         lip = _fft_lipschitz(np.asarray(filt), (n + m - 1,))
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         self.filt = filt
+        # precompute the transfer function once; recomputing the zero-padded
+        # filter FFT per apply would cost a full-size FFT per matvec
+        self.h_hat = jnp.fft.rfft(filt, n=next_fast_len(n + m - 1)) if method == "fft" else None
         self.method = method
 
     def apply(self, x):
@@ -75,10 +102,9 @@ class Convolve1D(LinearOperator):
         m = self.filt.shape[0]
         ofs = m // 2
         if self.method == "fft":
-            n_fft = n + m - 1
+            n_fft = next_fast_len(n + m - 1)
             X = jnp.fft.rfft(x, n=n_fft)
-            H = jnp.fft.rfft(self.filt, n=n_fft)
-            full = jnp.fft.irfft(X * H, n=n_fft)
+            full = jnp.fft.irfft(X * self.h_hat, n=n_fft)
             return full[ofs : ofs + n].astype(x.dtype)
         # direct path: lax 1-D convolution on the VPU
         lhs = x[None, None, :]
@@ -94,6 +120,7 @@ class Convolve2D(LinearOperator):
     (reference linop/conv.py:167-295)."""
 
     filt: jax.Array = None
+    h_hat: jax.Array = None
     method: str = static_field(default="fft")
 
     def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32):
@@ -111,16 +138,17 @@ class Convolve2D(LinearOperator):
         lip = _fft_lipschitz(np.asarray(filt), padded)
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         self.filt = filt
+        s = tuple(next_fast_len(n + k - 1) for n, k in zip(dim_shape, filt.shape))
+        self.h_hat = jnp.fft.rfft2(filt, s=s) if method == "fft" else None
         self.method = method
 
     def apply(self, x):
         (n0, n1), (m0, m1) = self.dim_shape, self.filt.shape
         o0, o1 = m0 // 2, m1 // 2
         if self.method == "fft":
-            s = (n0 + m0 - 1, n1 + m1 - 1)
+            s = (next_fast_len(n0 + m0 - 1), next_fast_len(n1 + m1 - 1))
             X = jnp.fft.rfft2(x, s=s)
-            H = jnp.fft.rfft2(self.filt, s=s)
-            full = jnp.fft.irfft2(X * H, s=s)
+            full = jnp.fft.irfft2(X * self.h_hat, s=s)
             return full[o0 : o0 + n0, o1 : o1 + n1].astype(x.dtype)
         lhs = x[None, None, :, :]
         rhs = self.filt[::-1, ::-1][None, None, :, :]
@@ -139,6 +167,7 @@ class ConvolveND(LinearOperator):
     benchmark config)."""
 
     filt: jax.Array = None
+    h_hat: jax.Array = None
 
     def __init__(self, dim_shape, filt, dtype=np.float32):
         dim_shape = as_shape(dim_shape)
@@ -149,13 +178,14 @@ class ConvolveND(LinearOperator):
         lip = _fft_lipschitz(np.asarray(filt), padded)
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         self.filt = filt
+        s = tuple(next_fast_len(n + k - 1) for n, k in zip(dim_shape, filt.shape))
+        self.h_hat = jnp.fft.rfftn(filt, s=s, axes=tuple(range(len(s))))
 
     def apply(self, x):
-        s = tuple(n + k - 1 for n, k in zip(self.dim_shape, self.filt.shape))
+        s = tuple(next_fast_len(n + k - 1) for n, k in zip(self.dim_shape, self.filt.shape))
         axes = tuple(range(len(s)))
         X = jnp.fft.rfftn(x, s=s, axes=axes)
-        H = jnp.fft.rfftn(self.filt, s=s, axes=axes)
-        full = jnp.fft.irfftn(X * H, s=s, axes=axes)
+        full = jnp.fft.irfftn(X * self.h_hat, s=s, axes=axes)
         sl = tuple(slice(k // 2, k // 2 + n) for n, k in zip(self.dim_shape, self.filt.shape))
         return full[sl].astype(x.dtype)
 

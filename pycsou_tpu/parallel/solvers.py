@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from pycsou_tpu.parallel.mesh import make_mesh
 from pycsou_tpu.parallel.spatial import (
+    conv_transfer,
     sharded_conv2d,
     sharded_conv2d_adjoint,
     sharded_grad2d,
@@ -81,6 +82,13 @@ class DistributedTVDeconv2D:
         self.tau = self.sigma = float(tau)
         self.beta = beta
 
+        # precomputed transfer functions for the halo-extended local blocks
+        h_local = H // n_dev
+        m0 = self.filt.shape[0]
+        ext_shape = (h_local + m0 - 1, W)
+        self._h_hat_fwd = conv_transfer(self.filt, ext_shape)
+        self._h_hat_adj = conv_transfer(jnp.flip(self.filt, (0, 1)), ext_shape)
+
         spec_x = NamedSharding(self.mesh, PartitionSpec(self.axis_name, None))
         spec_z = NamedSharding(self.mesh, PartitionSpec(None, self.axis_name, None))
         self.y = jax.device_put(jnp.asarray(y, dtype), spec_x)
@@ -96,8 +104,8 @@ class DistributedTVDeconv2D:
         filt = self.filt
 
         # grad F = 2 A^H (A x - y)
-        r = sharded_conv2d(x, filt, ax) - y_loc
-        grad = 2.0 * sharded_conv2d_adjoint(r, filt, ax)
+        r = sharded_conv2d(x, filt, ax, h_hat=self._h_hat_fwd) - y_loc
+        grad = 2.0 * sharded_conv2d_adjoint(r, filt, ax, h_hat=self._h_hat_adj)
 
         # x+ = prox_G(x - tau grad - tau K^H z)
         x_temp = x - tau * grad - tau * sharded_grad2d_adjoint(z, ax)

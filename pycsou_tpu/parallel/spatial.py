@@ -106,19 +106,32 @@ def sharded_grad2d_adjoint(g: jax.Array, axis_name: str, step: float = 1.0) -> j
     return sharded_fdiff_rows_adjoint(g[0], axis_name, step) + fdiff_forward_adjoint(g[1], 1, step)
 
 
-def _local_conv_same(x: jax.Array, filt: jax.Array, o0: int, o1: int) -> jax.Array:
+def conv_transfer(filt: jax.Array, ext_shape: Tuple[int, int]) -> jax.Array:
+    """Precompute the rFFT transfer function of ``filt`` for a halo-extended
+    local block of ``ext_shape`` (avoids one full-size FFT per matvec)."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
+    n0, n1 = ext_shape
+    m0, m1 = filt.shape
+    s = (next_fast_len(n0 + m0 - 1), next_fast_len(n1 + m1 - 1))
+    return jnp.fft.rfft2(filt, s=s)
+
+
+def _local_conv_same(x: jax.Array, filt: jax.Array, o0: int, o1: int, h_hat=None) -> jax.Array:
     """'same'-size zero-boundary 2-D convolution with explicit centre offsets
     (FFT path; x is the halo-extended local block)."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
     n0, n1 = x.shape
     m0, m1 = filt.shape
-    s = (n0 + m0 - 1, n1 + m1 - 1)
+    s = (next_fast_len(n0 + m0 - 1), next_fast_len(n1 + m1 - 1))
     X = jnp.fft.rfft2(x, s=s)
-    H = jnp.fft.rfft2(filt, s=s)
+    H = jnp.fft.rfft2(filt, s=s) if h_hat is None else h_hat
     full = jnp.fft.irfft2(X * H, s=s)
     return full[o0 : o0 + n0, o1 : o1 + n1].astype(x.dtype)
 
 
-def _os_conv(block: jax.Array, filt: jax.Array, o0: int, o1: int, axis_name: str) -> jax.Array:
+def _os_conv(block: jax.Array, filt: jax.Array, o0: int, o1: int, axis_name: str, h_hat=None) -> jax.Array:
     """Overlap-save: exchange halo rows, convolve the extended block, crop."""
     m0 = filt.shape[0]
     halo_lo = m0 - 1 - o0  # rows needed from the previous block
@@ -130,22 +143,24 @@ def _os_conv(block: jax.Array, filt: jax.Array, o0: int, o1: int, axis_name: str
     if halo_hi:
         parts.append(halo_from_next(block, halo_hi, axis_name))
     ext = jnp.concatenate(parts, axis=0) if len(parts) > 1 else block
-    y = _local_conv_same(ext, filt, o0, o1)
+    y = _local_conv_same(ext, filt, o0, o1, h_hat=h_hat)
     return y[halo_lo : halo_lo + block.shape[0]]
 
 
-def sharded_conv2d(block: jax.Array, filt: jax.Array, axis_name: str) -> jax.Array:
+def sharded_conv2d(block: jax.Array, filt: jax.Array, axis_name: str, h_hat=None) -> jax.Array:
     """Row-sharded 'same' 2-D convolution, globally equal to
-    ``ops.conv.Convolve2D`` (centre offset m//2, zero boundary)."""
+    ``ops.conv.Convolve2D`` (centre offset m//2, zero boundary).  Pass
+    ``h_hat = conv_transfer(filt, ext_shape)`` to amortise the filter FFT."""
     m0, m1 = filt.shape
-    return _os_conv(block, filt, m0 // 2, m1 // 2, axis_name)
+    return _os_conv(block, filt, m0 // 2, m1 // 2, axis_name, h_hat=h_hat)
 
 
-def sharded_conv2d_adjoint(block: jax.Array, filt: jax.Array, axis_name: str) -> jax.Array:
+def sharded_conv2d_adjoint(block: jax.Array, filt: jax.Array, axis_name: str, h_hat=None) -> jax.Array:
     """Adjoint = correlation: convolution with the flipped kernel at the
-    complementary offset."""
+    complementary offset.  ``h_hat`` must be the transfer of the FLIPPED
+    kernel when provided."""
     m0, m1 = filt.shape
-    return _os_conv(block, jnp.flip(filt, (0, 1)), m0 - 1 - m0 // 2, m1 - 1 - m1 // 2, axis_name)
+    return _os_conv(block, jnp.flip(filt, (0, 1)), m0 - 1 - m0 // 2, m1 - 1 - m1 // 2, axis_name, h_hat=h_hat)
 
 
 def pdot(a: jax.Array, b: jax.Array, axis_name: str) -> jax.Array:
