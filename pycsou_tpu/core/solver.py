@@ -111,10 +111,22 @@ class IterativeSolver(Module):
         state.setdefault("history", jnp.full((self.max_iter,), jnp.nan, dtype=jnp.float32))
         return state
 
-    def solve(self) -> SolveInfo:
-        """Run to convergence with chunked host synchronisation."""
+    def solve(self, checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1) -> SolveInfo:
+        """Run to convergence with chunked host synchronisation.
+
+        With ``checkpoint_dir``, the full state pytree is persisted every
+        ``checkpoint_every`` chunks and automatically resumed from the latest
+        checkpoint on restart (Orbax; see utils/checkpoint.py).
+        """
         state = self._wrap_state(self.initial_state())
+        if checkpoint_dir is not None:
+            from pycsou_tpu.utils.checkpoint import latest_checkpoint, load_state
+
+            latest = latest_checkpoint(checkpoint_dir)
+            if latest is not None:
+                state = load_state(latest, template=state)
         chunk = self.verbose if self.verbose else 100
+        n_chunks = 0
         t0 = time.perf_counter()
         while True:
             it = int(state["it"])
@@ -122,9 +134,16 @@ class IterativeSolver(Module):
             state = _run_chunk(self, state, jnp.asarray(it_stop, dtype=jnp.int32))
             it = int(state["it"])  # single host sync per chunk
             m = float(state["metric"])
+            n_chunks += 1
             if self.verbose:
                 print(f"iter {it:6d}   relative improvement {m:.4e}")
             converged = (m <= self.tol) and (it >= self.min_iter)
+            if checkpoint_dir is not None and (
+                n_chunks % checkpoint_every == 0 or converged or it >= self.max_iter
+            ):
+                from pycsou_tpu.utils.checkpoint import save_state
+
+                save_state(f"{checkpoint_dir}/step_{it}", state)
             if converged or it >= self.max_iter:
                 break
         elapsed = time.perf_counter() - t0

@@ -283,3 +283,60 @@ def MapStack(maps: Sequence[Map], axis: int):
     if axis == 1:
         return MapHStack(maps)
     raise ValueError("axis must be 0 or 1")
+
+
+class DiffMapVStack(MapVStack, DifferentiableMap):
+    """Vertical stack of differentiable maps (reference ``DiffMapStack``
+    axis=0, map.py:828-1001): diff-Lipschitz bound sqrt(sum beta_i^2)
+    (map.py:928-933); ``jacobianT`` stacks per-map transposed Jacobians into
+    a horizontal operator stack (map.py:938-957)."""
+
+    def __init__(self, maps: Sequence[DifferentiableMap]):
+        MapVStack.__init__(self, maps)
+        self._diff_lipschitz = math.sqrt(sum(m.diff_lipschitz**2 for m in self.maps))
+
+    def jacobianT(self, x):
+        x = jnp.asarray(x)
+        # J^T of a v-stack is the h-stack of the J_i^T (fan-in by summation)
+        return LinOpHStack([_as_linop(m.jacobianT(x), m) for m in self.maps])
+
+
+class DiffMapHStack(MapHStack, DifferentiableMap):
+    """Horizontal stack of differentiable maps (reference ``DiffMapStack``
+    axis=1): diff-Lipschitz bound max beta_i (map.py:928-933); ``jacobianT``
+    stacks the per-block J_i^T vertically."""
+
+    def __init__(self, maps: Sequence[DifferentiableMap]):
+        MapHStack.__init__(self, maps)
+        self._diff_lipschitz = max(m.diff_lipschitz for m in self.maps)
+
+    def jacobianT(self, x):
+        x = jnp.asarray(x)
+        if self.uniform:
+            blocks = [x[i] for i in range(len(self.maps))]
+        else:
+            blocks, start = [], 0
+            for m in self.maps:
+                blocks.append(x[start : start + m.dim].reshape(m.dim_shape))
+                start += m.dim
+        return LinOpVStack([_as_linop(m.jacobianT(b), m) for m, b in zip(self.maps, blocks)])
+
+
+def _as_linop(jac, m: Map):
+    """Lift a functional's gradient *array* g to the operator
+    ``alpha -> alpha * g`` (scalar domain), so Jacobian stacks stay
+    operator-valued (the reference returns raw arrays for functionals)."""
+    if isinstance(jac, LinearOperator):
+        return jac
+    from pycsou_tpu.func.base import ExplicitLinearFunctional
+
+    return ExplicitLinearFunctional(jnp.asarray(jac)).H
+
+
+def DiffMapStack(maps: Sequence[DifferentiableMap], axis: int):
+    """Reference-compatible dispatcher (map.py:828)."""
+    if axis == 0:
+        return DiffMapVStack(maps)
+    if axis == 1:
+        return DiffMapHStack(maps)
+    raise ValueError("axis must be 0 or 1")

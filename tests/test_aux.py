@@ -1,0 +1,89 @@
+"""Auxiliary subsystem tests: checkpoint/resume, stacks with Jacobians,
+misc utilities."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    from pycsou_tpu.utils.checkpoint import latest_checkpoint, load_state, save_state
+
+    state = {
+        "x": jnp.asarray(rng.standard_normal(8), dtype=jnp.float32),
+        "it": jnp.asarray(42, jnp.int32),
+        "nested": {"t": jnp.asarray(1.5, jnp.float32)},
+    }
+    path = os.path.join(str(tmp_path), "ckpt", "step_42")
+    save_state(path, state)
+    restored = load_state(path, template=state)
+    np.testing.assert_allclose(restored["x"], state["x"], rtol=1e-6)
+    assert int(restored["it"]) == 42
+    assert latest_checkpoint(os.path.join(str(tmp_path), "ckpt")).endswith("step_42")
+
+
+def test_solver_checkpoint_resume(rng, tmp_path):
+    """A solve interrupted mid-way resumes from the persisted state and
+    reaches the same solution."""
+    from pycsou_tpu.func import L1Norm, SquaredL2Loss
+    from pycsou_tpu.ops.basic import DenseOperator
+    from pycsou_tpu.opt import APGD
+
+    A = DenseOperator(jnp.asarray(rng.standard_normal((20, 12)) / 4, dtype=jnp.float32))
+    A.compute_lipschitz_cst()
+    y = A(jnp.asarray(rng.standard_normal(12), dtype=jnp.float32))
+    F = SquaredL2Loss((20,), data=y) * A
+    G = 0.1 * L1Norm((12,))
+
+    ckpt = str(tmp_path / "run")
+    # phase 1: budget only 50 iterations, checkpoint
+    s1 = APGD((12,), F=F, G=G, max_iter=50, min_iter=50, verbose=25)
+    info1 = s1.solve(checkpoint_dir=ckpt)
+    assert info1.n_iter == 50
+    # phase 2: same problem, higher budget -> resumes at 50
+    s2 = APGD((12,), F=F, G=G, max_iter=600, accuracy_threshold=1e-9, min_iter=60, verbose=50)
+    info2 = s2.solve(checkpoint_dir=ckpt)
+    assert info2.n_iter > 50
+    # matches an uninterrupted solve
+    ref = APGD((12,), F=F, G=G, max_iter=600, accuracy_threshold=1e-9, min_iter=60).solve()
+    np.testing.assert_allclose(np.asarray(info2["x_temp"]), np.asarray(ref["x_temp"]), atol=1e-5)
+
+
+def test_diffmap_stacks(rng, dot_test):
+    from pycsou_tpu.func.penalty import SquaredL2Norm
+    from pycsou_tpu.ops.stack import DiffMapStack
+
+    f1 = SquaredL2Norm((6,))
+    f2 = SquaredL2Norm((6,))
+    v = DiffMapStack([f1, f2], axis=0)
+    x = jnp.asarray(rng.standard_normal(6), dtype=jnp.float32)
+    np.testing.assert_allclose(v(x), jnp.stack([f1(x), f2(x)]), rtol=1e-5)
+    assert np.isclose(v.diff_lipschitz, np.sqrt(8))
+    J = v.jacobianT(x)
+    # J^T [1, 0] = grad f1
+    np.testing.assert_allclose(J(jnp.asarray([1.0, 0.0])), 2 * x, rtol=1e-5)
+    dot_test(J)
+
+    h = DiffMapStack([f1, f2], axis=1)
+    x2 = jnp.asarray(rng.standard_normal((2, 6)), dtype=jnp.float32)
+    np.testing.assert_allclose(h(x2), f1(x2[0]) + f2(x2[1]), rtol=1e-5)
+    assert h.diff_lipschitz == 2.0
+
+
+def test_peaks():
+    from pycsou_tpu.utils.misc import peaks
+
+    v = peaks(jnp.asarray(0.0), jnp.asarray(0.0))
+    expected = 3 * np.exp(-1) - 1 / 3 * np.exp(-1)
+    np.testing.assert_allclose(float(v), expected, rtol=1e-5)
+
+
+def test_profiling_device_time(rng):
+    from pycsou_tpu.utils.profiling import device_time
+
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones(128)
+    t = device_time(f, x, reps=3)
+    assert t >= 0
