@@ -55,11 +55,35 @@ def compose(m1: Map, m2: Map) -> Map:
             return ProxFuncPreComp(m1, scale=m2.constant, shift=0.0)
         if isinstance(m2, UnitaryMixin):
             return ProxFuncPreCompUnitOp(m1, m2)
+    if isinstance(m2, LinearOperator):
+        data = _squared_l2_data(m1)
+        if data is not None:
+            # ||. - y||^2 o A -> fused least-squares node whose gradient goes
+            # through A's (possibly FFT-fused) Gram: 2(A^H A x - A^H y)
+            from pycsou_tpu.func.loss import LeastSquaresLoss
+
+            return LeastSquaresLoss(m2, data=data)
     if isinstance(m1, LinearOperator) and isinstance(m2, LinearOperator):
         return LinOpComp(m1, m2)
     if isinstance(m1, DifferentiableMap) and isinstance(m2, DifferentiableMap):
         return DiffMapComp(m1, m2)
     return MapComp(m1, m2)
+
+
+def _squared_l2_data(m: Map):
+    """Return y if ``m`` is ``||. - y||^2`` (a SquaredL2Norm, possibly
+    data-shifted with unit scale), else None."""
+    import jax.numpy as jnp
+
+    from pycsou_tpu.func.penalty import SquaredL2Norm
+
+    if isinstance(m, SquaredL2Norm):
+        return jnp.zeros(m.dim_shape, jnp.float32)
+    if isinstance(m, ProxFuncPreComp) and isinstance(m.func, SquaredL2Norm):
+        scale = np.asarray(m.scale)
+        if scale.ndim == 0 and scale == 1.0:
+            return -m.shift
+    return None
 
 
 def scale_input(m: Map, alpha) -> Map:

@@ -43,6 +43,7 @@ __all__ = [
     "LInftyBallLoss",
     "ConsistencyLoss",
     "KLDivergence",
+    "LeastSquaresLoss",
 ]
 
 
@@ -106,6 +107,44 @@ def ConsistencyLoss(dim_shape, data) -> IndicatorFunctional:
         condition_fn=lambda x: jnp.all(x == data),
         projection_fn=lambda x: jnp.broadcast_to(data, jnp.asarray(x).shape).astype(jnp.asarray(x).dtype),
     )
+
+
+class LeastSquaresLoss(DifferentiableFunctional):
+    """``F(x) = ||A x - y||^2`` with the gradient computed through the
+    operator's (possibly fused) Gram: ``grad = 2 (A^H A x - A^H y)`` with
+    ``A^H y`` precomputed.
+
+    For FFT-convolution operators the fused Gram needs ONE large FFT
+    roundtrip per gradient instead of the forward+adjoint pair the generic
+    chain rule costs (see ops/_gram.py) — built automatically when composing
+    ``SquaredL2Loss * A`` (core/arith.py).
+    """
+
+    op: "LinearOperator" = None
+    data: jax.Array = None
+    _gram: "LinearOperator" = None
+    _atb: jax.Array = None
+
+    def __init__(self, op, data):
+        from pycsou_tpu.core.functional import DifferentiableFunctional as _DF
+
+        data = jnp.asarray(data)
+        _DF.__init__(self, op.dim_shape, lipschitz=float("inf"), diff_lipschitz=2.0 * op.lipschitz**2)
+        self.op = op
+        self.data = data
+        self._gram = op.gram
+        self._atb = op.adjoint(data)
+
+    def apply(self, x):
+        r = self.op.apply(x) - self.data
+        return jnp.real(jnp.vdot(r, r))
+
+    def jacobianT(self, x):
+        return 2.0 * (self._gram.apply(jnp.asarray(x)) - self._atb)
+
+    @property
+    def diff_lipschitz(self):
+        return 2.0 * self.op.lipschitz**2
 
 
 class KLDivergence(ProximableFunctional):

@@ -1,0 +1,110 @@
+"""Fused exact Gram operator for 'same'-mode 2-D convolution.
+
+For ``A = S o conv_full(h) o P`` ('same' linear convolution, zero boundary),
+the normal-operator matvec is
+
+    A^H A x = irfft(|H|^2 rfft(x))[:n]  -  A_full^T((I - S^T S) A_full x)
+
+where the first term (the Gram of the FULL convolution, exact for FFT size
+L >= n + 2m - 2) costs ONE rfft/irfft roundtrip, and the correction involves
+only thin boundary strips of width ~kernel size, computed by small direct
+convolutions.  A gradient-descent / PDS iteration then needs 2 large FFTs
+instead of 4 (forward + adjoint).  Exactness is asserted against
+``adjoint(apply(x))`` in tests/test_gram.py.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["conv_full_direct", "conv2d_gram_apply", "make_conv2d_gram"]
+
+
+def conv_full_direct(a: jax.Array, h: jax.Array) -> jax.Array:
+    """Small direct 'full'-mode 2-D convolution via lax.conv (for thin
+    boundary strips; do NOT use on large arrays)."""
+    m0, m1 = h.shape
+    lhs = a[None, None]
+    rhs = h[::-1, ::-1][None, None]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding=[(m0 - 1, m0 - 1), (m1 - 1, m1 - 1)]
+    )
+    return out[0, 0]
+
+
+def _corr_into(out, strip, h, row_off: int, col_off: int):
+    """Add ``A_full^T`` of a strip located at full-grid offset (row_off,
+    col_off) into ``out`` (the n-sized result).  Correlation = convolution
+    with the flipped kernel, shifted by m-1."""
+    m0, m1 = h.shape
+    n0, n1 = out.shape
+    c = conv_full_direct(strip, h[::-1, ::-1])
+    # c index q corresponds to output index j = q + off - (m - 1)
+    j0_lo = row_off - (m0 - 1)
+    j1_lo = col_off - (m1 - 1)
+    q0_lo = max(0, -j0_lo)
+    q1_lo = max(0, -j1_lo)
+    j0_start = max(0, j0_lo)
+    j1_start = max(0, j1_lo)
+    q0_hi = min(c.shape[0], n0 - j0_lo)
+    q1_hi = min(c.shape[1], n1 - j1_lo)
+    if q0_hi <= q0_lo or q1_hi <= q1_lo:
+        return out
+    block = c[q0_lo:q0_hi, q1_lo:q1_hi]
+    return out.at[
+        j0_start : j0_start + (q0_hi - q0_lo), j1_start : j1_start + (q1_hi - q1_lo)
+    ].add(-block)
+
+
+def conv2d_gram_apply(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, L: Tuple[int, int]) -> jax.Array:
+    """Exact ``A^H A x`` for 'same' 2-D convolution (centre offset m//2).
+
+    ``h2_hat = |rfft2(filt, L)|^2`` must be precomputed with
+    ``L >= n + 2m - 2`` per axis.
+    """
+    n0, n1 = x.shape
+    m0, m1 = filt.shape
+    o0, o1 = m0 // 2, m1 // 2
+    b0, b1 = m0 - 1 - o0, m1 - 1 - o1
+
+    # main term: Gram of the full (uncropped) convolution
+    X = jnp.fft.rfft2(x, s=L)
+    g = jnp.fft.irfft2(X * h2_hat, s=L)[:n0, :n1].astype(x.dtype)
+
+    h = filt
+    # --- boundary corrections: subtract A_full^T(frame * A_full x) --------
+    if o0 > 0:
+        top = conv_full_direct(x[:o0], h)[:o0]  # full rows [0, o0)
+        g = _corr_into(g, top, h, row_off=0, col_off=0)
+    if b0 > 0:
+        xs = x[n0 - (m0 - 1) :]
+        cb = conv_full_direct(xs, h)
+        # local row r <-> global full row (n0 - m0 + 1) + r; want [o0+n0, n0+m0-1)
+        r_lo = o0 + m0 - 1
+        bot = cb[r_lo : r_lo + b0]
+        g = _corr_into(g, bot, h, row_off=o0 + n0, col_off=0)
+    if o1 > 0:
+        ml = conv_full_direct(x[:, :o1], h)[o0 : o0 + n0, :o1]  # middle rows, left cols
+        g = _corr_into(g, ml, h, row_off=o0, col_off=0)
+    if b1 > 0:
+        xs = x[:, n1 - (m1 - 1) :]
+        cr = conv_full_direct(xs, h)
+        c_lo = o1 + m1 - 1
+        mr = cr[o0 : o0 + n0, c_lo : c_lo + b1]
+        g = _corr_into(g, mr, h, row_off=o0, col_off=o1 + n1)
+    return g
+
+
+def make_conv2d_gram(dim_shape: Tuple[int, int], filt_np: np.ndarray):
+    """Precompute (h2_hat, L) for ``conv2d_gram_apply``."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
+    n0, n1 = dim_shape
+    m0, m1 = filt_np.shape
+    L = (next_fast_len(n0 + 2 * m0 - 2), next_fast_len(n1 + 2 * m1 - 2))
+    H = jnp.fft.rfft2(jnp.asarray(filt_np), s=L)
+    h2_hat = (H * jnp.conj(H)).real
+    return h2_hat, L

@@ -76,7 +76,8 @@ class Convolve1D(LinearOperator):
     """
 
     filt: jax.Array = None
-    h_hat: jax.Array = None
+    h_hat_re: jax.Array = None
+    h_hat_im: jax.Array = None
     method: str = static_field(default="fft")
 
     def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32):
@@ -93,9 +94,17 @@ class Convolve1D(LinearOperator):
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         self.filt = filt
         # precompute the transfer function once; recomputing the zero-padded
-        # filter FFT per apply would cost a full-size FFT per matvec
-        self.h_hat = jnp.fft.rfft(filt, n=next_fast_len(n + m - 1)) if method == "fft" else None
+        # filter FFT per apply would cost a full-size FFT per matvec.
+        # Stored as re/im pairs: some TPU runtimes cannot transfer complex
+        # constants host-side, and split-real keeps closure-jit usable.
+        hh = jnp.fft.rfft(filt, n=next_fast_len(n + m - 1)) if method == "fft" else None
+        self.h_hat_re = jnp.real(hh) if hh is not None else None
+        self.h_hat_im = jnp.imag(hh) if hh is not None else None
         self.method = method
+
+    @property
+    def h_hat(self):
+        return jax.lax.complex(self.h_hat_re, self.h_hat_im)
 
     def apply(self, x):
         n = self.dim_shape[0]
@@ -120,7 +129,8 @@ class Convolve2D(LinearOperator):
     (reference linop/conv.py:167-295)."""
 
     filt: jax.Array = None
-    h_hat: jax.Array = None
+    h_hat_re: jax.Array = None
+    h_hat_im: jax.Array = None
     method: str = static_field(default="fft")
 
     def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32):
@@ -139,8 +149,14 @@ class Convolve2D(LinearOperator):
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         self.filt = filt
         s = tuple(next_fast_len(n + k - 1) for n, k in zip(dim_shape, filt.shape))
-        self.h_hat = jnp.fft.rfft2(filt, s=s) if method == "fft" else None
+        hh = jnp.fft.rfft2(filt, s=s) if method == "fft" else None
+        self.h_hat_re = jnp.real(hh) if hh is not None else None
+        self.h_hat_im = jnp.imag(hh) if hh is not None else None
         self.method = method
+
+    @property
+    def h_hat(self):
+        return jax.lax.complex(self.h_hat_re, self.h_hat_im)
 
     def apply(self, x):
         (n0, n1), (m0, m1) = self.dim_shape, self.filt.shape
@@ -160,6 +176,35 @@ class Convolve2D(LinearOperator):
         )
         return out[0, 0]
 
+    @property
+    def gram(self):
+        """Fused exact A^H A: one FFT roundtrip + thin boundary corrections
+        (see ops/_gram.py) instead of forward+adjoint (2 roundtrips)."""
+        return ConvGram2D(self)
+
+
+class ConvGram2D(LinearOperator):
+    """Exact Gram of a 'same' 2-D convolution (self-adjoint PSD)."""
+
+    filt: jax.Array = None
+    h2_hat: jax.Array = None
+    L: Tuple[int, int] = static_field(default=None)
+
+    def __init__(self, conv: "Convolve2D"):
+        from pycsou_tpu.ops._gram import make_conv2d_gram
+
+        super().__init__(conv.dim_shape, conv.dim_shape, lipschitz=conv.lipschitz**2, dtype=conv.dtype)
+        self.filt = conv.filt
+        self.h2_hat, self.L = make_conv2d_gram(conv.dim_shape, np.asarray(conv.filt))
+
+    def apply(self, x):
+        from pycsou_tpu.ops._gram import conv2d_gram_apply
+
+        return conv2d_gram_apply(x, self.filt, self.h2_hat, self.L)
+
+    def adjoint(self, y):
+        return self.apply(jnp.asarray(y))
+
 
 class ConvolveND(LinearOperator):
     """n-dimensional FFT convolution with 'same' centering (extends the
@@ -167,7 +212,8 @@ class ConvolveND(LinearOperator):
     benchmark config)."""
 
     filt: jax.Array = None
-    h_hat: jax.Array = None
+    h_hat_re: jax.Array = None
+    h_hat_im: jax.Array = None
 
     def __init__(self, dim_shape, filt, dtype=np.float32):
         dim_shape = as_shape(dim_shape)
@@ -179,7 +225,13 @@ class ConvolveND(LinearOperator):
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         self.filt = filt
         s = tuple(next_fast_len(n + k - 1) for n, k in zip(dim_shape, filt.shape))
-        self.h_hat = jnp.fft.rfftn(filt, s=s, axes=tuple(range(len(s))))
+        hh = jnp.fft.rfftn(filt, s=s, axes=tuple(range(len(s))))
+        self.h_hat_re = jnp.real(hh)
+        self.h_hat_im = jnp.imag(hh)
+
+    @property
+    def h_hat(self):
+        return jax.lax.complex(self.h_hat_re, self.h_hat_im)
 
     def apply(self, x):
         s = tuple(next_fast_len(n + k - 1) for n, k in zip(self.dim_shape, self.filt.shape))
@@ -196,7 +248,8 @@ class CircularConvolve(LinearOperator):
     the Fourier domain — the natural operator model for FFT-domain ADMM
     deconvolution."""
 
-    h_hat: jax.Array = None
+    h_hat_re: jax.Array = None
+    h_hat_im: jax.Array = None
 
     def __init__(self, dim_shape, filt=None, h_hat=None, dtype=np.float32):
         dim_shape = as_shape(dim_shape)
@@ -208,9 +261,15 @@ class CircularConvolve(LinearOperator):
             shifts = tuple(-(k // 2) for k in filt.shape)
             hfull = jnp.roll(hfull, shifts, axis=tuple(range(len(dim_shape))))
             h_hat = jnp.fft.rfftn(hfull, axes=tuple(range(len(dim_shape))))
+        h_hat = jnp.asarray(h_hat)
         lip = float(np.max(np.abs(np.asarray(h_hat))))
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
-        self.h_hat = h_hat
+        self.h_hat_re = jnp.real(h_hat)
+        self.h_hat_im = jnp.imag(h_hat)
+
+    @property
+    def h_hat(self):
+        return jax.lax.complex(self.h_hat_re, self.h_hat_im)
 
     def _axes(self):
         return tuple(range(len(self.dim_shape)))

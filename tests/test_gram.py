@@ -1,0 +1,54 @@
+"""Fused convolution Gram: exactness against adjoint(apply) for all kernel
+parities, and the LeastSquaresLoss fusion path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pycsou_tpu.ops.conv import Convolve2D
+
+
+@pytest.mark.parametrize("kshape", [(3, 3), (5, 5), (4, 4), (5, 4), (1, 3), (7, 2)])
+@pytest.mark.parametrize("shape", [(16, 16), (17, 13)])
+def test_conv2d_gram_exact(rng, kshape, shape):
+    h = jnp.asarray(rng.standard_normal(kshape), dtype=jnp.float32)
+    A = Convolve2D(shape, h, method="fft")
+    g = A.gram
+    x = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+    expected = A.adjoint(A(x))
+    np.testing.assert_allclose(np.asarray(g(x)), np.asarray(expected), rtol=1e-3, atol=1e-4)
+
+
+def test_least_squares_loss_fusion(rng):
+    from pycsou_tpu.func import SquaredL2Loss
+    from pycsou_tpu.func.loss import LeastSquaresLoss
+
+    shape = (16, 16)
+    h = jnp.asarray(rng.standard_normal((5, 5)) / 5, dtype=jnp.float32)
+    A = Convolve2D(shape, h)
+    y = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+    F = SquaredL2Loss(shape, data=y) * A
+    assert isinstance(F, LeastSquaresLoss)
+    x = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(F.gradient(x)), np.asarray(2 * A.adjoint(A(x) - y)), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(float(F(x)), float(jnp.sum((A(x) - y) ** 2)), rtol=1e-4)
+    assert np.isclose(F.diff_lipschitz, 2 * A.lipschitz**2)
+
+
+def test_least_squares_loss_dense(rng):
+    """Generic operators keep working through the same node."""
+    from pycsou_tpu.func import SquaredL2Loss
+    from pycsou_tpu.func.loss import LeastSquaresLoss
+    from pycsou_tpu.ops.basic import DenseOperator
+
+    A = DenseOperator(jnp.asarray(rng.standard_normal((9, 6)), dtype=jnp.float32))
+    A.compute_lipschitz_cst()
+    y = jnp.asarray(rng.standard_normal(9), dtype=jnp.float32)
+    F = SquaredL2Loss((9,), data=y) * A
+    assert isinstance(F, LeastSquaresLoss)
+    x = jnp.asarray(rng.standard_normal(6), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(F.gradient(x)), np.asarray(2 * A.adjoint(A(x) - y)), rtol=1e-4, atol=1e-5
+    )
