@@ -24,15 +24,21 @@ __all__ = ["conv_full_direct", "conv2d_gram_apply", "make_conv2d_gram"]
 
 
 def conv_full_direct(a: jax.Array, h: jax.Array) -> jax.Array:
-    """Small direct 'full'-mode 2-D convolution via lax.conv (for thin
-    boundary strips; do NOT use on large arrays)."""
+    """Small 'full'-mode 2-D convolution for thin boundary strips.
+
+    FFT-based: single-channel ``lax.conv`` is pathologically slow to compile
+    and run on some TPU backends, while small rFFTs ride the well-tuned FFT
+    path.  Strip arrays are thin, so these FFTs are tiny next to the main
+    Gram roundtrip."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
+    a0, a1 = a.shape
     m0, m1 = h.shape
-    lhs = a[None, None]
-    rhs = h[::-1, ::-1][None, None]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding=[(m0 - 1, m0 - 1), (m1 - 1, m1 - 1)]
-    )
-    return out[0, 0]
+    f0, f1 = a0 + m0 - 1, a1 + m1 - 1
+    s = (next_fast_len(f0), next_fast_len(f1))
+    A = jnp.fft.rfft2(a, s=s)
+    H = jnp.fft.rfft2(h, s=s)
+    return jnp.fft.irfft2(A * H, s=s)[:f0, :f1].astype(a.dtype)
 
 
 def _corr_into(out, strip, h, row_off: int, col_off: int):
