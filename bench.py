@@ -62,30 +62,13 @@ def pds_params(h):
 # --------------------------- TPU path ---------------------------------------
 
 
-def bench_tpu(h, y):
+def _time_solver(solver, label):
     import jax
-    import jax.numpy as jnp
-
-    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
-    from pycsou_tpu.func.penalty import L21Norm
-    from pycsou_tpu.ops.conv import Convolve2D
-    from pycsou_tpu.ops.diff import Gradient
-    from pycsou_tpu.opt import PDS
-
-    log(f"devices: {jax.devices()}")
-    A = Convolve2D(SHAPE, h)
-    yj = jnp.asarray(y)
-    F = SquaredL2Loss(SHAPE, data=yj) * A
-    K = Gradient(SHAPE)
-    Hfun = LAM * L21Norm((2,) + SHAPE, axis=0)
-    solver = PDS(SHAPE, F=F, G=NonNegativeOrthant(SHAPE), H=Hfun, K=K, max_iter=1000)
-    log(f"tau=sigma={solver.tau:.4f} rho={solver.rho} beta={solver.beta:.4f}")
 
     t0 = time.perf_counter()
     state = solver.run_fixed(TPU_ITERS)
     jax.block_until_ready(state["x"])
-    log(f"compile+first chunk: {time.perf_counter() - t0:.1f}s")
-
+    log(f"[{label}] compile+first chunk: {time.perf_counter() - t0:.1f}s")
     times = []
     for _ in range(TPU_REPS):
         t0 = time.perf_counter()
@@ -94,7 +77,40 @@ def bench_tpu(h, y):
         times.append(time.perf_counter() - t0)
     best = min(times)
     ips = TPU_ITERS / best
-    log(f"TPU: {TPU_ITERS} iters in {best:.3f}s -> {ips:.2f} iters/s (times: {times})")
+    log(f"[{label}] {TPU_ITERS} iters in {best:.3f}s -> {ips:.2f} iters/s")
+    return ips, state
+
+
+def bench_tpu(h, y):
+    import jax
+    import jax.numpy as jnp
+
+    from pycsou_tpu.opt import TVDeconvolution
+
+    log(f"devices: {jax.devices()}")
+    yj = jnp.asarray(y)
+    # tuned flagship path: fused convolution Gram + fused Pallas stencil step
+    solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, max_iter=1000)
+    log(f"tau=sigma={solver.tau:.4f} rho={solver.rho} beta={solver.beta:.4f} pallas={solver.use_pallas}")
+    ips, state = _time_solver(solver, "tuned")
+
+    # generic-operator-algebra path for reference (same math via PDS)
+    try:
+        from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+        from pycsou_tpu.func.penalty import L21Norm
+        from pycsou_tpu.ops.conv import Convolve2D
+        from pycsou_tpu.ops.diff import Gradient
+        from pycsou_tpu.opt import PDS
+
+        A = Convolve2D(SHAPE, h)
+        F = SquaredL2Loss(SHAPE, data=yj) * A
+        generic = PDS(
+            SHAPE, F=F, G=NonNegativeOrthant(SHAPE),
+            H=LAM * L21Norm((2,) + SHAPE, axis=0), K=Gradient(SHAPE), max_iter=1000,
+        )
+        _time_solver(generic, "generic")
+    except Exception as e:  # diagnostics only
+        log(f"generic path failed: {e!r}")
     return ips, state
 
 

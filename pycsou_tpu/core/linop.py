@@ -215,6 +215,18 @@ class LinearOperator(DifferentiableMap):
         mat = jnp.transpose(cols)  # (codim, dim)
         return DenseOperator(mat, dim_shape=self.dim_shape, codim_shape=self.codim_shape)
 
+    def tosparse(self, threshold: float = 0.0):
+        """Materialise as a SparseOperator (reference ``tosparse``,
+        linop.py:336) — BCOO of the dense matrix, optionally thresholded."""
+        from jax.experimental import sparse as jsparse
+
+        from pycsou_tpu.ops.basic import SparseOperator
+
+        mat = self.todense().mat
+        if threshold > 0:
+            mat = jnp.where(jnp.abs(mat) > threshold, mat, 0.0)
+        return SparseOperator(jsparse.BCOO.fromdense(mat), dim_shape=self.dim_shape, codim_shape=self.codim_shape)
+
     def to_scipy_operator(self):
         """SciPy ``LinearOperator`` view over the jitted matvec/rmatvec
         (reference ``tosciop``, linop.py:349) for host-side interop."""

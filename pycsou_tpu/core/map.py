@@ -121,6 +121,9 @@ class Map(Module):
         for the reference's ``apply_along_axis``, map.py:131)."""
         return jax.vmap(self.apply)(xs)
 
+    # reference-compatible alias (batch axis first)
+    apply_along_axis = apply_batched
+
     # -- arithmetic --------------------------------------------------------
     def shifter(self, shift) -> "Map":
         """Return ``x -> f(x + shift)`` (reference map.py:177)."""

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: fused TV primal-dual stencil update.
+
+One Condat-Vu iteration of the TV-regularised problem splits into (a) the
+data-term gradient (FFT-dominated, see ops/_gram.py) and (b) a chain of
+stencil + prox + momentum elementwise steps::
+
+    x_t = P(x - tau*g - tau*div z)          # P = clip to >= 0 (optional)
+    u   = 2 x_t - x
+    v   = z + sigma * grad u
+    z_t = v * lam / max(|v|_2, lam)         # per-pixel dual ball projection
+    x'  = rho x_t + (1-rho) x
+    z'  = rho z_t + (1-rho) z
+
+Part (b) touches 6 full-size arrays; left to XLA it costs several HBM
+round-trips.  This kernel fuses the whole chain into ONE pass over
+row-tiles with an 8-row halo (Element-indexed overlapping blocks), so each
+array is read/written exactly once per iteration.
+
+Boundary conventions match ops/diff.py exactly: forward differences with a
+zero last row/column, divergence ``(D^T y)_j = y_{j-1} - y_j`` with
+``y_{-1} = y_{last} = 0`` (the last dual row/col is kept identically zero —
+an invariant this kernel enforces).
+
+The pure-XLA twin ``tv_pds_stencil_step_xla`` is the correctness oracle and
+the CPU fallback.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+try:  # Element-indexed (overlapping) blocks: internal but stable in practice
+    from jax._src.pallas.core import Element as _Element
+except ImportError:  # pragma: no cover
+    _Element = None
+
+HALO = 8  # TPU sublane alignment: halo tiles must stay 8-row aligned
+
+
+def _roll_lanes(a, shift: int):
+    """Circular shift along the lane (last) axis; callers mask the wrapped
+    column.  pltpu.roll requires a non-negative shift."""
+    return pltpu.roll(a, shift % a.shape[1], axis=1)
+
+
+def _row_mask_last_zero(n_rows_global: int, row0, tile_rows: int, width: int, dtype):
+    """(tile_rows, width) mask that is 0 on the globally-last row."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + row0
+    return jnp.where(rows == n_rows_global - 1, 0.0, 1.0).astype(dtype)
+
+
+def _tv_kernel(x_ref, g_ref, z0_ref, z1_ref, xo_ref, z0o_ref, z1o_ref, *, R, H, W, tau, sigma, rho, lam, nonneg):
+    i = pl.program_id(0)
+    row0 = i * R  # global row of the first core row
+
+    # halo-extended tiles: rows [row0 - HALO, row0 + R + HALO) of padded arrays
+    x = x_ref[...]
+    g = g_ref[...]
+    z0 = z0_ref[...]
+    z1 = z1_ref[...]
+
+    c = HALO  # core start inside the tile
+    # work rows: core plus ONE extra row below (for grad(u) of the last core row)
+    xw = x[c : c + R + 1]
+    gw = g[c : c + R + 1]
+    z0w = z0[c : c + R + 1]
+    z0up = z0[c - 1 : c + R]  # z0[j-1]
+    z1w = z1[c : c + R + 1]
+
+    # enforce the dual invariants: last global row of z0 / last col of z1 = 0
+    maskw = _row_mask_last_zero(H, row0, R + 1, W, x.dtype)
+    z0w = z0w * maskw
+    z0up = z0up * _row_mask_last_zero(H, row0 - 1, R + 1, W, x.dtype)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (R + 1, W), 1)
+    lastcol = jnp.where(colw == W - 1, 0.0, 1.0).astype(x.dtype)
+    z1w = z1w * lastcol
+
+    # div z = (z0[j-1] - z0[j]) + (z1[:, k-1] - z1[:, k]); column shifts via
+    # lane roll + first-column mask (width-1 slices crash the Mosaic tiler)
+    firstcol = jnp.where(colw == 0, 0.0, 1.0).astype(x.dtype)
+    z1_left = _roll_lanes(z1w, 1) * firstcol
+    div = (z0up - z0w) + (z1_left - z1w)
+
+    x_t = xw - tau * gw - tau * div
+    if nonneg:
+        x_t = jnp.maximum(x_t, 0.0)
+
+    u = 2.0 * x_t - xw
+    # forward differences of u on the R core rows
+    du_r = (u[1:] - u[:-1]) * _row_mask_last_zero(H, row0, R, W, x.dtype)  # rows
+    uc = u[:R]
+    u_right = _roll_lanes(uc, -1) * lastcol[:R]
+    du_c = (u_right - uc) * lastcol[:R]
+
+    v0 = z0w[:R] + sigma * du_r
+    v1 = z1w[:R] + sigma * du_c
+    mag = jnp.sqrt(v0 * v0 + v1 * v1)
+    scale = lam / jnp.maximum(mag, lam)
+    z0_t = v0 * scale
+    z1_t = v1 * scale
+
+    xo_ref[...] = rho * x_t[:R] + (1.0 - rho) * xw[:R]
+    z0o_ref[...] = rho * z0_t + (1.0 - rho) * z0w[:R]
+    z1o_ref[...] = rho * z1_t + (1.0 - rho) * z1w[:R]
+
+
+def _pick_block_rows(H: int, W: int) -> int:
+    # keep the tile working set well under VMEM (~16MB): 7 arrays of
+    # (R + 2*HALO) x W f32
+    for r in (128, 64, 32, 16, 8):
+        if H % r == 0 and 7 * (r + 2 * HALO) * W * 4 < 10 * 2**20:
+            return r
+    return 8
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
+)
+def tv_pds_stencil_step(x, z, g, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False):
+    """Fused stencil/prox part of one TV PDS iteration (Pallas TPU kernel).
+
+    x: (H, W); z: (2, H, W); g = grad of the data term at x.
+    Returns (x_new, z_new).  Requires H divisible by 8.
+    """
+    H, W = x.shape
+    R = _pick_block_rows(H, W)
+    pad = ((HALO, HALO), (0, 0))
+    xp = jnp.pad(x, pad)
+    gp = jnp.pad(g, pad)
+    z0p = jnp.pad(z[0], pad)
+    z1p = jnp.pad(z[1], pad)
+
+    E = _Element
+    in_spec = pl.BlockSpec((E(R + 2 * HALO, (0, 0)), E(W, (0, 0))), lambda i: (i * R, 0))
+    out_spec = pl.BlockSpec((R, W), lambda i: (i, 0))
+
+    kern = functools.partial(
+        _tv_kernel, R=R, H=H, W=W, tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg)
+    )
+    x_new, z0_new, z1_new = pl.pallas_call(
+        kern,
+        grid=(H // R,),
+        in_specs=[in_spec, in_spec, in_spec, in_spec],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W), x.dtype),
+            jax.ShapeDtypeStruct((H, W), x.dtype),
+            jax.ShapeDtypeStruct((H, W), x.dtype),
+        ],
+        interpret=interpret,
+    )(xp, gp, z0p, z1p)
+    return x_new, jnp.stack([z0_new, z1_new], axis=0)
+
+
+def tv_pds_stencil_step_xla(x, z, g, *, tau, sigma, rho, lam, nonneg=True):
+    """Pure-XLA twin of the fused kernel (correctness oracle / CPU path)."""
+    from pycsou_tpu.ops.diff import fdiff_forward, fdiff_forward_adjoint
+
+    div = fdiff_forward_adjoint(z[0], 0) + fdiff_forward_adjoint(z[1], 1)
+    x_t = x - tau * g - tau * div
+    if nonneg:
+        x_t = jnp.maximum(x_t, 0.0)
+    u = 2.0 * x_t - x
+    v = z + sigma * jnp.stack([fdiff_forward(u, 0), fdiff_forward(u, 1)], axis=0)
+    mag = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    z_t = v * (lam / jnp.maximum(mag, lam))
+    x_new = rho * x_t + (1.0 - rho) * x
+    z_new = rho * z_t + (1.0 - rho) * z
+    return x_new, z_new

@@ -1,3 +1,6 @@
+from pycsou_tpu.opt.admm import ConsensusADMM
+from pycsou_tpu.opt.mcmc import PMYULA
+from pycsou_tpu.opt.tv import TVDeconvolution
 from pycsou_tpu.opt.proxalgs import (
     APGD,
     CPS,
