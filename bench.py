@@ -92,7 +92,12 @@ def bench_tpu(h, y):
     # tuned flagship path: fused convolution Gram + fused Pallas stencil step
     solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, max_iter=1000)
     log(f"tau=sigma={solver.tau:.4f} rho={solver.rho} beta={solver.beta:.4f} pallas={solver.use_pallas}")
-    ips, state = _time_solver(solver, "tuned")
+    try:
+        ips, state = _time_solver(solver, "tuned")
+    except Exception as e:
+        log(f"pallas path failed ({e!r}); falling back to fused-gram + XLA stencils")
+        solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, use_pallas=False, max_iter=1000)
+        ips, state = _time_solver(solver, "tuned-xla")
 
     # generic-operator-algebra path for reference (same math via PDS)
     try:

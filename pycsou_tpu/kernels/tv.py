@@ -66,25 +66,33 @@ def _tv_kernel(x_ref, g_ref, z0_ref, z1_ref, xo_ref, z0o_ref, z1o_ref, *, R, H, 
     z1 = z1_ref[...]
 
     c = HALO  # core start inside the tile
-    # work rows: core plus ONE extra row below (for grad(u) of the last core row)
-    xw = x[c : c + R + 1]
-    gw = g[c : c + R + 1]
-    z0w = z0[c : c + R + 1]
-    z0up = z0[c - 1 : c + R]  # z0[j-1]
-    z1w = z1[c : c + R + 1]
+    # 8-row-aligned work window (core + HALO extra rows below); Mosaic's
+    # tiler miscompiles odd-height intermediates, so never materialise R+1
+    Rw = R + HALO
+    xw = x[c : c + Rw]
+    gw = g[c : c + Rw]
+    z0w = z0[c : c + Rw]
+    z0up = z0[c - 1 : c - 1 + Rw]  # z0[j-1]
+    z1w = z1[c : c + Rw]
 
-    # enforce the dual invariants: last global row of z0 / last col of z1 = 0
-    maskw = _row_mask_last_zero(H, row0, R + 1, W, x.dtype)
-    z0w = z0w * maskw
-    z0up = z0up * _row_mask_last_zero(H, row0 - 1, R + 1, W, x.dtype)
-    colw = jax.lax.broadcasted_iota(jnp.int32, (R + 1, W), 1)
-    lastcol = jnp.where(colw == W - 1, 0.0, 1.0).astype(x.dtype)
-    z1w = z1w * lastcol
+    def lastcol_mask(nrows):
+        colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
+        return jnp.where(colw == W - 1, 0.0, 1.0).astype(x.dtype)
+
+    def firstcol_mask(nrows):
+        colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
+        return jnp.where(colw == 0, 0.0, 1.0).astype(x.dtype)
+
+    # enforce the dual invariants: last global row of z0 / last col of z1 = 0.
+    # NOTE: every mask is built at its exact use shape — Mosaic miscompiles
+    # some slice-of-computed-mask patterns.
+    z0w = z0w * _row_mask_last_zero(H, row0, Rw, W, x.dtype)
+    z0up = z0up * _row_mask_last_zero(H, row0 - 1, Rw, W, x.dtype)
+    z1w = z1w * lastcol_mask(Rw)
 
     # div z = (z0[j-1] - z0[j]) + (z1[:, k-1] - z1[:, k]); column shifts via
     # lane roll + first-column mask (width-1 slices crash the Mosaic tiler)
-    firstcol = jnp.where(colw == 0, 0.0, 1.0).astype(x.dtype)
-    z1_left = _roll_lanes(z1w, 1) * firstcol
+    z1_left = _roll_lanes(z1w, 1) * firstcol_mask(Rw)
     div = (z0up - z0w) + (z1_left - z1w)
 
     x_t = xw - tau * gw - tau * div
@@ -92,11 +100,12 @@ def _tv_kernel(x_ref, g_ref, z0_ref, z1_ref, xo_ref, z0o_ref, z1o_ref, *, R, H, 
         x_t = jnp.maximum(x_t, 0.0)
 
     u = 2.0 * x_t - xw
-    # forward differences of u on the R core rows
-    du_r = (u[1:] - u[:-1]) * _row_mask_last_zero(H, row0, R, W, x.dtype)  # rows
+    # forward differences of u on the R core rows (aligned-length slices)
+    du_r = (u[1 : 1 + R] - u[:R]) * _row_mask_last_zero(H, row0, R, W, x.dtype)
     uc = u[:R]
-    u_right = _roll_lanes(uc, -1) * lastcol[:R]
-    du_c = (u_right - uc) * lastcol[:R]
+    lc_R = lastcol_mask(R)
+    u_right = _roll_lanes(uc, -1) * lc_R
+    du_c = (u_right - uc) * lc_R
 
     v0 = z0w[:R] + sigma * du_r
     v1 = z1w[:R] + sigma * du_c
@@ -111,10 +120,11 @@ def _tv_kernel(x_ref, g_ref, z0_ref, z1_ref, xo_ref, z0o_ref, z1o_ref, *, R, H, 
 
 
 def _pick_block_rows(H: int, W: int) -> int:
-    # keep the tile working set well under VMEM (~16MB): 7 arrays of
-    # (R + 2*HALO) x W f32
+    # Keep one (R + 2*HALO) x W f32 tile under ~0.8MB: with ~14 live
+    # buffers (inputs, outputs, intermediates) that bounds the VMEM working
+    # set near 11MB.  Larger tiles trip Mosaic at W = 4096.
     for r in (128, 64, 32, 16, 8):
-        if H % r == 0 and 7 * (r + 2 * HALO) * W * 4 < 10 * 2**20:
+        if H % r == 0 and (r + 2 * HALO) * W * 4 <= 820_000:
             return r
     return 8
 
