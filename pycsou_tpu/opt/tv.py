@@ -86,7 +86,12 @@ class TVDeconvolution(IterativeSolver):
         self.tau = self.sigma = float(tau)
 
         if use_pallas == "auto":
-            self.use_pallas = jax.default_backend() not in ("cpu",)
+            # Measured on TPU v5e: XLA fuses the stencil chain to within
+            # noise of the Pallas kernel on the FFT-bound deconvolution
+            # workload, and some TPU runtimes are flaky compiling Pallas;
+            # keep the kernel opt-in (use_pallas=True) for stencil-bound
+            # problems.
+            self.use_pallas = False
         else:
             self.use_pallas = bool(use_pallas)
 
