@@ -151,8 +151,9 @@ def bench_numpy(h, y):
 
     x = np.zeros(SHAPE, np.float32)
     z = np.zeros((2,) + SHAPE, np.float32)
-    t0 = time.perf_counter()
+    per_iter = []
     for _ in range(NUMPY_ITERS):
+        t0 = time.perf_counter()
         r = fftconvolve(x, h, mode="same").astype(np.float32) - y
         grad = 2 * fftconvolve(r, hf, mode="same").astype(np.float32)
         x_temp = np.maximum(x - tau * grad - tau * div_adj(z), 0.0)
@@ -161,9 +162,10 @@ def bench_numpy(h, y):
         z_temp = v * (LAM / np.maximum(mag, LAM))
         x = rho * x_temp + (1 - rho) * x
         z = rho * z_temp + (1 - rho) * z
-    elapsed = time.perf_counter() - t0
-    ips = NUMPY_ITERS / elapsed
-    log(f"numpy baseline: {NUMPY_ITERS} iters in {elapsed:.2f}s -> {ips:.3f} iters/s")
+        per_iter.append(time.perf_counter() - t0)
+    best = min(per_iter)  # best-of: stabilises against CPU noise, favours the baseline
+    ips = 1.0 / best
+    log(f"numpy baseline: best {best:.2f}s/iter of {['%.2f' % t for t in per_iter]} -> {ips:.3f} iters/s")
     return ips
 
 

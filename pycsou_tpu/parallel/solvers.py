@@ -29,6 +29,7 @@ from pycsou_tpu.parallel.spatial import (
     conv_transfer,
     sharded_conv2d,
     sharded_conv2d_adjoint,
+    sharded_conv2d_gram,
     sharded_grad2d,
     sharded_grad2d_adjoint,
 )
@@ -88,6 +89,12 @@ class DistributedTVDeconv2D:
         ext_shape = (h_local + m0 - 1, W)
         self._h_hat_fwd = conv_transfer(self.filt, ext_shape)
         self._h_hat_adj = conv_transfer(jnp.flip(self.filt, (0, 1)), ext_shape)
+        # fused-Gram path: autocorrelation transfer for the (m-1)-halo block
+        from pycsou_tpu.ops._gram import conv_full_direct
+
+        acorr = conv_full_direct(self.filt, jnp.flip(self.filt, (0, 1)))
+        self._acorr_hat = conv_transfer(acorr, (h_local + 2 * (m0 - 1), W))
+        self._use_gram = h_local >= m0  # gram strips need block >= kernel
 
         spec_x = NamedSharding(self.mesh, PartitionSpec(self.axis_name, None))
         spec_z = NamedSharding(self.mesh, PartitionSpec(None, self.axis_name, None))
@@ -98,14 +105,18 @@ class DistributedTVDeconv2D:
         self._run_jit = None
 
     # -- one PDS iteration on LOCAL blocks (inside shard_map) --------------
-    def _local_step(self, x, z, y_loc):
+    def _local_step(self, x, z, y_loc, atb_loc=None):
         ax = self.axis_name
         tau, sigma, rho, lam = self.tau, self.sigma, self.rho, self.lam
         filt = self.filt
 
-        # grad F = 2 A^H (A x - y)
-        r = sharded_conv2d(x, filt, ax, h_hat=self._h_hat_fwd) - y_loc
-        grad = 2.0 * sharded_conv2d_adjoint(r, filt, ax, h_hat=self._h_hat_adj)
+        if self._use_gram and atb_loc is not None:
+            # fused Gram: grad = 2 (A^H A x - A^H y); ONE local FFT roundtrip
+            grad = 2.0 * (sharded_conv2d_gram(x, filt, ax, acorr_hat=self._acorr_hat) - atb_loc)
+        else:
+            # grad F = 2 A^H (A x - y): forward + adjoint (two roundtrips)
+            r = sharded_conv2d(x, filt, ax, h_hat=self._h_hat_fwd) - y_loc
+            grad = 2.0 * sharded_conv2d_adjoint(r, filt, ax, h_hat=self._h_hat_adj)
 
         # x+ = prox_G(x - tau grad - tau K^H z)
         x_temp = x - tau * grad - tau * sharded_grad2d_adjoint(z, ax)
@@ -127,9 +138,14 @@ class DistributedTVDeconv2D:
         ax = self.axis_name
 
         def local_run(x, z, y_loc):
+            if self._use_gram:
+                atb_loc = sharded_conv2d_adjoint(y_loc, self.filt, ax, h_hat=self._h_hat_adj)
+            else:
+                atb_loc = None
+
             def body(_, carry):
                 x, z = carry
-                return self._local_step(x, z, y_loc)
+                return self._local_step(x, z, y_loc, atb_loc)
 
             return jax.lax.fori_loop(0, n_iters, body, (x, z))
 

@@ -163,6 +163,80 @@ def sharded_conv2d_adjoint(block: jax.Array, filt: jax.Array, axis_name: str, h_
     return _os_conv(block, jnp.flip(filt, (0, 1)), m0 - 1 - m0 // 2, m1 - 1 - m1 // 2, axis_name, h_hat=h_hat)
 
 
+def sharded_conv2d_gram(block: jax.Array, filt: jax.Array, axis_name: str, acorr_hat=None) -> jax.Array:
+    """Row-sharded fused Gram ``A^H A x`` of the 'same' zero-boundary 2-D
+    convolution — globally exact vs ``ops.conv.ConvGram2D``.
+
+    Main term: overlap-save convolution with the kernel AUTOCORRELATION
+    (support 2m-1, centre offset m-1) — one local FFT roundtrip with an
+    (m-1)-row halo exchange.  Boundary-strip corrections (see ops/_gram.py)
+    are computed from the same halo-extended block with small FFT convs;
+    top/bottom corrections are masked onto the first/last device.
+
+    Requires the local block height >= kernel height.
+    """
+    from pycsou_tpu.ops._gram import conv_full_direct
+
+    hl, W = block.shape
+    m0, m1 = filt.shape
+    if hl < m0:
+        raise ValueError("local block must be at least as tall as the kernel")
+    o0, o1 = m0 // 2, m1 // 2
+    b0, b1 = m0 - 1 - o0, m1 - 1 - o1
+    p0 = m0 - 1
+    f = jnp.flip(filt, (0, 1))
+    acorr = conv_full_direct(filt, f)  # (2m0-1, 2m1-1)
+
+    g = _os_conv(block, acorr, p0, m1 - 1, axis_name, h_hat=acorr_hat)
+
+    idx = jax.lax.axis_index(axis_name)
+    n = _axis_size(axis_name)
+    H = n * hl
+    row0 = idx * hl
+    dt = block.dtype
+    first = (idx == 0).astype(dt)
+    last = (idx == n - 1).astype(dt)
+
+    # halo-extended block for the row-coupled left/right strips
+    if n > 1:
+        ext = jnp.concatenate(
+            [halo_from_prev(block, p0, axis_name), block, halo_from_next(block, p0, axis_name)], axis=0
+        )
+    else:
+        ext = jnp.pad(block, ((p0, p0), (0, 0)))
+
+    # -- top rows correction (device 0) -------------------------------------
+    if o0 > 0:
+        st = conv_full_direct(block[:m0], filt)[:o0]  # global full rows [0, o0)
+        ct = conv_full_direct(st, f)[m0 - 1 : m0 - 1 + o0, m1 - 1 : m1 - 1 + W]
+        g = g.at[:o0].add(-(ct * first))
+    # -- bottom rows correction (last device) --------------------------------
+    if b0 > 0:
+        sbf = conv_full_direct(block[hl - (m0 - 1) :], filt)
+        sb = sbf[o0 + m0 - 1 : o0 + m0 - 1 + b0]  # global full rows [o0+H, H+m0-1)
+        cb = conv_full_direct(sb, f)[0:b0, m1 - 1 : m1 - 1 + W]
+        g = g.at[hl - b0 :].add(-(cb * last))
+    # -- middle-rows x left/right columns (every device) --------------------
+    if o1 > 0 or b1 > 0:
+        rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (hl + 2 * p0 + m0 - 1, 1), 0)
+            + (row0 - p0)
+        )
+        midmask = ((rows >= o0) & (rows < o0 + H)).astype(dt)
+    if o1 > 0:
+        # keep only global full cols [0, o1) — beyond that the local conv
+        # misses contributions from x cols >= o1 (and isn't in the strip)
+        sl = conv_full_direct(ext[:, :o1], filt)[:, :o1] * midmask
+        cl = conv_full_direct(sl, f)[2 * p0 : 2 * p0 + hl, m1 - 1 : m1 - 1 + o1]
+        g = g.at[:, :o1].add(-cl)
+    if b1 > 0:
+        srf = conv_full_direct(ext[:, W - (m1 - 1) :], filt)
+        sr = srf[:, o1 + m1 - 1 : o1 + m1 - 1 + b1] * midmask
+        cr = conv_full_direct(sr, f)[2 * p0 : 2 * p0 + hl, 0:b1]
+        g = g.at[:, W - b1 :].add(-cr)
+    return g
+
+
 def pdot(a: jax.Array, b: jax.Array, axis_name: str) -> jax.Array:
     """Global inner product of row-sharded arrays (local dot + psum)."""
     return jax.lax.psum(jnp.vdot(a, b), axis_name)

@@ -88,3 +88,30 @@ def test_distributed_tv_deconv_matches_single_device(rng, mesh):
     np.testing.assert_allclose(np.asarray(xd), np.asarray(state["x"]), rtol=1e-3, atol=1e-4)
     # and the distributed solve actually reduces the objective
     assert dist.objective(xd) < dist.objective(dist.x0)
+
+
+@pytest.mark.parametrize("kshape", [(5, 5), (4, 3), (3, 4), (7, 7)])
+def test_sharded_gram_matches_fused_gram(rng, mesh, kshape):
+    """Row-sharded fused Gram == single-device ConvGram2D (exact)."""
+    from pycsou_tpu.parallel.spatial import sharded_conv2d_gram
+
+    H, W = 64, 32
+    h = jnp.asarray(rng.standard_normal(kshape), dtype=jnp.float32)
+    A = Convolve2D((H, W), h, method="fft")
+    x = jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
+    expected = A.gram(x)
+    f = smap(mesh, lambda b: sharded_conv2d_gram(b, h, "sp"), (P("sp", None),), P("sp", None))
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(expected), rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_gram_single_device(rng):
+    from pycsou_tpu.parallel import make_mesh
+    from pycsou_tpu.parallel.spatial import sharded_conv2d_gram
+
+    mesh1 = make_mesh((1,), ("sp",))
+    H, W = 24, 16
+    h = jnp.asarray(rng.standard_normal((5, 5)), dtype=jnp.float32)
+    A = Convolve2D((H, W), h)
+    x = jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
+    f = smap(mesh1, lambda b: sharded_conv2d_gram(b, h, "sp"), (P("sp", None),), P("sp", None))
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(A.gram(x)), rtol=2e-3, atol=2e-4)
