@@ -123,6 +123,36 @@ class Convolve1D(LinearOperator):
         )
         return out[0, 0, :]
 
+    @property
+    def gram(self):
+        """Fused exact A^H A via the 2-D Gram machinery on a (1, n) view."""
+        return ConvGram1D(self)
+
+
+class ConvGram1D(LinearOperator):
+    """Exact Gram of a 'same' 1-D convolution (one FFT roundtrip + end-strip
+    corrections; reuses ops/_gram.py through a (1, n) image view)."""
+
+    filt: jax.Array = None
+    h2_hat: jax.Array = None
+    L: Tuple[int, int] = static_field(default=None)
+
+    def __init__(self, conv: "Convolve1D"):
+        from pycsou_tpu.ops._gram import make_conv2d_gram
+
+        super().__init__(conv.dim_shape, conv.dim_shape, lipschitz=conv.lipschitz**2, dtype=conv.dtype)
+        self.filt = conv.filt
+        n = conv.dim_shape[0]
+        self.h2_hat, self.L = make_conv2d_gram((1, n), np.asarray(conv.filt)[None, :])
+
+    def apply(self, x):
+        from pycsou_tpu.ops._gram import conv2d_gram_apply
+
+        return conv2d_gram_apply(x[None, :], self.filt[None, :], self.h2_hat, self.L)[0]
+
+    def adjoint(self, y):
+        return self.apply(jnp.asarray(y))
+
 
 class Convolve2D(LinearOperator):
     """2-D convolution with a compact kernel, FFT-based by default

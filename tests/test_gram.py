@@ -52,3 +52,17 @@ def test_least_squares_loss_dense(rng):
     np.testing.assert_allclose(
         np.asarray(F.gradient(x)), np.asarray(2 * A.adjoint(A(x) - y)), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("m", [3, 4, 7, 10])
+def test_conv1d_gram_exact(rng, m):
+    from pycsou_tpu.ops.conv import Convolve1D
+
+    n = 48
+    h = jnp.asarray(rng.standard_normal(m), dtype=jnp.float32)
+    A = Convolve1D((n,), h, method="fft")
+    g = A.gram
+    x = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(g(x)), np.asarray(A.adjoint(A(x))), rtol=1e-3, atol=1e-4
+    )

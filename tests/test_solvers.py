@@ -144,3 +144,51 @@ def test_nonneg_constraint(rng):
     solver = APGD((12,), F=F, G=NonNegativeOrthant((12,)), max_iter=2000, accuracy_threshold=1e-8)
     info = solver.solve()
     assert np.all(np.asarray(info["x_temp"]) >= -1e-6)
+
+
+def test_pds_default_variants(rng):
+    """Reference default semantics: F-only, G-only, H-only configurations
+    (proxalgs.py:166-215, 246-316)."""
+    from pycsou_tpu.func import L1Norm, SquaredL2Loss
+    from pycsou_tpu.func.penalty import SquaredL2Norm
+
+    n = 10
+    y = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+    # F-only: tau = 2/beta, sigma = 0, rho = 0.9 -> converges to y/... argmin ||x-y||^2 = y
+    s = PDS((n,), F=SquaredL2Loss((n,), data=y), max_iter=2000, accuracy_threshold=1e-9, min_iter=50)
+    assert np.isclose(s.tau, 2 / s.beta) and s.sigma == 0.0 and s.rho == 0.9
+    info = s.solve()
+    np.testing.assert_allclose(np.asarray(info["x"]), np.asarray(y), atol=1e-3)
+    # G-only (no F): tau = 1, rho = 1; prox fixed point of shifted SquaredL2Norm
+    g = SquaredL2Norm((n,)).shifter(-y)
+    s2 = PDS((n,), G=g, max_iter=2000, accuracy_threshold=1e-10, min_iter=50)
+    assert s2.tau == 1.0 and s2.rho == 1.0
+    np.testing.assert_allclose(np.asarray(s2.solve()["x"]), np.asarray(y), atol=1e-3)
+    # H-only with default K = Identity
+    s3 = PDS((n,), H=0.2 * L1Norm((n,)), max_iter=100)
+    assert s3.K.lipschitz == 1.0
+
+
+def test_pds_requires_finite_beta(rng):
+    from pycsou_tpu.func import L2Loss
+
+    with pytest.raises(ValueError):
+        PDS((5,), F=L2Loss((5,), data=jnp.zeros(5)))  # no Lipschitz gradient
+
+
+def test_apgd_requires_tau_when_beta_zero():
+    with pytest.raises(ValueError):
+        APGD((5,))
+
+
+def test_eigenvals_nonsymmetric_scipy_fallback(rng):
+    from pycsou_tpu.ops.basic import DenseOperator
+
+    M = rng.standard_normal((10, 10)).astype(np.float32)
+    op = DenseOperator(jnp.asarray(M))
+    ev = op.eigenvals(k=2, symmetric=False)
+    expected = np.linalg.eigvals(M)
+    top2 = expected[np.argsort(-np.abs(expected))[:2]]
+    np.testing.assert_allclose(
+        np.sort(np.abs(np.asarray(ev))), np.sort(np.abs(top2)), rtol=1e-3
+    )
