@@ -104,13 +104,19 @@ def conv2d_gram_apply(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, L: Tuple
     return g
 
 
-def make_conv2d_gram(dim_shape: Tuple[int, int], filt_np: np.ndarray):
-    """Precompute (h2_hat, L) for ``conv2d_gram_apply``."""
+def make_conv2d_gram(dim_shape: Tuple[int, int], filt_np: np.ndarray, fft_shape: Tuple[int, int] = None):
+    """Precompute (h2_hat, L) for ``conv2d_gram_apply``.  ``fft_shape`` may
+    override the FFT size (must be >= n + 2m - 2 per axis)."""
     from pycsou_tpu.ops.conv import next_fast_len
 
     n0, n1 = dim_shape
     m0, m1 = filt_np.shape
-    L = (next_fast_len(n0 + 2 * m0 - 2), next_fast_len(n1 + 2 * m1 - 2))
+    if fft_shape is None:
+        L = (next_fast_len(n0 + 2 * m0 - 2), next_fast_len(n1 + 2 * m1 - 2))
+    else:
+        L = tuple(int(s) for s in fft_shape)
+        if L[0] < n0 + 2 * m0 - 2 or L[1] < n1 + 2 * m1 - 2:
+            raise ValueError("fft_shape must be >= n + 2m - 2 per axis")
     H = jnp.fft.rfft2(jnp.asarray(filt_np), s=L)
     h2_hat = (H * jnp.conj(H)).real
     return h2_hat, L

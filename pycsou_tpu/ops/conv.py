@@ -220,12 +220,12 @@ class ConvGram2D(LinearOperator):
     h2_hat: jax.Array = None
     L: Tuple[int, int] = static_field(default=None)
 
-    def __init__(self, conv: "Convolve2D"):
+    def __init__(self, conv: "Convolve2D", fft_shape=None):
         from pycsou_tpu.ops._gram import make_conv2d_gram
 
         super().__init__(conv.dim_shape, conv.dim_shape, lipschitz=conv.lipschitz**2, dtype=conv.dtype)
         self.filt = conv.filt
-        self.h2_hat, self.L = make_conv2d_gram(conv.dim_shape, np.asarray(conv.filt))
+        self.h2_hat, self.L = make_conv2d_gram(conv.dim_shape, np.asarray(conv.filt), fft_shape=fft_shape)
 
     def apply(self, x):
         from pycsou_tpu.ops._gram import conv2d_gram_apply
