@@ -11,7 +11,7 @@ jittable function of ``(x, tau)`` so the whole solver iteration fuses.
 from __future__ import annotations
 
 from numbers import Number
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

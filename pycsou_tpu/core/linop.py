@@ -16,16 +16,14 @@ linop.py:21-629).  Key TPU-first departures:
 """
 from __future__ import annotations
 
-from numbers import Number
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pycsou_tpu._module import Module, static_field
+from pycsou_tpu._module import static_field
 from pycsou_tpu.core.map import DifferentiableMap, Map
-from pycsou_tpu.utils.shapes import as_shape, size_of
 
 __all__ = [
     "LinearOperator",

@@ -16,9 +16,8 @@ hierarchy (/root/reference/pycsou/core/map.py:20-610).  Differences by design:
 """
 from __future__ import annotations
 
-import math
 from numbers import Number
-from typing import Optional, Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

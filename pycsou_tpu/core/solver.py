@@ -11,10 +11,9 @@ per-iteration metric history is a fixed-size on-device buffer.
 """
 from __future__ import annotations
 
-import math
 import time
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ layer); no process pools.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,6 @@ from pycsou_tpu.core.functional import (
     LinearFunctional,
     ProximableFunctional,
 )
-from pycsou_tpu.utils.shapes import as_shape
 
 __all__ = [
     "ExplicitLinearFunctional",

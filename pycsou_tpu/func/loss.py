@@ -7,9 +7,6 @@ prox/grad-preserving shifted functionals (reference loss.py:20-120).
 """
 from __future__ import annotations
 
-from numbers import Number
-from typing import Union
-
 import jax
 import jax.numpy as jnp
 

@@ -10,8 +10,7 @@ solver loop.
 from __future__ import annotations
 
 import math
-from numbers import Number
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,6 @@ from pycsou_tpu.core.functional import (
 from pycsou_tpu.core.linop import LinearOperator
 from pycsou_tpu.func.base import IndicatorFunctional, LpNorm
 from pycsou_tpu.math.prox import (
-    lambertw,
     proj_l1_ball,
     proj_l2_ball,
     proj_linfty_ball,

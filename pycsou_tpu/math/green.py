@@ -10,7 +10,6 @@ vs :177 — SURVEY §7).
 from __future__ import annotations
 
 import math
-from numbers import Number
 
 import jax.numpy as jnp
 

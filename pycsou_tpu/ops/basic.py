@@ -11,7 +11,6 @@ Dask-array branch of the reference's ``ExplicitLinearOperator``
 from __future__ import annotations
 
 from numbers import Number
-from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

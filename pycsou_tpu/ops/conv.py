@@ -16,7 +16,7 @@ delegates to pylops/scipy.signal).  Design:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,22 +37,22 @@ __all__ = [
 
 
 def next_fast_len(n: int) -> int:
-    """Smallest 5-smooth integer >= n (fast FFT size).  Padding a linear
-    convolution beyond n+m-1 is free: the extra tail only wraps zeros."""
+    """Smallest fast-on-TPU FFT size >= n: ``2^a * 3^b`` with ``b <= 2``.
+
+    Measured on TPU v5e at ~4K sizes (chained gram roundtrips): 4608 = 2^9*3^2
+    runs 13.8 ms, 4320 = 2^5*3^3*5 18.7 ms, 4374 = 2*3^7 67 ms — the backend
+    FFT strongly prefers power-of-2-dominant radices; deep radix-3 and radix-5
+    stages are slow.  Padding a linear convolution beyond n+m-1 is free (the
+    extra tail only wraps zeros).
+    """
     if n <= 2:
         return n
     best = 1 << (n - 1).bit_length()  # next power of two is always valid
-    p5 = 1
-    while p5 < best:
-        p35 = p5
-        while p35 < best:
-            # round p35 up to >= n with powers of 2
-            k = p35
-            while k < n:
-                k *= 2
-            best = min(best, k)
-            p35 *= 3
-        p5 *= 5
+    for mult in (3, 9):
+        k = mult
+        while k < n:
+            k *= 2
+        best = min(best, k)
     return best
 
 

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pycsou_tpu._module import static_field
-from pycsou_tpu.core.linop import LinearOperator, SelfAdjointMixin
-from pycsou_tpu.ops.basic import DiagonalOperator, HomothetyOperator, IdentityOperator, PolynomialOperator
+from pycsou_tpu.core.linop import LinearOperator
+from pycsou_tpu.ops.basic import DiagonalOperator, HomothetyOperator, PolynomialOperator
 from pycsou_tpu.utils.shapes import as_shape
 
 __all__ = [

@@ -12,14 +12,10 @@ Convention: row-major (C-order) vec, matching ``np.kron``:
 """
 from __future__ import annotations
 
-import math
-from typing import Union
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pycsou_tpu._module import static_field
 from pycsou_tpu.core.linop import LinearOperator
 from pycsou_tpu.ops.basic import DenseOperator
 

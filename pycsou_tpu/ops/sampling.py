@@ -9,7 +9,6 @@ Gather/scatter index sets are precomputed on host (static), applies are
 from __future__ import annotations
 
 import math
-from numbers import Number
 from typing import Callable, Optional, Sequence, Tuple, Union
 
 import jax

@@ -14,7 +14,7 @@ Stacked outputs use the natural nd layout when all blocks agree —
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,6 @@ import numpy as np
 from pycsou_tpu._module import static_field
 from pycsou_tpu.core.linop import LinearOperator
 from pycsou_tpu.core.map import DifferentiableMap, Map
-from pycsou_tpu.utils.shapes import as_shape, size_of
 
 __all__ = [
     "LinOpVStack",

@@ -17,9 +17,7 @@ The reference has no ADMM solver; the mathematics follows Boyd et al.,
 """
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pycsou_tpu._module import static_field
 from pycsou_tpu.core.functional import ProximableFunctional

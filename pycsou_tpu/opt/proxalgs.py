@@ -12,12 +12,10 @@ power iteration.
 from __future__ import annotations
 
 import math
-from numbers import Number
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pycsou_tpu._module import static_field
 from pycsou_tpu.core.functional import ProximableFunctional

@@ -12,7 +12,7 @@ equivalents are ``jax.sharding.Mesh`` + collectives over ICI/DCN:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -9,11 +9,10 @@ communication on ICI).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from pycsou_tpu.ops.basic import DenseOperator

@@ -16,7 +16,6 @@ TPU-native replacement for its joblib/Dask story.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

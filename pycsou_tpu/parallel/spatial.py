@@ -17,12 +17,10 @@ wrap them into full jitted iterations.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = [
     "halo_from_prev",
