@@ -37,7 +37,7 @@ def _run_chunk(solver, state, it_stop):
         return jnp.logical_and(not_done, keep_going)
 
     def body(s):
-        new = solver.step(s)
+        new = solver._step(s)
         m = solver.metric(s, new)
         it = s["it"] + 1
         new["it"] = it
@@ -80,12 +80,21 @@ class IterativeSolver(Module):
     min_iter: int = static_field(default=10)
     tol: float = static_field(default=1e-3)
     verbose: Optional[int] = static_field(default=None)
+    remat: bool = static_field(default=False)
 
-    def __init__(self, max_iter: int = 500, min_iter: int = 10, tol: float = 1e-3, verbose: Optional[int] = None):
+    def __init__(self, max_iter: int = 500, min_iter: int = 10, tol: float = 1e-3, verbose: Optional[int] = None, remat: bool = False):
         self.max_iter = int(max_iter)
         self.min_iter = int(min_iter)
         self.tol = float(tol)
         self.verbose = verbose
+        # rematerialise each iteration instead of keeping intermediates —
+        # trades FLOPs for HBM on very large problems (jax.checkpoint)
+        self.remat = bool(remat)
+
+    def _step(self, state):
+        if self.remat:
+            return jax.checkpoint(lambda s: self.step(s))(state)
+        return self.step(state)
 
     # -- to implement ------------------------------------------------------
     def initial_state(self) -> Dict[str, Any]:
@@ -176,7 +185,7 @@ class IterativeSolver(Module):
 @partial(jax.jit, static_argnums=(2,))
 def _run_fixed(solver, state, n_iter: int):
     def body(s, _):
-        new = solver.step(s)
+        new = solver._step(s)
         m = solver.metric(s, new)
         it = s["it"] + 1
         new["it"] = it

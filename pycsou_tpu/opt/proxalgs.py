@@ -96,8 +96,9 @@ class PrimalDualSplitting(IterativeSolver):
         min_iter: int = 10,
         accuracy_threshold: float = 1e-3,
         verbose: Optional[int] = None,
+        remat: bool = False,
     ):
-        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
+        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose, remat=remat)
         dim_shape = as_shape(dim_shape)
 
         # -- F: differentiable part (proxalgs.py:166-183)
@@ -234,8 +235,9 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
         min_iter: int = 10,
         accuracy_threshold: float = 1e-3,
         verbose: Optional[int] = None,
+        remat: bool = False,
     ):
-        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
+        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose, remat=remat)
         dim_shape = as_shape(dim_shape)
 
         if F is None:
