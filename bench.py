@@ -99,6 +99,47 @@ def bench_tpu(h, y):
         solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, use_pallas=False, max_iter=1000)
         ips, state = _time_solver(solver, "tuned-xla")
 
+    # secondary metrics (stderr only): matvec bandwidth + time-to-tol
+    try:
+        from pycsou_tpu.ops.conv import Convolve2D as _C2
+
+        A2 = _C2(SHAPE, h)
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        @_jax.jit
+        def matvec_chain(A2, v):
+            def body(i, v):
+                w = A2.apply(v)
+                return w / _jnp.maximum(_jnp.max(_jnp.abs(w)), 1e-20)
+
+            return _jax.lax.fori_loop(0, 20, body, v)
+
+        v0 = state["x"]
+        out = matvec_chain(A2, v0)
+        _jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = matvec_chain(A2, out)
+        _jax.block_until_ready(out)
+        per_mv = (time.perf_counter() - t0) / 20
+        nbytes = 2 * v0.size * 4  # input read + output write (traffic floor)
+        log(f"conv matvec: {per_mv*1e3:.2f} ms -> {nbytes/per_mv/1e9:.1f} GB/s effective (I/O floor)")
+    except Exception as e:
+        log(f"matvec metric failed: {e!r}")
+
+    try:
+        conv_solver = TVDeconvolution(
+            SHAPE, yj, LAM, filt=h, nonneg=True, use_pallas=False,
+            max_iter=3000, min_iter=50, accuracy_threshold=1e-6, verbose=None,
+        )
+        info = conv_solver.solve()
+        log(
+            f"time-to-1e-6 relative improvement: {info.elapsed:.1f}s "
+            f"({info.n_iter} iters, converged={info.converged})"
+        )
+    except Exception as e:
+        log(f"time-to-tol metric failed: {e!r}")
+
     # generic-operator-algebra path for reference (same math via PDS)
     try:
         from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
