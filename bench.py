@@ -99,6 +99,10 @@ def bench_tpu(h, y):
         solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, use_pallas=False, max_iter=1000)
         ips, state = _time_solver(solver, "tuned-xla")
 
+    if os.environ.get("BENCH_FULL") != "1":
+        log("(set BENCH_FULL=1 for matvec GB/s, time-to-tol and generic-path metrics)")
+        return ips, state
+
     # secondary metrics (stderr only): matvec bandwidth + time-to-tol
     try:
         from pycsou_tpu.ops.conv import Convolve2D as _C2
