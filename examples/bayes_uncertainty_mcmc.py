@@ -4,6 +4,11 @@ Sample the posterior of a sparse deconvolution problem and report MMSE +
 pointwise credible intervals from the streaming P^2 quantiles.
 Run: python examples/bayes_uncertainty_mcmc.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -8,6 +8,11 @@ Run (8 virtual devices):
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
   python examples/consensus_admm_3d.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+
 import numpy as np
 import jax
 import jax.numpy as jnp

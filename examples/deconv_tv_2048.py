@@ -4,6 +4,11 @@ config 3): ``min_x ||h*x - y||^2 + lam ||grad x||_{2,1} + i_{x>=0}`` at
 roundtrip per gradient).
 Run: python examples/deconv_tv_2048.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+
 import time
 
 import numpy as np

@@ -4,6 +4,11 @@ Sparse spike recovery: ``min_x ||h * x - y||^2 + lam ||x||_1`` solved with
 APGD/FISTA — the reference's flagship example (proxalgs.py:91-119) on TPU.
 Run: python examples/lasso_deconv1d.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -7,6 +7,11 @@ exact through the *unitary precomposition rule*
 norm comes from on-device power iteration.
 Run: python examples/stacked_sparse_lowfreq.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -3,6 +3,11 @@
 ``min_x ||x - y||^2 + lam ||grad x||_{2,1}`` with Condat-Vu PDS.
 Run: python examples/tv_denoise2d.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+
 import numpy as np
 import jax.numpy as jnp
 
