@@ -1,0 +1,49 @@
+"""Scattered-data RBF interpolation with Green-function kernels.
+
+Fit ``f(t) = sum_j a_j phi(|t - t_j|)`` to noisy scattered samples by ridge
+regression on a ``MappedDistanceMatrix`` operator with a Matern kernel —
+the reference's kernel-matrix workflow (sampling.py:772+, math/green.py).
+Run: python examples/rbf_interpolation.py
+"""
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+
+import numpy as np
+import jax.numpy as jnp
+
+from pycsou_tpu.func import SquaredL2Loss
+from pycsou_tpu.func.penalty import SquaredL2Norm
+from pycsou_tpu.math import Matern
+from pycsou_tpu.ops.sampling import MappedDistanceMatrix
+from pycsou_tpu.opt import APGD
+
+
+def main():
+    rng = np.random.default_rng(0)
+    n_samples, n_centers = 120, 60
+    t_obs = np.sort(rng.uniform(0, 1, n_samples)).astype(np.float32)
+    f_true = lambda t: np.sin(6 * np.pi * t) * np.exp(-t)
+    y = jnp.asarray(f_true(t_obs) + 0.05 * rng.standard_normal(n_samples).astype(np.float32))
+
+    centers = np.linspace(0, 1, n_centers).astype(np.float32)
+    K = MappedDistanceMatrix(t_obs, centers, Matern(k=2, epsilon=0.08))
+    K.compute_lipschitz_cst()
+
+    # ridge-regularised fit: min_a ||K a - y||^2 + mu ||a||^2
+    F = SquaredL2Loss((n_samples,), data=y) * K
+    G = 0.05 * SquaredL2Norm((n_centers,))
+    info = APGD((n_centers,), F=F, G=G, max_iter=2000, accuracy_threshold=1e-8).solve()
+    a = info["x_temp"]
+
+    # evaluate on a dense grid through a second kernel operator
+    t_grid = np.linspace(0, 1, 512).astype(np.float32)
+    K_grid = MappedDistanceMatrix(t_grid, centers, Matern(k=2, epsilon=0.08))
+    f_hat = np.asarray(K_grid(a))
+    rel = np.linalg.norm(f_hat - f_true(t_grid)) / np.linalg.norm(f_true(t_grid))
+    print(f"||K||={K.lipschitz:.2f} iters={info.n_iter} interpolation rel err={rel:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,8 @@ def _run_chunk(solver, state, it_stop):
         new["it"] = it
         new["metric"] = m
         new["history"] = s["history"].at[it - 1].set(m)
+        if "obj_history" in s:
+            new["obj_history"] = s["obj_history"].at[it - 1].set(solver.objective(new["x"]))
         return new
 
     return jax.lax.while_loop(cond, body, state)
@@ -81,8 +83,9 @@ class IterativeSolver(Module):
     tol: float = static_field(default=1e-3)
     verbose: Optional[int] = static_field(default=None)
     remat: bool = static_field(default=False)
+    track_objective: bool = static_field(default=False)
 
-    def __init__(self, max_iter: int = 500, min_iter: int = 10, tol: float = 1e-3, verbose: Optional[int] = None, remat: bool = False):
+    def __init__(self, max_iter: int = 500, min_iter: int = 10, tol: float = 1e-3, verbose: Optional[int] = None, remat: bool = False, track_objective: bool = False):
         self.max_iter = int(max_iter)
         self.min_iter = int(min_iter)
         self.tol = float(tol)
@@ -90,6 +93,9 @@ class IterativeSolver(Module):
         # rematerialise each iteration instead of keeping intermediates —
         # trades FLOPs for HBM on very large problems (jax.checkpoint)
         self.remat = bool(remat)
+        # record the objective value per iteration into an on-device buffer
+        # (the reference's diagnostics DataFrame role, proxalgs.py:366-394)
+        self.track_objective = bool(track_objective)
 
     def _step(self, state):
         if self.remat:
@@ -117,6 +123,8 @@ class IterativeSolver(Module):
         state.setdefault("it", jnp.asarray(0, dtype=jnp.int32))
         state.setdefault("metric", jnp.asarray(_INF, dtype=jnp.float32))
         state.setdefault("history", jnp.full((self.max_iter,), jnp.nan, dtype=jnp.float32))
+        if self.track_objective:
+            state.setdefault("obj_history", jnp.full((self.max_iter,), jnp.nan, dtype=jnp.float32))
         return state
 
     def solve(self, checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1) -> SolveInfo:
@@ -157,7 +165,10 @@ class IterativeSolver(Module):
         elapsed = time.perf_counter() - t0
         iterand = self.postprocess(state)
         history = np.asarray(state["history"])[:it]
-        return SolveInfo(iterand, it, history, converged, elapsed)
+        info = SolveInfo(iterand, it, history, converged, elapsed)
+        if "obj_history" in state:
+            info.objective_history = np.asarray(state["obj_history"])[:it]
+        return info
 
     # reference-compatible alias (solver.py:55)
     def iterate(self) -> SolveInfo:
@@ -179,7 +190,7 @@ class IterativeSolver(Module):
 
     def postprocess(self, state: Dict[str, Any]) -> Dict[str, Any]:
         """Map the final state to user-facing iterand dict (override freely)."""
-        return {k: v for k, v in state.items() if k not in ("history",)}
+        return {k: v for k, v in state.items() if k not in ("history", "obj_history")}
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -191,6 +202,8 @@ def _run_fixed(solver, state, n_iter: int):
         new["it"] = it
         new["metric"] = m
         new["history"] = s["history"].at[it - 1].set(m)
+        if "obj_history" in s:
+            new["obj_history"] = s["obj_history"].at[it - 1].set(solver.objective(new["x"]))
         return new, None
 
     state, _ = jax.lax.scan(body, state, None, length=n_iter)

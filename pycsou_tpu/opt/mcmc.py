@@ -188,6 +188,10 @@ class PMYULA(IterativeSolver):
             "p2_ops": p2_ops,
         }
 
+    def objective(self, x):
+        """Negative log-posterior F(x) + G(x) (pure/jittable)."""
+        return self.F.apply(x) + self.G.apply(x)
+
     def metric(self, old, new):
         """Relative improvement of the running MMSE estimate
         (reference mcmc.py:197-208)."""

@@ -114,13 +114,21 @@ class TVDeconvolution(IterativeSolver):
             x, z = tv_pds_stencil_step_xla(x, z, g, **kw)
         return {"x": x, "z": z}
 
-    def objective(self, x) -> float:
+    def objective(self, x):
+        """Objective value (pure/jittable; usable with track_objective).
+
+        With a blur, the data term is evaluated through the Gram identity
+        ``||Ax-y||^2 = <x, A^H A x> - 2 <x, A^H y> + ||y||^2``."""
         from pycsou_tpu.ops.diff import fdiff_forward
 
-        if self.gram is not None:
-            # residual via forward conv (diagnostics only)
-            raise NotImplementedError("use the problem operators for objectives with a blur")
-        tv = jnp.sum(
-            jnp.sqrt(fdiff_forward(x, 0) ** 2 + fdiff_forward(x, 1) ** 2)
-        )
-        return float(jnp.sum((x - self.y) ** 2) + self.lam * tv)
+        x = jnp.asarray(x)
+        if self.gram is None:
+            data = jnp.sum((x - self.y) ** 2)
+        else:
+            data = (
+                jnp.vdot(x, self.gram.apply(x))
+                - 2.0 * jnp.vdot(x, self.atb)
+                + jnp.vdot(self.y, self.y)
+            ).real
+        tv = jnp.sum(jnp.sqrt(fdiff_forward(x, 0) ** 2 + fdiff_forward(x, 1) ** 2))
+        return data + self.lam * tv

@@ -200,3 +200,45 @@ def test_to_scipy_operator_interop(rng):
     x, info = spla.cg(sci, b, rtol=1e-8)
     assert info == 0
     np.testing.assert_allclose(np.asarray(A(jnp.asarray(x))), b, atol=1e-4)
+
+
+def test_objective_tracking(rng):
+    from pycsou_tpu.func import L1Norm, SquaredL2Loss
+    from pycsou_tpu.ops.basic import DenseOperator
+    from pycsou_tpu.opt import APGD
+
+    A = DenseOperator(jarr(rng, 12, 8))
+    A.compute_lipschitz_cst()
+    y = jarr(rng, 12)
+    F = SquaredL2Loss((12,), data=y) * A
+    s = APGD((8,), F=F, G=0.1 * L1Norm((8,)), max_iter=300, accuracy_threshold=1e-8)
+    s.track_objective = True
+    info = s.solve()
+    obj = info.objective_history
+    assert obj.shape[0] == info.n_iter
+    # objective decreases overall (FISTA is not monotone, compare ends)
+    assert obj[-1] < obj[2]
+
+
+def test_tv_solver_objective_tracking(rng):
+    from pycsou_tpu.opt import TVDeconvolution
+
+    H, W = 16, 16
+    h = jnp.asarray(rng.standard_normal((3, 3)) / 3, jnp.float32)
+    from pycsou_tpu.ops.conv import Convolve2D
+
+    A = Convolve2D((H, W), h)
+    y = A(jnp.abs(jarr(rng, H, W)))
+    s = TVDeconvolution((H, W), y, 0.01, filt=h, use_pallas=False, max_iter=150, min_iter=150,
+                        accuracy_threshold=0.0)
+    s.track_objective = True
+    info = s.solve()
+    obj = info.objective_history
+    assert obj[-1] < obj[0]
+    # gram-identity objective == direct evaluation
+    x = info["x"]
+    direct = float(jnp.sum((A(x) - y) ** 2))
+    from pycsou_tpu.ops.diff import fdiff_forward
+
+    tv = float(jnp.sum(jnp.sqrt(fdiff_forward(x, 0) ** 2 + fdiff_forward(x, 1) ** 2)))
+    np.testing.assert_allclose(float(s.objective(x)), direct + 0.01 * tv, rtol=1e-3)
