@@ -104,6 +104,112 @@ def conv2d_gram_apply(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, L: Tuple
     return g
 
 
+def _conv_rowlin_colcirc(slab: jax.Array, a: jax.Array, n_cols: int) -> jax.Array:
+    """Convolution of a thin slab with kernel ``a``: LINEAR along rows
+    (zero-padded full mode), CIRCULAR along columns at period ``n_cols``.
+    Output rows = slab_rows + a_rows - 1; columns = n_cols."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
+    r = slab.shape[0] + a.shape[0] - 1
+    s = (next_fast_len(r), n_cols)  # exact col length -> circular wrap
+    S = jnp.fft.rfft2(slab, s=s)
+    A = jnp.fft.rfft2(a, s=s)
+    return jnp.fft.irfft2(S * A, s=s)[:r]
+
+
+def _conv_collin_rowcirc(slab: jax.Array, a: jax.Array, n_rows: int) -> jax.Array:
+    """Transposed variant: circular along rows (period n_rows), linear along
+    columns."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
+    c = slab.shape[1] + a.shape[1] - 1
+    s = (n_rows, next_fast_len(c))
+    S = jnp.fft.rfft2(slab, s=s)
+    A = jnp.fft.rfft2(a, s=s)
+    return jnp.fft.irfft2(S * A, s=s)[:, :c]
+
+
+def conv2d_gram_apply_wrap(x: jax.Array, filt: jax.Array, h2_hat: jax.Array) -> jax.Array:
+    """Exact ``A^H A x`` using the FFT at EXACTLY the image size (requires
+    both image dims to already be fast FFT sizes, e.g. 4096).
+
+    The circular Gram ``irfft(|rfft(h, n)|^2 rfft(x))`` equals the full-conv
+    Gram plus wraparound terms confined to (m-1)-wide boundary bands; those
+    are subtracted with thin-slab convolutions (circular along the
+    non-wrapping axis), and the usual 'same'-crop frame corrections
+    (conv2d_gram_apply) are subtracted on top.  ~21% fewer FFT points than
+    the L >= n+2m-2 route at 4096^2.
+    """
+    n0, n1 = x.shape
+    m0, m1 = filt.shape
+    p0, p1 = m0 - 1, m1 - 1
+    f = filt[::-1, ::-1]
+    a = conv_full_direct(filt, f)  # autocorrelation, (2m0-1, 2m1-1)
+
+    X = jnp.fft.rfft2(x)
+    g = jnp.fft.irfft2(X * h2_hat, s=(n0, n1)).astype(x.dtype)
+
+    # -- subtract row-wraparound terms (cols circular, as in g_circ) -------
+    # Row algebra: slab row u = (x row) - slab offset; conv row t = u + s0
+    # (s0 = d0 + p0) collapses to a d0-independent index (see each slice).
+    # The CIRCULAR axis of the helper is shifted by its kernel half-width
+    # (output col j1 lives at (j1 + p1) mod n1), hence the rolls.
+    if p0 > 0:
+        # top rows j0 in [0, p0): terms a[d0 > j0] x[j0 - d0 + n0] from the
+        # bottom slab; t = (j0 - d0 + p0) + (d0 + p0) = j0 + 2 p0
+        ct = _conv_rowlin_colcirc(x[n0 - p0 :], a, n1)
+        g = g.at[:p0].add(-jnp.roll(ct[2 * p0 : 3 * p0], -p1, axis=1))
+        # bottom rows j0 in [n0-p0, n0): terms a[d0 <= j0-n0] x[j0-d0-n0]
+        # from the top slab; t = j0 - n0 + p0 in [0, p0)
+        cb = _conv_rowlin_colcirc(x[:p0], a, n1)
+        g = g.at[n0 - p0 :].add(-jnp.roll(cb[:p0], -p1, axis=1))
+    # -- subtract col-wraparound terms (rows circular) ---------------------
+    if p1 > 0:
+        cl = _conv_collin_rowcirc(x[:, n1 - p1 :], a, n0)
+        g = g.at[:, :p1].add(-jnp.roll(cl[:, 2 * p1 : 3 * p1], -p0, axis=0))
+        cr = _conv_collin_rowcirc(x[:, :p1], a, n0)
+        g = g.at[:, n1 - p1 :].add(-jnp.roll(cr[:, :p1], -p0, axis=0))
+    # -- add back doubly-wrapped (corner) terms (subtracted twice) ---------
+    if p0 > 0 and p1 > 0:
+        for rows, r_out, r_sl in ((slice(n0 - p0, n0), slice(0, p0), slice(2 * p0, 3 * p0)),
+                                  (slice(0, p0), slice(n0 - p0, n0), slice(0, p0))):
+            for cols, c_out, c_sl in ((slice(n1 - p1, n1), slice(0, p1), slice(2 * p1, 3 * p1)),
+                                      (slice(0, p1), slice(n1 - p1, n1), slice(0, p1))):
+                cc = conv_full_direct(x[rows, cols], a)
+                g = g.at[r_out, c_out].add(cc[r_sl, c_sl])
+
+    # -- finally subtract the 'same'-crop frame corrections ----------------
+    o0, o1 = m0 // 2, m1 // 2
+    b0, b1 = m0 - 1 - o0, m1 - 1 - o1
+    h = filt
+    if o0 > 0:
+        top = conv_full_direct(x[:o0], h)[:o0]
+        g = _corr_into(g, top, h, row_off=0, col_off=0)
+    if b0 > 0:
+        xs = x[n0 - (m0 - 1) :]
+        cb2 = conv_full_direct(xs, h)
+        r_lo = o0 + m0 - 1
+        bot = cb2[r_lo : r_lo + b0]
+        g = _corr_into(g, bot, h, row_off=o0 + n0, col_off=0)
+    if o1 > 0:
+        ml = conv_full_direct(x[:, :o1], h)[o0 : o0 + n0, :o1]
+        g = _corr_into(g, ml, h, row_off=o0, col_off=0)
+    if b1 > 0:
+        xs = x[:, n1 - (m1 - 1) :]
+        cr2 = conv_full_direct(xs, h)
+        c_lo = o1 + m1 - 1
+        mr = cr2[o0 : o0 + n0, c_lo : c_lo + b1]
+        g = _corr_into(g, mr, h, row_off=o0, col_off=o1 + n1)
+    return g
+
+
+def make_conv2d_gram_wrap(dim_shape: Tuple[int, int], filt_np: np.ndarray):
+    """Precompute |rfft2(h, n)|^2 for the exact-size (wraparound-corrected)
+    Gram path."""
+    H = jnp.fft.rfft2(jnp.asarray(filt_np), s=tuple(dim_shape))
+    return (H * jnp.conj(H)).real
+
+
 def make_conv2d_gram(dim_shape: Tuple[int, int], filt_np: np.ndarray, fft_shape: Tuple[int, int] = None):
     """Precompute (h2_hat, L) for ``conv2d_gram_apply``.  ``fft_shape`` may
     override the FFT size (must be >= n + 2m - 2 per axis)."""

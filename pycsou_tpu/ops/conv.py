@@ -214,22 +214,50 @@ class Convolve2D(LinearOperator):
 
 
 class ConvGram2D(LinearOperator):
-    """Exact Gram of a 'same' 2-D convolution (self-adjoint PSD)."""
+    """Exact Gram of a 'same' 2-D convolution (self-adjoint PSD).
+
+    Two equivalent paths, chosen automatically:
+
+    * ``wrap`` — when the image dims are already fast FFT sizes (e.g. 4096):
+      circular Gram at EXACTLY the image size + wraparound-band corrections
+      (~21% fewer FFT points; ops/_gram.py ``conv2d_gram_apply_wrap``);
+    * padded — FFT at ``next_fast_len(n + 2m - 2)`` with frame corrections.
+    """
 
     filt: jax.Array = None
     h2_hat: jax.Array = None
     L: Tuple[int, int] = static_field(default=None)
+    wrap: bool = static_field(default=False)
 
-    def __init__(self, conv: "Convolve2D", fft_shape=None):
-        from pycsou_tpu.ops._gram import make_conv2d_gram
+    def __init__(self, conv: "Convolve2D", fft_shape=None, wrap: str = "auto"):
+        from pycsou_tpu.ops._gram import make_conv2d_gram, make_conv2d_gram_wrap
 
         super().__init__(conv.dim_shape, conv.dim_shape, lipschitz=conv.lipschitz**2, dtype=conv.dtype)
         self.filt = conv.filt
-        self.h2_hat, self.L = make_conv2d_gram(conv.dim_shape, np.asarray(conv.filt), fft_shape=fft_shape)
+        n0, n1 = conv.dim_shape
+        m0, m1 = conv.filt.shape
+        if wrap == "auto":
+            use_wrap = (
+                fft_shape is None
+                and next_fast_len(n0) == n0
+                and next_fast_len(n1) == n1
+                and n0 >= 4 * m0
+                and n1 >= 4 * m1
+            )
+        else:
+            use_wrap = bool(wrap)
+        self.wrap = use_wrap
+        if use_wrap:
+            self.h2_hat = make_conv2d_gram_wrap(conv.dim_shape, np.asarray(conv.filt))
+            self.L = conv.dim_shape
+        else:
+            self.h2_hat, self.L = make_conv2d_gram(conv.dim_shape, np.asarray(conv.filt), fft_shape=fft_shape)
 
     def apply(self, x):
-        from pycsou_tpu.ops._gram import conv2d_gram_apply
+        from pycsou_tpu.ops._gram import conv2d_gram_apply, conv2d_gram_apply_wrap
 
+        if self.wrap:
+            return conv2d_gram_apply_wrap(x, self.filt, self.h2_hat)
         return conv2d_gram_apply(x, self.filt, self.h2_hat, self.L)
 
     def adjoint(self, y):

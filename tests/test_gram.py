@@ -66,3 +66,28 @@ def test_conv1d_gram_exact(rng, m):
     np.testing.assert_allclose(
         np.asarray(g(x)), np.asarray(A.adjoint(A(x))), rtol=1e-3, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("kshape", [(3, 3), (5, 5), (4, 4), (5, 4), (7, 2)])
+@pytest.mark.parametrize("shape", [(32, 32), (64, 48), (48, 32)])
+def test_conv2d_gram_wrap_exact(rng, kshape, shape):
+    """Exact-size circular Gram + wraparound corrections == adjoint(apply)."""
+    from pycsou_tpu.ops.conv import ConvGram2D, next_fast_len
+
+    assert all(next_fast_len(n) == n for n in shape)
+    h = jnp.asarray(rng.standard_normal(kshape), dtype=jnp.float32)
+    A = Convolve2D(shape, h, method="fft")
+    g = ConvGram2D(A, wrap=True)
+    assert g.wrap
+    x = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+    expected = A.adjoint(A(x))
+    np.testing.assert_allclose(np.asarray(g(x)), np.asarray(expected), rtol=2e-3, atol=2e-4)
+
+
+def test_conv2d_gram_auto_policy(rng):
+    from pycsou_tpu.ops.conv import ConvGram2D
+
+    h = jnp.asarray(rng.standard_normal((5, 5)), dtype=jnp.float32)
+    assert ConvGram2D(Convolve2D((64, 64), h)).wrap       # fast size
+    assert not ConvGram2D(Convolve2D((65, 64), h)).wrap   # 65 not a fast size
+    assert not ConvGram2D(Convolve2D((16, 64), h)).wrap   # 16 < 4*5
