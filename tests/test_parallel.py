@@ -115,3 +115,31 @@ def test_sharded_gram_single_device(rng):
     x = jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
     f = smap(mesh1, lambda b: sharded_conv2d_gram(b, h, "sp"), (P("sp", None),), P("sp", None))
     np.testing.assert_allclose(np.asarray(f(x)), np.asarray(A.gram(x)), rtol=2e-3, atol=2e-4)
+
+
+def test_batched_2d_mesh_matches_per_image(rng):
+    """dp x sp 2-D mesh: each image in the batch solves identically to a
+    1-D-mesh per-image solve."""
+    from pycsou_tpu.parallel import BatchedDistributedTVDeconv2D, make_mesh
+
+    mesh2d = make_mesh((2, 4), ("dp", "sp"))
+    H, W, B = 32, 16, 2
+    h = jnp.asarray(rng.standard_normal((5, 5)) / 5, dtype=jnp.float32)
+    A = Convolve2D((H, W), h)
+    ys = []
+    for _ in range(B):
+        xt = jnp.asarray(np.abs(rng.standard_normal((H, W))), dtype=jnp.float32)
+        ys.append(np.asarray(A(xt)))
+    y = jnp.asarray(np.stack(ys))
+
+    batched = BatchedDistributedTVDeconv2D((H, W), h, y, lam=0.05, mesh=mesh2d)
+    xb, zb = batched.run(40)
+
+    mesh1d = make_mesh((4,), ("sp",))
+    for b in range(B):
+        single = DistributedTVDeconv2D((H, W), h, ys[b], lam=0.05, mesh=mesh1d,
+                                       tau=batched.tau, rho=batched.rho)
+        xs, _ = single.run(40)
+        np.testing.assert_allclose(
+            np.asarray(xb)[b], np.asarray(xs), rtol=1e-4, atol=1e-5
+        )
