@@ -23,13 +23,14 @@ import numpy as np
 __all__ = ["conv_full_direct", "conv2d_gram_apply", "make_conv2d_gram"]
 
 
-def conv_full_direct(a: jax.Array, h: jax.Array) -> jax.Array:
+def conv_full_direct(a: jax.Array, h: jax.Array, h_hat=None) -> jax.Array:
     """Small 'full'-mode 2-D convolution for thin boundary strips.
 
     FFT-based: single-channel ``lax.conv`` is pathologically slow to compile
     and run on some TPU backends, while small rFFTs ride the well-tuned FFT
     path.  Strip arrays are thin, so these FFTs are tiny next to the main
-    Gram roundtrip."""
+    Gram roundtrip.  Pass ``h_hat`` (from :func:`full_transfer` for the same
+    slab shape) to skip the kernel FFT."""
     from pycsou_tpu.ops.conv import next_fast_len
 
     a0, a1 = a.shape
@@ -37,17 +38,26 @@ def conv_full_direct(a: jax.Array, h: jax.Array) -> jax.Array:
     f0, f1 = a0 + m0 - 1, a1 + m1 - 1
     s = (next_fast_len(f0), next_fast_len(f1))
     A = jnp.fft.rfft2(a, s=s)
-    H = jnp.fft.rfft2(h, s=s)
+    H = jnp.fft.rfft2(h, s=s) if h_hat is None else h_hat
     return jnp.fft.irfft2(A * H, s=s)[:f0, :f1].astype(a.dtype)
 
 
-def _corr_into(out, strip, h, row_off: int, col_off: int):
+def full_transfer(h: jax.Array, slab_shape: Tuple[int, int]) -> jax.Array:
+    """Precompute the kernel rFFT used by ``conv_full_direct`` for slabs of
+    ``slab_shape``."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
+    s = (next_fast_len(slab_shape[0] + h.shape[0] - 1), next_fast_len(slab_shape[1] + h.shape[1] - 1))
+    return jnp.fft.rfft2(h, s=s)
+
+
+def _corr_into(out, strip, h, row_off: int, col_off: int, c_hat=None):
     """Add ``A_full^T`` of a strip located at full-grid offset (row_off,
     col_off) into ``out`` (the n-sized result).  Correlation = convolution
     with the flipped kernel, shifted by m-1."""
     m0, m1 = h.shape
     n0, n1 = out.shape
-    c = conv_full_direct(strip, h[::-1, ::-1])
+    c = conv_full_direct(strip, h[::-1, ::-1], h_hat=c_hat)
     # c index q corresponds to output index j = q + off - (m - 1)
     j0_lo = row_off - (m0 - 1)
     j1_lo = col_off - (m1 - 1)
@@ -104,7 +114,7 @@ def conv2d_gram_apply(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, L: Tuple
     return g
 
 
-def _conv_rowlin_colcirc(slab: jax.Array, a: jax.Array, n_cols: int) -> jax.Array:
+def _conv_rowlin_colcirc(slab: jax.Array, a: jax.Array, n_cols: int, a_hat=None) -> jax.Array:
     """Convolution of a thin slab with kernel ``a``: LINEAR along rows
     (zero-padded full mode), CIRCULAR along columns at period ``n_cols``.
     Output rows = slab_rows + a_rows - 1; columns = n_cols."""
@@ -113,11 +123,11 @@ def _conv_rowlin_colcirc(slab: jax.Array, a: jax.Array, n_cols: int) -> jax.Arra
     r = slab.shape[0] + a.shape[0] - 1
     s = (next_fast_len(r), n_cols)  # exact col length -> circular wrap
     S = jnp.fft.rfft2(slab, s=s)
-    A = jnp.fft.rfft2(a, s=s)
+    A = jnp.fft.rfft2(a, s=s) if a_hat is None else a_hat
     return jnp.fft.irfft2(S * A, s=s)[:r]
 
 
-def _conv_collin_rowcirc(slab: jax.Array, a: jax.Array, n_rows: int) -> jax.Array:
+def _conv_collin_rowcirc(slab: jax.Array, a: jax.Array, n_rows: int, a_hat=None) -> jax.Array:
     """Transposed variant: circular along rows (period n_rows), linear along
     columns."""
     from pycsou_tpu.ops.conv import next_fast_len
@@ -125,11 +135,64 @@ def _conv_collin_rowcirc(slab: jax.Array, a: jax.Array, n_rows: int) -> jax.Arra
     c = slab.shape[1] + a.shape[1] - 1
     s = (n_rows, next_fast_len(c))
     S = jnp.fft.rfft2(slab, s=s)
-    A = jnp.fft.rfft2(a, s=s)
+    A = jnp.fft.rfft2(a, s=s) if a_hat is None else a_hat
     return jnp.fft.irfft2(S * A, s=s)[:, :c]
 
 
-def conv2d_gram_apply_wrap(x: jax.Array, filt: jax.Array, h2_hat: jax.Array) -> jax.Array:
+def make_wrap_cache(dim_shape: Tuple[int, int], filt_np: np.ndarray) -> dict:
+    """Precompute every small kernel transfer used by
+    ``conv2d_gram_apply_wrap`` so each apply spends FFTs only on slabs."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
+    n0, n1 = dim_shape
+    filt = jnp.asarray(filt_np)
+    m0, m1 = filt.shape
+    p0, p1 = m0 - 1, m1 - 1
+    o0, o1 = m0 // 2, m1 // 2
+    b0, b1 = m0 - 1 - o0, m1 - 1 - o1
+    f = filt[::-1, ::-1]
+    a = conv_full_direct(filt, f)
+    cache = {"a": a}
+
+    def ft(kern, slab_shape):
+        return full_transfer(kern, slab_shape)
+
+    if p0 > 0:
+        cache["band_row"] = jnp.fft.rfft2(a, s=(next_fast_len(p0 + 2 * p0), n1))
+    if p1 > 0:
+        cache["band_col"] = jnp.fft.rfft2(a, s=(n0, next_fast_len(p1 + 2 * p1)))
+    if p0 > 0 and p1 > 0:
+        cache["corner"] = ft(a, (p0, p1))
+    if o0 > 0:
+        cache["frame_top_h"] = ft(filt, (m0, n1))
+        cache["frame_top_c"] = ft(f, (o0, n1 + m1 - 1))
+    if b0 > 0:
+        cache["frame_bot_h"] = ft(filt, (m0 - 1, n1))
+        cache["frame_bot_c"] = ft(f, (b0, n1 + m1 - 1))
+    if o1 > 0:
+        cache["frame_left_h"] = ft(filt, (n0, o1))
+        cache["frame_left_c"] = ft(f, (n0, o1))
+    if b1 > 0:
+        cache["frame_right_h"] = ft(filt, (n0, m1 - 1))
+        cache["frame_right_c"] = ft(f, (n0, b1))
+    # split complex transfers into re/im pairs: complex d2h is unimplemented
+    # on some TPU runtimes, and split-real keeps closure-jit usable
+    return {
+        k: ((jnp.real(v), jnp.imag(v)) if jnp.iscomplexobj(v) else v)
+        for k, v in cache.items()
+    }
+
+
+def _cget(cache: dict, key: str):
+    v = cache.get(key)
+    if v is None:
+        return None
+    if isinstance(v, tuple):
+        return jax.lax.complex(v[0], v[1])
+    return v
+
+
+def conv2d_gram_apply_wrap(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, cache: dict = None) -> jax.Array:
     """Exact ``A^H A x`` using the FFT at EXACTLY the image size (requires
     both image dims to already be fast FFT sizes, e.g. 4096).
 
@@ -144,7 +207,10 @@ def conv2d_gram_apply_wrap(x: jax.Array, filt: jax.Array, h2_hat: jax.Array) -> 
     m0, m1 = filt.shape
     p0, p1 = m0 - 1, m1 - 1
     f = filt[::-1, ::-1]
-    a = conv_full_direct(filt, f)  # autocorrelation, (2m0-1, 2m1-1)
+    cache = cache or {}
+    a = cache.get("a")
+    if a is None:
+        a = conv_full_direct(filt, f)  # autocorrelation, (2m0-1, 2m1-1)
 
     X = jnp.fft.rfft2(x)
     g = jnp.fft.irfft2(X * h2_hat, s=(n0, n1)).astype(x.dtype)
@@ -157,17 +223,17 @@ def conv2d_gram_apply_wrap(x: jax.Array, filt: jax.Array, h2_hat: jax.Array) -> 
     if p0 > 0:
         # top rows j0 in [0, p0): terms a[d0 > j0] x[j0 - d0 + n0] from the
         # bottom slab; t = (j0 - d0 + p0) + (d0 + p0) = j0 + 2 p0
-        ct = _conv_rowlin_colcirc(x[n0 - p0 :], a, n1)
+        ct = _conv_rowlin_colcirc(x[n0 - p0 :], a, n1, a_hat=_cget(cache, "band_row"))
         g = g.at[:p0].add(-jnp.roll(ct[2 * p0 : 3 * p0], -p1, axis=1))
         # bottom rows j0 in [n0-p0, n0): terms a[d0 <= j0-n0] x[j0-d0-n0]
         # from the top slab; t = j0 - n0 + p0 in [0, p0)
-        cb = _conv_rowlin_colcirc(x[:p0], a, n1)
+        cb = _conv_rowlin_colcirc(x[:p0], a, n1, a_hat=_cget(cache, "band_row"))
         g = g.at[n0 - p0 :].add(-jnp.roll(cb[:p0], -p1, axis=1))
     # -- subtract col-wraparound terms (rows circular) ---------------------
     if p1 > 0:
-        cl = _conv_collin_rowcirc(x[:, n1 - p1 :], a, n0)
+        cl = _conv_collin_rowcirc(x[:, n1 - p1 :], a, n0, a_hat=_cget(cache, "band_col"))
         g = g.at[:, :p1].add(-jnp.roll(cl[:, 2 * p1 : 3 * p1], -p0, axis=0))
-        cr = _conv_collin_rowcirc(x[:, :p1], a, n0)
+        cr = _conv_collin_rowcirc(x[:, :p1], a, n0, a_hat=_cget(cache, "band_col"))
         g = g.at[:, n1 - p1 :].add(-jnp.roll(cr[:, :p1], -p0, axis=0))
     # -- add back doubly-wrapped (corner) terms (subtracted twice) ---------
     if p0 > 0 and p1 > 0:
@@ -175,7 +241,7 @@ def conv2d_gram_apply_wrap(x: jax.Array, filt: jax.Array, h2_hat: jax.Array) -> 
                                   (slice(0, p0), slice(n0 - p0, n0), slice(0, p0))):
             for cols, c_out, c_sl in ((slice(n1 - p1, n1), slice(0, p1), slice(2 * p1, 3 * p1)),
                                       (slice(0, p1), slice(n1 - p1, n1), slice(0, p1))):
-                cc = conv_full_direct(x[rows, cols], a)
+                cc = conv_full_direct(x[rows, cols], a, h_hat=_cget(cache, "corner"))
                 g = g.at[r_out, c_out].add(cc[r_sl, c_sl])
 
     # -- finally subtract the 'same'-crop frame corrections ----------------
@@ -183,23 +249,23 @@ def conv2d_gram_apply_wrap(x: jax.Array, filt: jax.Array, h2_hat: jax.Array) -> 
     b0, b1 = m0 - 1 - o0, m1 - 1 - o1
     h = filt
     if o0 > 0:
-        top = conv_full_direct(x[:o0], h)[:o0]
-        g = _corr_into(g, top, h, row_off=0, col_off=0)
+        top = conv_full_direct(x[:m0], h, h_hat=_cget(cache, "frame_top_h"))[:o0]
+        g = _corr_into(g, top, h, row_off=0, col_off=0, c_hat=_cget(cache, "frame_top_c"))
     if b0 > 0:
         xs = x[n0 - (m0 - 1) :]
-        cb2 = conv_full_direct(xs, h)
+        cb2 = conv_full_direct(xs, h, h_hat=_cget(cache, "frame_bot_h"))
         r_lo = o0 + m0 - 1
         bot = cb2[r_lo : r_lo + b0]
-        g = _corr_into(g, bot, h, row_off=o0 + n0, col_off=0)
+        g = _corr_into(g, bot, h, row_off=o0 + n0, col_off=0, c_hat=_cget(cache, "frame_bot_c"))
     if o1 > 0:
-        ml = conv_full_direct(x[:, :o1], h)[o0 : o0 + n0, :o1]
-        g = _corr_into(g, ml, h, row_off=o0, col_off=0)
+        ml = conv_full_direct(x[:, :o1], h, h_hat=_cget(cache, "frame_left_h"))[o0 : o0 + n0, :o1]
+        g = _corr_into(g, ml, h, row_off=o0, col_off=0, c_hat=_cget(cache, "frame_left_c"))
     if b1 > 0:
         xs = x[:, n1 - (m1 - 1) :]
-        cr2 = conv_full_direct(xs, h)
+        cr2 = conv_full_direct(xs, h, h_hat=_cget(cache, "frame_right_h"))
         c_lo = o1 + m1 - 1
         mr = cr2[o0 : o0 + n0, c_lo : c_lo + b1]
-        g = _corr_into(g, mr, h, row_off=o0, col_off=o1 + n1)
+        g = _corr_into(g, mr, h, row_off=o0, col_off=o1 + n1, c_hat=_cget(cache, "frame_right_c"))
     return g
 
 

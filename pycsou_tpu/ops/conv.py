@@ -226,11 +226,12 @@ class ConvGram2D(LinearOperator):
 
     filt: jax.Array = None
     h2_hat: jax.Array = None
+    cache: dict = None
     L: Tuple[int, int] = static_field(default=None)
     wrap: bool = static_field(default=False)
 
     def __init__(self, conv: "Convolve2D", fft_shape=None, wrap: str = "auto"):
-        from pycsou_tpu.ops._gram import make_conv2d_gram, make_conv2d_gram_wrap
+        from pycsou_tpu.ops._gram import make_conv2d_gram, make_conv2d_gram_wrap, make_wrap_cache
 
         super().__init__(conv.dim_shape, conv.dim_shape, lipschitz=conv.lipschitz**2, dtype=conv.dtype)
         self.filt = conv.filt
@@ -249,15 +250,17 @@ class ConvGram2D(LinearOperator):
         self.wrap = use_wrap
         if use_wrap:
             self.h2_hat = make_conv2d_gram_wrap(conv.dim_shape, np.asarray(conv.filt))
+            self.cache = make_wrap_cache(conv.dim_shape, np.asarray(conv.filt))
             self.L = conv.dim_shape
         else:
             self.h2_hat, self.L = make_conv2d_gram(conv.dim_shape, np.asarray(conv.filt), fft_shape=fft_shape)
+            self.cache = None
 
     def apply(self, x):
         from pycsou_tpu.ops._gram import conv2d_gram_apply, conv2d_gram_apply_wrap
 
         if self.wrap:
-            return conv2d_gram_apply_wrap(x, self.filt, self.h2_hat)
+            return conv2d_gram_apply_wrap(x, self.filt, self.h2_hat, cache=self.cache)
         return conv2d_gram_apply(x, self.filt, self.h2_hat, self.L)
 
     def adjoint(self, y):
