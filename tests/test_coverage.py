@@ -242,3 +242,80 @@ def test_tv_solver_objective_tracking(rng):
 
     tv = float(jnp.sum(jnp.sqrt(fdiff_forward(x, 0) ** 2 + fdiff_forward(x, 1) ** 2)))
     np.testing.assert_allclose(float(s.objective(x)), direct + 0.01 * tv, rtol=1e-3)
+
+
+def test_warm_starts(rng):
+    """x0/z0 warm starting (reference proxalgs.py:129, 230-238)."""
+    from pycsou_tpu.func import L1Norm, SquaredL2Loss
+    from pycsou_tpu.ops.basic import DenseOperator
+    from pycsou_tpu.opt import APGD, PDS
+
+    A = DenseOperator(jarr(rng, 12, 8))
+    A.compute_lipschitz_cst()
+    y = jarr(rng, 12)
+    F = SquaredL2Loss((12,), data=y) * A
+    x0 = jarr(rng, 8)
+    s = APGD((8,), F=F, G=0.1 * L1Norm((8,)), x0=x0, max_iter=10, min_iter=10)
+    st = s.run_fixed(0)
+    np.testing.assert_allclose(np.asarray(st["x"]), np.asarray(x0))
+    p = PDS((8,), F=F, H=0.1 * L1Norm((8,)), x0=x0, z0=jnp.ones(8), max_iter=10)
+    st = p.run_fixed(0)
+    np.testing.assert_allclose(np.asarray(st["z"]), 1.0)
+
+
+def test_unitary_identities(rng):
+    from pycsou_tpu.ops.basic import IdentityOperator
+    from pycsou_tpu.ops.transform import DCTOperator
+
+    U = DCTOperator((12,))
+    assert isinstance(U.gram, IdentityOperator)
+    x = jarr(rng, 12)
+    np.testing.assert_allclose(np.asarray(U.pinv(U(x))), np.asarray(x), rtol=1e-4, atol=1e-5)
+    assert U.opnorm() == 1.0
+
+
+def test_directional_varying_field(rng, dot_test):
+    from pycsou_tpu.ops.diff import FirstDirectionalDerivative
+
+    v = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+    d = FirstDirectionalDerivative((8, 8), v)
+    dot_test(d)
+    # pure-row field reduces to the centered row derivative
+    vr = np.zeros((2, 8, 8), np.float32)
+    vr[0] = 1.0
+    dr = FirstDirectionalDerivative((8, 8), jnp.asarray(vr))
+    from pycsou_tpu.ops.diff import fdiff_centered
+
+    x = jarr(rng, 8, 8)
+    np.testing.assert_allclose(np.asarray(dr(x)), np.asarray(fdiff_centered(x, 0)), rtol=1e-5)
+
+
+def test_generalised_laplacian_polynomial(rng, dot_test):
+    from pycsou_tpu.ops.diff import GeneralisedLaplacian, Laplacian
+
+    op = GeneralisedLaplacian((10, 10), kind="polynomial", coeffs=[0.5, 1.0], kill_edges=False)
+    L = Laplacian((10, 10))
+    x = jarr(rng, 10, 10)
+    np.testing.assert_allclose(np.asarray(op(x)), np.asarray(0.5 * x + L(x)), rtol=1e-4)
+    dot_test(op)
+
+
+def test_block_operator_validation(rng):
+    from pycsou_tpu.ops.basic import DenseOperator
+    from pycsou_tpu.ops.stack import BlockOperator
+
+    A = DenseOperator(jarr(rng, 4, 6))
+    B = DenseOperator(jarr(rng, 3, 6))
+    with pytest.raises(ValueError):
+        BlockOperator([[A, B]])  # inconsistent row ranges
+
+
+def test_solver_verbose_prints(rng, capsys):
+    from pycsou_tpu.func import SquaredL2Loss
+    from pycsou_tpu.opt import APGD
+
+    y = jarr(rng, 6)
+    s = APGD((6,), F=SquaredL2Loss((6,), data=y), max_iter=30, min_iter=30, verbose=10)
+    s.solve()
+    out = capsys.readouterr().out
+    assert "relative improvement" in out
