@@ -8,10 +8,17 @@ Run (8 virtual devices):
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
   python examples/consensus_admm_3d.py
 """
+import os as _os
 import sys as _sys
 from pathlib import Path as _Path
 
 _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # some TPU runtimes force-register their backend in sitecustomize and
+    # ignore the env var; honour the user's explicit CPU request
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax
@@ -41,10 +48,11 @@ def main():
         h = np.einsum("i,j,k->ijk", g, g, g).astype(np.float32)
         h /= h.sum()
         op = CircularConvolve(shape, h)
-        h_hats.append(np.asarray(op.h_hat))
+        h_hats.append(op.h_hat)  # stays on device: complex d2h is
+        # unimplemented on some TPU runtimes
         ys.append(np.asarray(op(jnp.asarray(x_true))) + 0.01 * rng.standard_normal(shape).astype(np.float32))
 
-    admm = ConsensusADMM(shape, np.stack(h_hats), np.stack(ys),
+    admm = ConsensusADMM(shape, jnp.stack(h_hats), np.stack(ys),
                          g=NonNegativeOrthant(shape), rho=0.5, mesh=mesh)
     z = np.asarray(admm.run(100))
     rel = np.linalg.norm(z - x_true) / np.linalg.norm(x_true)

@@ -4,10 +4,17 @@ config 3): ``min_x ||h*x - y||^2 + lam ||grad x||_{2,1} + i_{x>=0}`` at
 roundtrip per gradient).
 Run: python examples/deconv_tv_2048.py
 """
+import os as _os
 import sys as _sys
 from pathlib import Path as _Path
 
 _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # some TPU runtimes force-register their backend in sitecustomize and
+    # ignore the env var; honour the user's explicit CPU request
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 import time
 

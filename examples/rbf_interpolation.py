@@ -5,10 +5,17 @@ regression on a ``MappedDistanceMatrix`` operator with a Matern kernel —
 the reference's kernel-matrix workflow (sampling.py:772+, math/green.py).
 Run: python examples/rbf_interpolation.py
 """
+import os as _os
 import sys as _sys
 from pathlib import Path as _Path
 
 _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
+if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # some TPU runtimes force-register their backend in sitecustomize and
+    # ignore the env var; honour the user's explicit CPU request
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax.numpy as jnp
