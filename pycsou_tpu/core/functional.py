@@ -231,7 +231,16 @@ class ProxFuncPreComp(ProximableFunctional):
         return self.func.apply(self.scale * x + self.shift)
 
     def prox(self, x, tau):
-        return (self.func.prox(self.scale * x + self.shift, tau * self.scale**2) - self.shift) / self.scale
+        s = self.scale
+        if s.ndim == 0:
+            return (self.func.prox(s * x + self.shift, tau * s**2) - self.shift) / s
+        # Elementwise scale: coordinates with scale == 0 do not influence
+        # f(scale*x + shift), so the prox is the identity there — the naive
+        # formula divides by zero (ADVICE r1).  Valid for separable f only,
+        # which is the contract of elementwise precomposition already.
+        safe = jnp.where(s == 0, 1.0, s)
+        p = (self.func.prox(s * x + self.shift, tau * s**2) - self.shift) / safe
+        return jnp.where(s == 0, x, p)
 
     def gradient(self, x):
         return self.scale * self.func.gradient(self.scale * x + self.shift)

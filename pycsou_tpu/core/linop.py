@@ -335,7 +335,16 @@ class LinOpSum(LinearOperator):
         return self.m1.apply(x) + self.m2.apply(x)
 
     def adjoint(self, y):
-        return self.m1.adjoint(y) + self.m2.adjoint(y)
+        # Codomain broadcasting: a scalar-valued summand f (codim ()) inside
+        # an array-valued sum acts as B o f with B the broadcast operator, so
+        # its adjoint receives B^H y = sum(y) — not the raw array y.
+        def term(m):
+            if m.codim_shape == () and self.codim_shape != ():
+                return m.adjoint(jnp.sum(y))
+            return m.adjoint(y)
+
+        y = jnp.asarray(y)
+        return term(self.m1) + term(self.m2)
 
 
 class LinOpComp(LinearOperator):

@@ -341,6 +341,14 @@ class DiffMapSum(MapSum, DifferentiableMap):
             # gradient of the fused scalar chain via autodiff — traces into
             # one XLA computation instead of composing wrapper operators.
             return jax.grad(self.apply)(x)
+        if self.m1.is_functional or self.m2.is_functional:
+            # mixed codomain-broadcast sum (functional + array-valued map):
+            # a functional summand's jacobianT is a gradient *array*, which
+            # cannot be added to the other operator node — derive the whole
+            # J^T from the fused apply via autodiff instead.
+            from pycsou_tpu.core.linop import JacobianTOperator
+
+            return JacobianTOperator(self, x)
         return self.m1.jacobianT(x) + self.m2.jacobianT(x)
 
 

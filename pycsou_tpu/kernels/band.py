@@ -1,0 +1,109 @@
+"""Banded (block-Toeplitz) 1-D convolutions as MXU matmuls.
+
+A 'same'-mode 1-D convolution with a compact K-tap filter is a banded
+Toeplitz matrix.  Left-shifting the input by ``K-1-offset`` makes the band
+purely causal, so tiling the signal axis into 128-wide tiles turns the
+convolution into a block-BIdiagonal matrix with TWO repeating 128x128
+blocks — the whole convolution is two batched (B*nT, 128) @ (128, 128)
+matmuls that run on the MXU at full tile utilisation, instead of an FFT
+roundtrip (the backend FFT measures ~10x off the HBM roofline,
+docs/BENCH.md) or a single-channel ``lax.conv`` (VPU-bound on TPU).
+
+This is the engine behind the separable/low-rank convolution Gram
+(ops/conv.py ``SeparableConvGram2D``): for a rank-r PSF the Gram ``A^H A``
+is 4r banded passes; at 4096^2 with a rank-1 Gaussian PSF that is several
+times faster than the FFT Gram.
+
+Zero-boundary semantics are exact: the pad tiles are zero, which is
+precisely the zero-padded 'same' convolution's band clipping (the
+reference's convolution convention, /root/reference/pycsou/linop/conv.py:
+159-162).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["make_band_blocks", "band_conv_cols", "band_conv_rows", "TILE"]
+
+TILE = 128  # MXU systolic array edge
+
+# 3-pass bf16 matmuls: ~1e-5 relative error at a fraction of the cost of
+# full f32 emulation (HIGHEST, 6 passes).  CPU ignores precision (native
+# f32), so the exactness tests on the virtual mesh see exact results.
+DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def make_band_blocks(taps, offset: int, tile: int = TILE) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Blocks ``(b0, b1, lead)`` of the causal block-bidiagonal form of the
+    'same' convolution ``out[j] = sum_k taps[k] * x[j - k + offset]`` (zero
+    boundary).
+
+    With the input left-padded by ``lead = K-1-offset`` zeros (``xp[i] =
+    x[i - lead]``), ``out[j] = sum_k taps[k] xp[j + K-1 - k]`` reads only
+    ``xp[j : j+K)`` — so output tile t needs input tiles t and t+1 only:
+
+        out_t = xp_t @ b0 + xp_{t+1} @ b1
+
+    Requires ``K - 1 <= tile``.
+    """
+    taps = np.asarray(taps, np.float64).reshape(-1)
+    K = taps.size
+    if K - 1 > tile:
+        raise ValueError(f"band of {K} taps exceeds one {tile}-tile reach")
+    if not (0 <= offset < K):
+        raise ValueError(f"offset {offset} outside [0, {K})")
+    a = np.arange(tile)[:, None]  # input index within tile (of xp)
+    l = np.arange(tile)[None, :]  # output index within tile
+
+    def block(shift: int) -> np.ndarray:
+        idx = l - a + (K - 1) - shift
+        valid = (idx >= 0) & (idx < K)
+        return np.where(valid, taps[np.clip(idx, 0, K - 1)], 0.0).astype(np.float32)
+
+    return block(0), block(tile), K - 1 - offset
+
+
+def band_conv_cols(x: jax.Array, plan, precision=None) -> jax.Array:
+    """Banded 'same' convolution along the LAST axis of a 2-D array.
+
+    ``plan`` from :func:`make_band_blocks`; two batched MXU matmuls.
+    """
+    b0, b1, lead = plan
+    b0 = jnp.asarray(b0, x.dtype)
+    b1 = jnp.asarray(b1, x.dtype)
+    precision = DEFAULT_PRECISION if precision is None else precision
+    tile = b0.shape[0]
+    B, W = x.shape
+    nT = -(-W // tile)
+    # pad so xp has nT+1 tiles: `lead` zeros in front, zeros to fill behind
+    xp = jnp.pad(x, ((0, 0), (lead, (nT + 1) * tile - W - lead)))
+    Xt = xp.reshape(B, nT + 1, tile)
+    out = jnp.matmul(Xt[:, :nT], b0, precision=precision) + jnp.matmul(
+        Xt[:, 1:], b1, precision=precision
+    )
+    return out.reshape(B, nT * tile)[:, :W]
+
+
+def band_conv_rows(x: jax.Array, plan, precision=None) -> jax.Array:
+    """Banded 'same' convolution along the FIRST axis of a 2-D array.
+
+    Uses the transposes of the same blocks (the row-convolution matrix is
+    the transpose-convention twin of the column one).
+    """
+    b0, b1, lead = plan
+    b0 = jnp.asarray(b0, x.dtype)
+    b1 = jnp.asarray(b1, x.dtype)
+    precision = DEFAULT_PRECISION if precision is None else precision
+    tile = b0.shape[0]
+    H, W = x.shape
+    nR = -(-H // tile)
+    xp = jnp.pad(x, ((lead, (nR + 1) * tile - H - lead), (0, 0)))
+    Xr = xp.reshape(nR + 1, tile, W)
+    out = jnp.einsum("kl,tkw->tlw", b0, Xr[:nR], precision=precision) + jnp.einsum(
+        "kl,tkw->tlw", b1, Xr[1:], precision=precision
+    )
+    return out.reshape(nR * tile, W)[:H]

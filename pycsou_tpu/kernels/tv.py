@@ -40,6 +40,12 @@ except ImportError:  # pragma: no cover
 HALO = 8  # TPU sublane alignment: halo tiles must stay 8-row aligned
 
 
+def pallas_available() -> bool:
+    """True iff the Element-indexed block API this kernel needs exists in the
+    running JAX build.  Callers must fall back to the XLA twin otherwise."""
+    return _Element is not None
+
+
 def _roll_lanes(a, shift: int):
     """Circular shift along the lane (last) axis; callers mask the wrapped
     column.  pltpu.roll requires a non-negative shift."""
@@ -135,6 +141,11 @@ def tv_pds_stencil_step(x, z, g, *, tau: float, sigma: float, rho: float, lam: f
     x: (H, W); z: (2, H, W); g = grad of the data term at x.
     Returns (x_new, z_new).  Requires H divisible by 8.
     """
+    if _Element is None:
+        raise RuntimeError(
+            "this JAX build lacks jax._src.pallas.core.Element (overlapping "
+            "block indexing); use tv_pds_stencil_step_xla instead"
+        )
     H, W = x.shape
     R = _pick_block_rows(H, W)
     pad = ((HALO, HALO), (0, 0))

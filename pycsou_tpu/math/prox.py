@@ -25,11 +25,17 @@ __all__ = [
 
 
 def sign(x):
-    """Complex-aware sign: conj(x)/|x|, 0 at 0 (reference math/prox.py:17)."""
+    """Complex-aware sign: x/|x|, 0 at 0.
+
+    Parity note: the reference returns the CONJUGATE phase conj(x)/|x|
+    (math/prox.py:17), which makes its complex soft-threshold flip the phase
+    of every entry — mathematically wrong for the prox of |.| (which is
+    ``(|x|-tau)_+ * x/|x|``).  We deliberately fix the convention here, the
+    same way the DiagonalOperator Lipschitz quirk is fixed (SURVEY §7)."""
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         mag = jnp.abs(x)
-        return jnp.where(mag == 0, 0.0 + 0.0j, jnp.conj(x) / jnp.where(mag == 0, 1.0, mag))
+        return jnp.where(mag == 0, 0.0 + 0.0j, x / jnp.where(mag == 0, 1.0, mag))
     return jnp.sign(x)
 
 

@@ -90,8 +90,12 @@ class TVDeconvolution(IterativeSolver):
             # once the FFT share shrinks.  Auto-on for TPU when the row
             # count is tile-aligned; bench.py falls back to XLA stencils if
             # the Mosaic compile fails on an exotic runtime.
+            from pycsou_tpu.kernels.tv import pallas_available
+
             self.use_pallas = (
-                jax.default_backend() not in ("cpu",) and shape[0] % 8 == 0
+                jax.default_backend() not in ("cpu",)
+                and shape[0] % 8 == 0
+                and pallas_available()
             )
         else:
             self.use_pallas = bool(use_pallas)

@@ -21,6 +21,9 @@ from pycsou_tpu.parallel.mesh import make_mesh
 __all__ = ["ShardedDenseOperator"]
 
 
+from pycsou_tpu._module import static_field
+
+
 class ShardedDenseOperator(DenseOperator):
     """Dense operator whose matrix lives sharded across a device mesh.
 
@@ -28,6 +31,11 @@ class ShardedDenseOperator(DenseOperator):
     dimensions are partitioned (either may be None).  Outputs follow the row
     sharding; adjoint outputs follow the column sharding.
     """
+
+    # static pytree aux data: survive flatten/unflatten through jit/vmap
+    _mesh: Optional[Mesh] = static_field(default=None)
+    _row_axis: Optional[str] = static_field(default=None)
+    _col_axis: Optional[str] = static_field(default=None)
 
     def __init__(self, mat, mesh: Optional[Mesh] = None, row_axis: Optional[str] = "sp", col_axis: Optional[str] = None, dtype=None):
         mat = jnp.asarray(mat)
@@ -43,3 +51,11 @@ class ShardedDenseOperator(DenseOperator):
     @property
     def mesh(self):
         return getattr(self, "_mesh", None)
+
+    @property
+    def row_axis(self):
+        return self._row_axis
+
+    @property
+    def col_axis(self):
+        return self._col_axis

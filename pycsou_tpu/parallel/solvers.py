@@ -85,6 +85,18 @@ class DistributedTVDeconv2D:
         # precomputed transfer functions for the halo-extended local blocks
         h_local = H // n_dev
         m0 = self.filt.shape[0]
+        # halo widths: forward conv needs (m0-1-m0//2) rows from the previous
+        # neighbour and m0//2 from the next (adjoint: the complements).  A
+        # ppermute halo only reaches ONE neighbour, so the local block must
+        # hold the widest halo we ever send (ADVICE r1: validate explicitly
+        # instead of failing with an FFT shape mismatch).
+        min_rows = max(1, m0 // 2, m0 - 1 - m0 // 2)
+        if h_local < min_rows:
+            raise ValueError(
+                f"local block of {h_local} rows is too short for a "
+                f"{m0}-row kernel: need at least {min_rows} rows per device "
+                f"(H={H} over {n_dev} devices; use fewer devices or a taller image)"
+            )
         ext_shape = (h_local + m0 - 1, W)
         self._h_hat_fwd = conv_transfer(self.filt, ext_shape)
         self._h_hat_adj = conv_transfer(jnp.flip(self.filt, (0, 1)), ext_shape)

@@ -91,3 +91,69 @@ def test_conv2d_gram_auto_policy(rng):
     assert ConvGram2D(Convolve2D((64, 64), h)).wrap       # fast size
     assert not ConvGram2D(Convolve2D((65, 64), h)).wrap   # 65 not a fast size
     assert not ConvGram2D(Convolve2D((16, 64), h)).wrap   # 16 < 4*5
+
+
+# -------------------- banded MXU (separable) gram path --------------------
+
+
+def _gauss2d(k, s):
+    ax = np.arange(k) - k // 2
+    g = np.exp(-(ax**2) / (2 * s**2))
+    g2 = np.outer(g, g)
+    return jnp.asarray(g2 / g2.sum(), jnp.float32)
+
+
+def test_gram_dispatch_lowrank_vs_full(rng):
+    """Gaussian PSFs route to the banded MXU gram; full-rank kernels keep
+    the FFT path."""
+    from pycsou_tpu.ops.conv import ConvGram2D, SeparableConvGram2D
+
+    g = Convolve2D((64, 64), _gauss2d(15, 2.0)).gram
+    assert isinstance(g, SeparableConvGram2D) and g.rank == 1
+    full = Convolve2D((64, 64), jnp.asarray(rng.standard_normal((5, 5)), jnp.float32) + 0.0).gram
+    # a random 5x5 kernel has numerical rank 5 > max_rank
+    assert isinstance(full, ConvGram2D)
+
+
+@pytest.mark.parametrize(
+    "kshape,shape",
+    [((15, 15), (64, 96)), ((8, 8), (100, 90)), ((129, 3), (200, 140)), ((2, 9), (40, 129))],
+)
+def test_separable_gram_exact(rng, kshape, shape):
+    """Banded gram == adjoint(apply) for rank-1/2 kernels of all parities,
+    including kernels at the 129-tap tile-reach limit."""
+    from pycsou_tpu.ops.conv import SeparableConvGram2D
+
+    u = rng.standard_normal(kshape[0])
+    v = rng.standard_normal(kshape[1])
+    h = jnp.asarray(np.outer(u, v), jnp.float32)
+    A = Convolve2D(shape, h, method="fft")
+    g = A.gram
+    assert isinstance(g, SeparableConvGram2D)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    expected = np.asarray(A.adjoint(A(x)))
+    # scale-aware atol: entries span ~|expected|_max, f32 roundoff is relative
+    atol = 1e-5 * float(np.max(np.abs(expected))) + 1e-5
+    np.testing.assert_allclose(np.asarray(g(x)), expected, rtol=1e-3, atol=atol)
+    # self-adjointness (dot test on the symmetric operator)
+    y = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    np.testing.assert_allclose(
+        float(jnp.vdot(y, g(x))), float(jnp.vdot(g(y), x)), rtol=1e-3
+    )
+
+
+def test_band_conv_matches_convolve1d_rows_cols(rng):
+    """kernels/band.py 'same' semantics == the Convolve operators'."""
+    from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows, make_band_blocks
+    from pycsou_tpu.ops.conv import Convolve1D
+
+    for K in (15, 4, 1):
+        taps = rng.standard_normal(K).astype(np.float32)
+        plan = make_band_blocks(taps, K // 2)
+        C = Convolve1D((130,), taps, method="fft")
+        x = jnp.asarray(rng.standard_normal((7, 130)), jnp.float32)
+        want = jnp.stack([C(row) for row in x])
+        got = band_conv_cols(x, plan)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+        got_r = band_conv_rows(x.T, plan)
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want.T), rtol=1e-4, atol=1e-5)
