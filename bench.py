@@ -8,7 +8,12 @@ reference's numeric engine — pylops delegates its FFT convolutions to
 scipy.signal, conv.py:163/285, and everything else is numpy ufuncs).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <tpu iters/s>, "unit": "iters/s", "vs_baseline": <speedup>}
+  {"metric": ..., "value": <tpu iters/s>, "unit": "iters/s", "vs_baseline": <speedup>,
+   "time_to_1e6_s": <seconds to 1e-6 relative improvement>,
+   "matvec_gbps": <effective conv matvec GB/s (I/O floor)>}
+
+(time-to-1e-6 and matvec GB/s are BASELINE.md's named metrics — emitted by
+default; BENCH_FULL=1 additionally times the generic operator-algebra path.)
 """
 import json
 import os
@@ -99,11 +104,8 @@ def bench_tpu(h, y):
         solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, use_pallas=False, max_iter=1000)
         ips, state = _time_solver(solver, "tuned-xla")
 
-    if os.environ.get("BENCH_FULL") != "1":
-        log("(set BENCH_FULL=1 for matvec GB/s, time-to-tol and generic-path metrics)")
-        return ips, state
-
-    # secondary metrics (stderr only): matvec bandwidth + time-to-tol
+    extras = {}
+    # named BASELINE.md metrics: matvec bandwidth + time-to-tol (default-on)
     try:
         from pycsou_tpu.ops.conv import Convolve2D as _C2
 
@@ -127,22 +129,28 @@ def bench_tpu(h, y):
         _jax.block_until_ready(out)
         per_mv = (time.perf_counter() - t0) / 20
         nbytes = 2 * v0.size * 4  # input read + output write (traffic floor)
+        extras["matvec_gbps"] = round(nbytes / per_mv / 1e9, 1)
         log(f"conv matvec: {per_mv*1e3:.2f} ms -> {nbytes/per_mv/1e9:.1f} GB/s effective (I/O floor)")
     except Exception as e:
         log(f"matvec metric failed: {e!r}")
 
     try:
         conv_solver = TVDeconvolution(
-            SHAPE, yj, LAM, filt=h, nonneg=True, use_pallas=False,
+            SHAPE, yj, LAM, filt=h, nonneg=True,
             max_iter=3000, min_iter=50, accuracy_threshold=1e-6, verbose=None,
         )
         info = conv_solver.solve()
+        extras["time_to_1e6_s"] = round(info.elapsed, 2)
         log(
             f"time-to-1e-6 relative improvement: {info.elapsed:.1f}s "
             f"({info.n_iter} iters, converged={info.converged})"
         )
     except Exception as e:
         log(f"time-to-tol metric failed: {e!r}")
+
+    if os.environ.get("BENCH_FULL") != "1":
+        log("(set BENCH_FULL=1 for the generic operator-algebra path timing)")
+        return ips, state, extras
 
     # generic-operator-algebra path for reference (same math via PDS)
     try:
@@ -161,7 +169,7 @@ def bench_tpu(h, y):
         _time_solver(generic, "generic")
     except Exception as e:  # diagnostics only
         log(f"generic path failed: {e!r}")
-    return ips, state
+    return ips, state, extras
 
 
 # --------------------------- numpy baseline ---------------------------------
@@ -219,19 +227,17 @@ def main():
     log("building 4096^2 TV deconvolution problem ...")
     h, y = make_problem(rng)
 
-    tpu_ips, _ = bench_tpu(h, y)
+    tpu_ips, _, extras = bench_tpu(h, y)
     np_ips = bench_numpy(h, y)
 
-    print(
-        json.dumps(
-            {
-                "metric": "TV deconvolution 4096^2 PDS iterations/s (1 chip)",
-                "value": round(tpu_ips, 3),
-                "unit": "iters/s",
-                "vs_baseline": round(tpu_ips / np_ips, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "TV deconvolution 4096^2 PDS iterations/s (1 chip)",
+        "value": round(tpu_ips, 3),
+        "unit": "iters/s",
+        "vs_baseline": round(tpu_ips / np_ips, 2),
+    }
+    out.update(extras)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

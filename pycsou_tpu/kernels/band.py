@@ -27,7 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["make_band_blocks", "band_conv_cols", "band_conv_rows", "TILE"]
+__all__ = [
+    "make_band_blocks",
+    "band_conv_cols",
+    "band_conv_rows",
+    "make_gram_band",
+    "TILE",
+]
 
 TILE = 128  # MXU systolic array edge
 
@@ -65,6 +71,71 @@ def make_band_blocks(taps, offset: int, tile: int = TILE) -> Tuple[np.ndarray, n
         return np.where(valid, taps[np.clip(idx, 0, K - 1)], 0.0).astype(np.float32)
 
     return block(0), block(tile), K - 1 - offset
+
+
+def make_gram_band(taps, n: int, tile: int = TILE):
+    """Exact 1-D 'same'-convolution Gram ``T^H T`` as a banded pass plus edge
+    corrections.
+
+    ``T`` is the K-tap 'same' conv matrix (offset K//2).  ``T^H T`` is
+    Toeplitz with the (2K-1)-tap autocorrelation band EXCEPT in its first and
+    last K-1 rows, where the 'same' crop removes terms.  Returns
+    ``(plan, E_top, E_bot, L)``: the banded-matmul plan for the
+    autocorrelation, and two (K-1, L) dense corrections acting on the first /
+    last ``L = 2K-2`` samples.  Halves the Gram's banded passes (VERDICT r1
+    task 1: 2 HBM streams per axis instead of 4).
+    """
+    taps = np.asarray(taps, np.float64).reshape(-1)
+    K = taps.size
+    if K == 1:
+        plan = make_band_blocks(taps * taps, 0, tile)
+        return plan, None, None, 0
+    if n < 3 * K:
+        raise ValueError("signal too short for windowed edge corrections")
+    acorr = np.convolve(taps, taps[::-1])  # (2K-1,), symmetric
+    plan = make_band_blocks(acorr, K - 1, tile)
+    # exact Gram on a window; deviations from Toeplitz live in the corners
+    o = K // 2
+    n_w = 3 * K
+    T = np.zeros((n_w, n_w))
+    for j in range(n_w):
+        for k in range(K):
+            p = j - k + o
+            if 0 <= p < n_w:
+                T[j, p] += taps[k]
+    G = T.T @ T
+    Gt = np.zeros_like(G)
+    for d in range(-(K - 1), K):
+        idx = np.arange(max(0, -d), min(n_w, n_w - d))
+        Gt[idx + d, idx] = acorr[K - 1 + d]
+    E = G - Gt
+    L = 2 * K - 2
+    E_top = E[: K - 1, :L].astype(np.float32)
+    E_bot = E[n_w - (K - 1) :, n_w - L :].astype(np.float32)
+    return plan, E_top, E_bot, L
+
+
+def gram_band_rows(x: jax.Array, gplan, precision=None) -> jax.Array:
+    """Exact 1-D conv Gram along the FIRST axis: one banded pass + two thin
+    edge-correction matmuls."""
+    plan, E_top, E_bot, L = gplan
+    out = band_conv_rows(x, plan, precision=precision)
+    if E_top is not None:
+        Km1 = E_top.shape[0]
+        out = out.at[:Km1].add(jnp.asarray(E_top) @ x[:L])
+        out = out.at[-Km1:].add(jnp.asarray(E_bot) @ x[-L:])
+    return out
+
+
+def gram_band_cols(x: jax.Array, gplan, precision=None) -> jax.Array:
+    """Exact 1-D conv Gram along the LAST axis."""
+    plan, E_top, E_bot, L = gplan
+    out = band_conv_cols(x, plan, precision=precision)
+    if E_top is not None:
+        Km1 = E_top.shape[0]
+        out = out.at[:, :Km1].add(x[:, :L] @ jnp.asarray(E_top).T)
+        out = out.at[:, -Km1:].add(x[:, -L:] @ jnp.asarray(E_bot).T)
+    return out
 
 
 def band_conv_cols(x: jax.Array, plan, precision=None) -> jax.Array:

@@ -155,13 +155,26 @@ class ConvGram1D(LinearOperator):
 
 
 class Convolve2D(LinearOperator):
-    """2-D convolution with a compact kernel, FFT-based by default
-    (reference linop/conv.py:167-295)."""
+    """2-D convolution with a compact kernel (reference linop/conv.py:167-295).
+
+    ``method='auto'`` dispatch, fastest first on TPU:
+
+    * ``'band'`` — low-rank (separable) kernels as 2r banded MXU matmul
+      passes (kernels/band.py), no FFT;
+    * ``'direct'`` — ``lax.conv`` for tiny full-rank kernels;
+    * ``'fft'`` — zero-padded rFFT with cached transfer function.
+    """
 
     filt: jax.Array = None
     h_hat_re: jax.Array = None
     h_hat_im: jax.Array = None
+    band_row: tuple = None
+    band_col: tuple = None
+    band_row_adj: tuple = None
+    band_col_adj: tuple = None
     method: str = static_field(default="fft")
+    band_leads: tuple = static_field(default=None)
+    band_rank: int = static_field(default=0)
 
     def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32):
         dim_shape = as_shape(dim_shape)
@@ -170,10 +183,15 @@ class Convolve2D(LinearOperator):
         filt = jnp.asarray(filt, dtype=dtype)
         if filt.ndim != 2:
             raise ValueError("filter must be 2-D")
-        if method == "auto":
-            method = "direct" if filt.size <= 81 else "fft"
-        if method not in ("fft", "direct"):
-            raise ValueError("method must be 'auto', 'fft' or 'direct'")
+        fac = None
+        if method in ("auto", "band"):
+            fac = self._band_factors(filt)
+            if method == "band" and fac is None:
+                raise ValueError("kernel is not low-rank/band-eligible")
+            if method == "auto":
+                method = "band" if fac is not None else ("direct" if filt.size <= 81 else "fft")
+        if method not in ("fft", "direct", "band"):
+            raise ValueError("method must be 'auto', 'fft', 'direct' or 'band'")
         padded = tuple(n + k - 1 for n, k in zip(dim_shape, filt.shape))
         lip = _fft_lipschitz(np.asarray(filt), padded)
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
@@ -183,6 +201,42 @@ class Convolve2D(LinearOperator):
         self.h_hat_re = jnp.real(hh) if hh is not None else None
         self.h_hat_im = jnp.imag(hh) if hh is not None else None
         self.method = method
+        self.band_row = self.band_col = self.band_row_adj = self.band_col_adj = None
+        self.band_leads = None
+        self.band_rank = 0
+        if method == "band":
+            from pycsou_tpu.kernels.band import make_band_blocks
+
+            us, vs = fac
+            m0, m1 = filt.shape
+            o0, o1 = m0 // 2, m1 // 2
+            r = us.shape[1]
+
+            def blk(taps, ofs):
+                b0, b1, lead = make_band_blocks(taps, ofs)
+                return (jnp.asarray(b0), jnp.asarray(b1)), lead
+
+            rc = [blk(us[:, i], o0) for i in range(r)]
+            cc = [blk(vs[:, i], o1) for i in range(r)]
+            ra = [blk(us[::-1, i], m0 - 1 - o0) for i in range(r)]
+            ca = [blk(vs[::-1, i], m1 - 1 - o1) for i in range(r)]
+            self.band_row = tuple(b for b, _ in rc)
+            self.band_col = tuple(b for b, _ in cc)
+            self.band_row_adj = tuple(b for b, _ in ra)
+            self.band_col_adj = tuple(b for b, _ in ca)
+            self.band_leads = (rc[0][1], cc[0][1], ra[0][1], ca[0][1])
+            self.band_rank = r
+
+    @staticmethod
+    def _band_factors(filt):
+        from pycsou_tpu.kernels.band import TILE
+
+        if jnp.issubdtype(filt.dtype, jnp.complexfloating):
+            return None
+        m0, m1 = filt.shape
+        if max(m0, m1) - 1 > TILE:
+            return None
+        return lowrank_factors(np.asarray(filt))
 
     @property
     def h_hat(self):
@@ -191,6 +245,15 @@ class Convolve2D(LinearOperator):
     def apply(self, x):
         (n0, n1), (m0, m1) = self.dim_shape, self.filt.shape
         o0, o1 = m0 // 2, m1 // 2
+        if self.method == "band":
+            from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows
+
+            l_r, l_c = self.band_leads[0], self.band_leads[1]
+            out = None
+            for i in range(self.band_rank):
+                ti = band_conv_cols(band_conv_rows(x, (*self.band_row[i], l_r)), (*self.band_col[i], l_c))
+                out = ti if out is None else out + ti
+            return out
         if self.method == "fft":
             s = (next_fast_len(n0 + m0 - 1), next_fast_len(n1 + m1 - 1))
             X = jnp.fft.rfft2(x, s=s)
@@ -205,6 +268,21 @@ class Convolve2D(LinearOperator):
             padding=[(m0 - 1 - o0, o0), (m1 - 1 - o1, o1)],
         )
         return out[0, 0]
+
+    def adjoint(self, y):
+        if self.method == "band":
+            from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows
+
+            y = jnp.asarray(y)
+            l_ra, l_ca = self.band_leads[2], self.band_leads[3]
+            out = None
+            for i in range(self.band_rank):
+                ti = band_conv_cols(
+                    band_conv_rows(y, (*self.band_row_adj[i], l_ra)), (*self.band_col_adj[i], l_ca)
+                )
+                out = ti if out is None else out + ti
+            return out
+        return super().adjoint(y)
 
     @property
     def gram(self):
@@ -316,8 +394,15 @@ class SeparableConvGram2D(LinearOperator):
     col_conv: tuple = None
     row_corr: tuple = None
     col_corr: tuple = None
+    # rank-1 fast path: A^H A = RowGram o ColGram — ONE (2m-1)-tap banded
+    # pass per axis (plus thin edge corrections) instead of two m-tap passes
+    g_rows_band: tuple = None
+    g_rows_E: tuple = None
+    g_cols_band: tuple = None
+    g_cols_E: tuple = None
     rank: int = static_field(default=1)
     leads: tuple = static_field(default=None)  # (row_conv, col_conv, row_corr, col_corr)
+    g_meta: tuple = static_field(default=None)  # (lead_r, L_r, lead_c, L_c) or None
 
     @staticmethod
     def build(conv: "Convolve2D", tol: float = 1e-6, max_rank: int = 4):
@@ -359,9 +444,46 @@ class SeparableConvGram2D(LinearOperator):
         self.col_corr = tuple(b for b, _ in ca)
         self.leads = (rc[0][1], cc[0][1], ra[0][1], ca[0][1])
 
+        # rank-1 2-pass plan (needs room for the windowed edge corrections)
+        H, W = conv.dim_shape
+        self.g_rows_band = self.g_rows_E = self.g_cols_band = self.g_cols_E = None
+        self.g_meta = None
+        if r == 1 and H >= 3 * m0 and W >= 3 * m1:
+            from pycsou_tpu.kernels.band import make_gram_band
+
+            (rb0, rb1, lead_r), Etr, Ebr, L_r = make_gram_band(us[:, 0], H)
+            (cb0, cb1, lead_c), Etc, Ebc, L_c = make_gram_band(vs[:, 0], W)
+            self.g_rows_band = (jnp.asarray(rb0), jnp.asarray(rb1))
+            self.g_cols_band = (jnp.asarray(cb0), jnp.asarray(cb1))
+            self.g_rows_E = None if Etr is None else (jnp.asarray(Etr), jnp.asarray(Ebr))
+            self.g_cols_E = None if Etc is None else (jnp.asarray(Etc), jnp.asarray(Ebc))
+            self.g_meta = (lead_r, L_r, lead_c, L_c)
+
+    def _apply_fast2(self, x):
+        """Rank-1 2-pass Gram: RowGram then ColGram, each one banded pass."""
+        from pycsou_tpu.kernels.band import DEFAULT_PRECISION, band_conv_cols, band_conv_rows
+
+        prec = DEFAULT_PRECISION
+        lead_r, L_r, lead_c, L_c = self.g_meta
+        y = band_conv_rows(x, (*self.g_rows_band, lead_r))
+        if self.g_rows_E is not None:
+            Et, Eb = self.g_rows_E
+            Km1 = Et.shape[0]
+            y = y.at[:Km1].add(jnp.matmul(Et, x[:L_r], precision=prec))
+            y = y.at[-Km1:].add(jnp.matmul(Eb, x[-L_r:], precision=prec))
+        g = band_conv_cols(y, (*self.g_cols_band, lead_c))
+        if self.g_cols_E is not None:
+            Et, Eb = self.g_cols_E
+            Km1 = Et.shape[0]
+            g = g.at[:, :Km1].add(jnp.matmul(y[:, :L_c], Et.T, precision=prec))
+            g = g.at[:, -Km1:].add(jnp.matmul(y[:, -L_c:], Eb.T, precision=prec))
+        return g
+
     def apply(self, x):
         from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows
 
+        if self.g_meta is not None:
+            return self._apply_fast2(x)
         r = self.rank
         l_rc, l_cc, l_ra, l_ca = self.leads
         t = None
