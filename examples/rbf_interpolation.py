@@ -52,5 +52,34 @@ def main():
     print(f"||K||={K.lipschitz:.2f} iters={info.n_iter} interpolation rel err={rel:.3f}")
 
 
+def main_large():
+    """Compact-support Wendland fit at a size the dense backend cannot hold:
+    50k x 50k kernel matrix would be 10 GB dense; the sparse backend stores
+    only the ~30 in-support neighbours per point (reference
+    sampling.py:975-1019 workflow, TPU gather/segment_sum apply)."""
+    from pycsou_tpu.math.green import Wendland
+
+    rng = np.random.default_rng(1)
+    n = 50_000
+    pts = rng.uniform(size=(n, 2)).astype(np.float32)
+    f_true = lambda p: np.sin(4 * np.pi * p[:, 0]) * np.cos(3 * np.pi * p[:, 1])
+    y = jnp.asarray(f_true(pts) + 0.02 * rng.standard_normal(n).astype(np.float32))
+
+    K = MappedDistanceMatrix(pts, pts, Wendland(k=2, epsilon=0.02), backend="sparse")
+    kmax = K._nbr_idx.shape[1]
+    K.compute_lipschitz_cst(maxiter=32)
+
+    F = SquaredL2Loss((n,), data=y) * K
+    G = 1e-3 * SquaredL2Norm((n,))
+    info = APGD((n,), F=F, G=G, max_iter=200, accuracy_threshold=1e-6).solve()
+    f_hat = np.asarray(K(info["x_temp"]))
+    rel = np.linalg.norm(f_hat - f_true(pts)) / np.linalg.norm(f_true(pts))
+    print(
+        f"sparse MDM: n={n} kmax={kmax} (dense would be {n*n*4/1e9:.0f} GB) "
+        f"iters={info.n_iter} fit rel err={rel:.3f}"
+    )
+
+
 if __name__ == "__main__":
     main()
+    main_large()

@@ -140,30 +140,57 @@ class LinearOperator(DifferentiableMap):
 
     def eigenvals(self, k: int = 1, which: str = "LM", maxiter: Optional[int] = None, symmetric: bool = True):
         """Extremal eigenvalues (reference linop.py:178) via on-device Lanczos
-        for self-adjoint operators; falls back to host ARPACK otherwise."""
+        for self-adjoint operators.
+
+        Non-symmetric operators have no on-device Arnoldi here yet: they fall
+        back to HOST-side scipy ARPACK through ``to_scipy_operator`` — every
+        matvec round-trips device<->host.  A warning is emitted."""
         if self.dim_shape != self.codim_shape:
             raise ValueError("eigenvals requires a square (endomorphic) operator")
         if symmetric:
-            from pycsou_tpu.utils.opnorm import lanczos_eigs
+            from pycsou_tpu.utils.opnorm import lanczos_eigs, smallest_eig_psd
 
+            if which == "SM":
+                # plain Lanczos is unreliable for interior/smallest-magnitude
+                # eigenvalues; for PSD operators route through the robust
+                # fold-trick helper (ARPACK shift-invert stand-in)
+                lam = smallest_eig_psd(self, maxiter=maxiter)
+                return jnp.asarray([lam])[:k]
             return lanczos_eigs(self, k=k, which=which, maxiter=maxiter)
+        import warnings
+
         import scipy.sparse.linalg as spla
 
+        warnings.warn(
+            "non-symmetric eigenvals fall back to host-side scipy ARPACK "
+            "(one device<->host round-trip per matvec); prefer symmetric=True "
+            "or singularvals() for on-device spectra",
+            stacklevel=2,
+        )
         return spla.eigs(self.to_scipy_operator(), k=k, which=which, maxiter=maxiter, return_eigenvectors=False)
 
-    def singularvals(self, k: int = 1, which: str = "LM", maxiter: Optional[int] = None):
+    def singularvals(self, k: int = 1, which: str = "LM", maxiter: Optional[int] = None, method: str = "fold"):
         """Extremal singular values (reference linop.py:228): sqrt of the
-        eigenvalues of the Gram operator, computed by on-device Lanczos."""
-        from pycsou_tpu.utils.opnorm import lanczos_eigs
+        eigenvalues of the (PSD) Gram operator.
 
+        ``which='SM'`` uses the spectrum-fold trick (or CG shift-invert with
+        ``method='shift-invert'``) — reliable where plain Lanczos is not
+        (reference reaches 'SM' via ARPACK shift-invert, linop.py:228-277).
+        """
+        from pycsou_tpu.utils.opnorm import lanczos_eigs, smallest_eig_psd
+
+        if which == "SM":
+            lam = smallest_eig_psd(self.gram, maxiter=maxiter, method=method)
+            return jnp.sqrt(jnp.clip(jnp.asarray([lam]), 0.0))[:k]
         evals = lanczos_eigs(self.gram, k=k, which=which, maxiter=maxiter)
         return jnp.sqrt(jnp.clip(jnp.real(evals), 0.0))
 
-    def cond(self, **kwargs) -> float:
-        """2-norm condition number sigma_max / sigma_min (reference linop.py:381)."""
-        sv = self.singularvals(k=1, which="LM", **kwargs)
-        sv_min = self.singularvals(k=1, which="SM", **kwargs)
-        return float(jnp.max(sv) / jnp.min(sv_min))
+    def cond(self, maxiter: Optional[int] = None, method: str = "fold") -> float:
+        """2-norm condition number sigma_max / sigma_min (reference
+        linop.py:381), with the robust smallest-singular-value path."""
+        sv = self.singularvals(k=1, which="LM", maxiter=maxiter)
+        sv_min = self.singularvals(k=1, which="SM", maxiter=maxiter, method=method)
+        return float(jnp.max(sv) / jnp.maximum(jnp.min(sv_min), 1e-30))
 
     # -- pseudo-inverse ----------------------------------------------------
     def pinv(self, y, damp: float = 0.0, tol: float = 1e-6, maxiter: int = 200):

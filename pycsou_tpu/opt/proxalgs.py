@@ -262,6 +262,8 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
                 raise ValueError("cannot auto-tune tau with beta = 0; pass tau=...")
             self.tau = 1.0 / self.beta
         self.x0 = jnp.zeros(dim_shape, dtype=jnp.float32) if x0 is None else jnp.asarray(x0)
+        # stopping metric on the feasible iterate x_temp
+        self.primary_var = "x_temp"
 
     def initial_state(self):
         return {"x": self.x0, "x_temp": 0 * self.x0, "t": jnp.asarray(1.0, jnp.float32)}
@@ -278,13 +280,6 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
         a = (t_old - 1) / t
         x = x_temp + a * (x_temp - x_old)
         return {"x": x, "x_temp": x_temp, "t": t}
-
-    def metric(self, old, new):
-        # stopping metric on the feasible iterate x_temp
-        x_old, x_new = old["x_temp"], new["x_temp"]
-        n_old = jnp.sqrt(jnp.real(jnp.vdot(x_old, x_old)))
-        n_diff = jnp.sqrt(jnp.real(jnp.vdot(x_new - x_old, x_new - x_old)))
-        return jnp.where(n_old == 0, jnp.inf, n_diff / jnp.where(n_old == 0, 1.0, n_old))
 
     def objective(self, x):
         return self.F.apply(x) + self.G.apply(x)

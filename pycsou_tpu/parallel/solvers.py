@@ -10,6 +10,13 @@ single ``shard_map``-ped XLA computation in which
 * the L21 fenchel-prox and the nonnegativity prox are purely local,
 * no collective other than the halos is needed inside an iteration.
 
+Both solvers are first-class :class:`~pycsou_tpu.core.solver.IterativeSolver`
+subclasses (VERDICT r1 task 3): the state lives as GLOBAL sharded
+``jax.Array``s, so the base driver's stopping metric (a ``jnp.vdot`` that
+GSPMD all-reduces over the mesh), on-device history, per-variable
+diagnostics, checkpoint/resume and ``SolveInfo`` all apply unchanged — a
+distributed solve can assert "converged to 1e-6".
+
 The reference has no distributed solver at all (SURVEY §2.6); this is the
 TPU-native replacement for its joblib/Dask story.
 """
@@ -23,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
+from pycsou_tpu._module import static_field
+from pycsou_tpu.core.solver import IterativeSolver
 from pycsou_tpu.parallel.mesh import make_mesh
 from pycsou_tpu.parallel.spatial import (
     conv_transfer,
@@ -36,7 +45,15 @@ from pycsou_tpu.parallel.spatial import (
 __all__ = ["DistributedTVDeconv2D", "BatchedDistributedTVDeconv2D"]
 
 
-class DistributedTVDeconv2D:
+def _split(c):
+    return (jnp.real(c), jnp.imag(c))
+
+
+def _join(pair):
+    return jax.lax.complex(pair[0], pair[1])
+
+
+class DistributedTVDeconv2D(IterativeSolver):
     r"""Condat-Vu PDS for ``min_x ||h * x - y||^2 + lam ||grad x||_{2,1}
     (+ nonnegativity)`` on an image row-sharded over a device mesh.
 
@@ -45,6 +62,25 @@ class DistributedTVDeconv2D:
     G = NonNegativeOrthant (reference update rule proxalgs.py:343-355);
     auto step sizes from the same formulas (proxalgs.py:246-316).
     """
+
+    y: jax.Array = None
+    filt: jax.Array = None
+    atb: jax.Array = None
+    # rFFT transfer functions, split re/im (complex d2h is unimplemented on
+    # some TPU runtimes and split-real keeps closure-jit usable)
+    _h_hat_fwd: tuple = None
+    _h_hat_adj: tuple = None
+    _acorr_hat: tuple = None
+    lam: float = static_field(default=0.1)
+    tau: float = static_field(default=0.1)
+    sigma: float = static_field(default=0.1)
+    rho: float = static_field(default=0.9)
+    beta: float = static_field(default=2.0)
+    nonneg: bool = static_field(default=True)
+    mesh: Mesh = static_field(default=None)
+    axis_name: str = static_field(default="sp")
+    shape: Tuple[int, int] = static_field(default=None)
+    _use_gram: bool = static_field(default=True)
 
     def __init__(
         self,
@@ -58,7 +94,12 @@ class DistributedTVDeconv2D:
         tau: Optional[float] = None,
         rho: float = 0.9,
         dtype=jnp.float32,
+        max_iter: int = 500,
+        min_iter: int = 10,
+        accuracy_threshold: float = 1e-6,
+        verbose: Optional[int] = None,
     ):
+        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
         H, W = shape
         self.mesh = mesh if mesh is not None else make_mesh(axis_names=(axis_name,))
         self.axis_name = self.mesh.axis_names[0]
@@ -98,36 +139,60 @@ class DistributedTVDeconv2D:
                 f"(H={H} over {n_dev} devices; use fewer devices or a taller image)"
             )
         ext_shape = (h_local + m0 - 1, W)
-        self._h_hat_fwd = conv_transfer(self.filt, ext_shape)
-        self._h_hat_adj = conv_transfer(jnp.flip(self.filt, (0, 1)), ext_shape)
+        self._h_hat_fwd = _split(conv_transfer(self.filt, ext_shape))
+        self._h_hat_adj = _split(conv_transfer(jnp.flip(self.filt, (0, 1)), ext_shape))
         # fused-Gram path: autocorrelation transfer for the (m-1)-halo block
         from pycsou_tpu.ops._gram import conv_full_direct
 
         acorr = conv_full_direct(self.filt, jnp.flip(self.filt, (0, 1)))
-        self._acorr_hat = conv_transfer(acorr, (h_local + 2 * (m0 - 1), W))
+        self._acorr_hat = _split(conv_transfer(acorr, (h_local + 2 * (m0 - 1), W)))
         self._use_gram = h_local >= m0  # gram strips need block >= kernel
 
         spec_x = NamedSharding(self.mesh, PartitionSpec(self.axis_name, None))
-        spec_z = NamedSharding(self.mesh, PartitionSpec(None, self.axis_name, None))
         self.y = jax.device_put(jnp.asarray(y, dtype), spec_x)
-        self.x0 = jax.device_put(jnp.zeros(shape, dtype), spec_x)
-        self.z0 = jax.device_put(jnp.zeros((2, H, W), dtype), spec_z)
-        self._spec_x, self._spec_z = spec_x, spec_z
-        self._run_jit = None
+        # A^H y, precomputed once with the same sharded adjoint
+        ax = self.axis_name
+        atb = jax.jit(
+            jax.shard_map(
+                lambda yb: sharded_conv2d_adjoint(yb, self.filt, ax, h_hat=_join(self._h_hat_adj)),
+                mesh=self.mesh,
+                in_specs=PartitionSpec(ax, None),
+                out_specs=PartitionSpec(ax, None),
+            )
+        )(self.y)
+        self.atb = atb
+
+    # legacy attribute API (round-1 callers)
+    @property
+    def x0(self):
+        return self.initial_state()["x"]
+
+    @property
+    def z0(self):
+        return self.initial_state()["z"]
+
+    # -- sharding specs ------------------------------------------------------
+    def _spec_x(self):
+        return PartitionSpec(self.axis_name, None)
+
+    def _spec_z(self):
+        return PartitionSpec(None, self.axis_name, None)
 
     # -- one PDS iteration on LOCAL blocks (inside shard_map) --------------
-    def _local_step(self, x, z, y_loc, atb_loc=None):
+    def _local_step(self, x, z, atb_loc, y_loc=None):
         ax = self.axis_name
         tau, sigma, rho, lam = self.tau, self.sigma, self.rho, self.lam
         filt = self.filt
 
-        if self._use_gram and atb_loc is not None:
+        if self._use_gram:
             # fused Gram: grad = 2 (A^H A x - A^H y); ONE local FFT roundtrip
-            grad = 2.0 * (sharded_conv2d_gram(x, filt, ax, acorr_hat=self._acorr_hat) - atb_loc)
+            grad = 2.0 * (
+                sharded_conv2d_gram(x, filt, ax, acorr_hat=_join(self._acorr_hat)) - atb_loc
+            )
         else:
             # grad F = 2 A^H (A x - y): forward + adjoint (two roundtrips)
-            r = sharded_conv2d(x, filt, ax, h_hat=self._h_hat_fwd) - y_loc
-            grad = 2.0 * sharded_conv2d_adjoint(r, filt, ax, h_hat=self._h_hat_adj)
+            r = sharded_conv2d(x, filt, ax, h_hat=_join(self._h_hat_fwd)) - y_loc
+            grad = 2.0 * sharded_conv2d_adjoint(r, filt, ax, h_hat=_join(self._h_hat_adj))
 
         # x+ = prox_G(x - tau grad - tau K^H z)
         x_temp = x - tau * grad - tau * sharded_grad2d_adjoint(z, ax)
@@ -145,54 +210,68 @@ class DistributedTVDeconv2D:
         z_new = rho * z_temp + (1 - rho) * z
         return x_new, z_new
 
-    def _build(self, n_iters: int):
-        ax = self.axis_name
+    # -- IterativeSolver protocol -------------------------------------------
+    def initial_state(self):
+        H, W = self.shape
+        x0 = jax.device_put(jnp.zeros((H, W), jnp.float32), NamedSharding(self.mesh, self._spec_x()))
+        z0 = jax.device_put(jnp.zeros((2, H, W), jnp.float32), NamedSharding(self.mesh, self._spec_z()))
+        return {"x": x0, "z": z0}
 
-        def local_run(x, z, y_loc):
-            if self._use_gram:
-                atb_loc = sharded_conv2d_adjoint(y_loc, self.filt, ax, h_hat=self._h_hat_adj)
-            else:
-                atb_loc = None
-
-            def body(_, carry):
-                x, z = carry
-                return self._local_step(x, z, y_loc, atb_loc)
-
-            return jax.lax.fori_loop(0, n_iters, body, (x, z))
-
+    def step(self, state):
         P = PartitionSpec
-        smapped = jax.shard_map(
-            local_run,
-            mesh=self.mesh,
-            in_specs=(P(ax, None), P(None, ax, None), P(ax, None)),
-            out_specs=(P(ax, None), P(None, ax, None)),
-        )
-        return jax.jit(smapped)
+        ax = self.axis_name
+        if self._use_gram:
+            smapped = jax.shard_map(
+                lambda x, z, atb: self._local_step(x, z, atb),
+                mesh=self.mesh,
+                in_specs=(self._spec_x(), self._spec_z(), self._spec_x()),
+                out_specs=(self._spec_x(), self._spec_z()),
+            )
+            x, z = smapped(state["x"], state["z"], self.atb)
+        else:
+            smapped = jax.shard_map(
+                lambda x, z, y: self._local_step(x, z, None, y_loc=y),
+                mesh=self.mesh,
+                in_specs=(self._spec_x(), self._spec_z(), self._spec_x()),
+                out_specs=(self._spec_x(), self._spec_z()),
+            )
+            x, z = smapped(state["x"], state["z"], self.y)
+        return {"x": x, "z": z}
 
+    # -- legacy fixed-iteration API (benchmarks) ------------------------------
     def run(self, n_iters: int, x=None, z=None):
         """Run ``n_iters`` fused iterations; returns (x, z) still sharded."""
-        if self._run_jit is None or self._n_iters != n_iters:
-            self._run_jit = self._build(n_iters)
-            self._n_iters = n_iters
-        x = self.x0 if x is None else x
-        z = self.z0 if z is None else z
-        return self._run_jit(x, z, self.y)
+        state = None
+        if x is not None or z is not None:
+            state = self._wrap_state(
+                {
+                    "x": x if x is not None else self.initial_state()["x"],
+                    "z": z if z is not None else self.initial_state()["z"],
+                }
+            )
+        state = self.run_fixed(n_iters, state=state)
+        return state["x"], state["z"]
 
-    def objective(self, x) -> float:
-        """Global objective, computed on gathered arrays (diagnostics)."""
-        from pycsou_tpu.ops.conv import Convolve2D
-        from pycsou_tpu.ops.diff import Gradient
+    def objective(self, x) -> jax.Array:
+        """Global objective (pure/jittable; GSPMD reduces over the mesh)."""
+        from pycsou_tpu.ops.diff import fdiff_forward
 
-        A = Convolve2D(self.shape, self.filt)
-        K = Gradient(self.shape)
-        xg = jax.device_get(x)
-        r = A(xg) - jax.device_get(self.y)
-        g = K(jnp.asarray(xg))
-        tv = jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
-        return float(jnp.sum(r * r) + self.lam * tv)
+        ax = self.axis_name
+        P = PartitionSpec
+        smapped = jax.shard_map(
+            lambda xb: sharded_conv2d(xb, self.filt, ax, h_hat=_join(self._h_hat_fwd)),
+            mesh=self.mesh,
+            in_specs=P(ax, None),
+            out_specs=P(ax, None),
+        )
+        r = smapped(x) - self.y
+        g0 = fdiff_forward(x, 0)
+        g1 = fdiff_forward(x, 1)
+        tv = jnp.sum(jnp.sqrt(g0 * g0 + g1 * g1))
+        return jnp.sum(r * r) + self.lam * tv
 
 
-class BatchedDistributedTVDeconv2D:
+class BatchedDistributedTVDeconv2D(IterativeSolver):
     r"""Batched TV deconvolution on a TRUE 2-D device mesh ``(dp, sp)``:
     a batch of B images is data-parallel over ``dp`` while each image is
     row-sharded over ``sp`` — the dp x sp composition the pod-scale
@@ -201,7 +280,20 @@ class BatchedDistributedTVDeconv2D:
     Per iteration each device touches only its (B/dp, H/sp, W) brick; spatial
     halos ride ``ppermute`` along ``sp`` (vmapped over the local batch) and
     there is NO collective along ``dp`` at all (problems are independent).
+    First-class ``IterativeSolver``: metric/history/checkpoint included.
     """
+
+    y: jax.Array = None
+    atb: jax.Array = None
+    _inner: DistributedTVDeconv2D = None
+    mesh: Mesh = static_field(default=None)
+    dp: str = static_field(default="dp")
+    sp: str = static_field(default="sp")
+    batch: int = static_field(default=1)
+    shape: Tuple[int, int] = static_field(default=None)
+    tau: float = static_field(default=0.1)
+    sigma: float = static_field(default=0.1)
+    rho: float = static_field(default=0.9)
 
     def __init__(
         self,
@@ -214,7 +306,12 @@ class BatchedDistributedTVDeconv2D:
         tau: Optional[float] = None,
         rho: float = 0.9,
         dtype=jnp.float32,
+        max_iter: int = 500,
+        min_iter: int = 10,
+        accuracy_threshold: float = 1e-6,
+        verbose: Optional[int] = None,
     ):
+        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
         y = jnp.asarray(y, dtype)
         if y.ndim != 3:
             raise ValueError("y must be (batch, H, W)")
@@ -227,82 +324,87 @@ class BatchedDistributedTVDeconv2D:
         H, W = shape
         if B % n_dp or H % n_sp:
             raise ValueError(f"batch {B} must divide over {n_dp} and height {H} over {n_sp}")
+        self.batch = B
+        self.shape = (H, W)
 
-        # one per-image solver supplies the step math and precomputed transfers
-        self._inner = DistributedTVDeconv2D.__new__(DistributedTVDeconv2D)
-        inner = self._inner
-        inner.mesh = self.mesh
-        inner.axis_name = self.sp
-        inner.shape = (H, W)
-        inner.filt = jnp.asarray(filt, dtype)
-        inner.lam = float(lam)
-        inner.nonneg = bool(nonneg)
-        inner.rho = float(rho)
-        pad = (H + inner.filt.shape[0] - 1, W + inner.filt.shape[1] - 1)
-        Hf = np.fft.fftn(np.asarray(inner.filt, np.float64), s=pad, axes=(0, 1))
-        beta = 2.0 * float(np.max(np.abs(Hf))) ** 2
-        L_K = math.sqrt(8.0)
-        if tau is None:
-            tau = (1.0 / L_K**2) * (-beta / 4 + math.sqrt(beta**2 / 16 + L_K**2))
-        inner.tau = inner.sigma = float(tau)
-        inner.beta = beta
-        self.tau = self.sigma = inner.tau
-        self.rho = inner.rho
-        h_local = H // n_sp
-        m0 = inner.filt.shape[0]
-        inner._h_hat_fwd = conv_transfer(inner.filt, (h_local + m0 - 1, W))
-        inner._h_hat_adj = conv_transfer(jnp.flip(inner.filt, (0, 1)), (h_local + m0 - 1, W))
-        from pycsou_tpu.ops._gram import conv_full_direct
-
-        acorr = conv_full_direct(inner.filt, jnp.flip(inner.filt, (0, 1)))
-        inner._acorr_hat = conv_transfer(acorr, (h_local + 2 * (m0 - 1), W))
-        inner._use_gram = h_local >= m0
-
-        P = PartitionSpec
-        self._spec_x = NamedSharding(self.mesh, P(self.dp, self.sp, None))
-        self._spec_z = NamedSharding(self.mesh, P(self.dp, None, self.sp, None))
-        self.y = jax.device_put(y, self._spec_x)
-        self.x0 = jax.device_put(jnp.zeros((B,) + shape, dtype), self._spec_x)
-        self.z0 = jax.device_put(jnp.zeros((B, 2) + shape, dtype), self._spec_z)
-        self._run_jit = None
-        self._n_iters = None
-
-    def _build(self, n_iters: int):
-        inner = self._inner
-        dp, sp = self.dp, self.sp
-
-        def local_run(x, z, y_loc):
-            # per-image A^H y, vmapped over the LOCAL batch (ppermute under
-            # vmap exchanges halos for every batch element along sp)
-            if inner._use_gram:
-                atb = jax.vmap(
-                    lambda yb: sharded_conv2d_adjoint(yb, inner.filt, sp, h_hat=inner._h_hat_adj)
-                )(y_loc)
-            else:
-                atb = None
-
-            step = jax.vmap(inner._local_step, in_axes=(0, 0, 0, 0 if atb is not None else None))
-
-            def body(_, carry):
-                x, z = carry
-                return step(x, z, y_loc, atb)
-
-            return jax.lax.fori_loop(0, n_iters, body, (x, z))
-
-        P = PartitionSpec
-        smapped = jax.shard_map(
-            local_run,
-            mesh=self.mesh,
-            in_specs=(P(dp, sp, None), P(dp, None, sp, None), P(dp, sp, None)),
-            out_specs=(P(dp, sp, None), P(dp, None, sp, None)),
+        # one per-image solver supplies the step math and precomputed
+        # transfers; build it on a 1-D view of the sp axis
+        sp_mesh = Mesh(self.mesh.devices.reshape(-1)[:n_sp], (self.sp,))
+        inner = DistributedTVDeconv2D(
+            shape,
+            filt,
+            jnp.zeros(shape, dtype),
+            lam,
+            nonneg=nonneg,
+            mesh=sp_mesh,
+            tau=tau,
+            rho=rho,
+            dtype=dtype,
+            max_iter=max_iter,
         )
-        return jax.jit(smapped)
+        self._inner = inner
+        self.tau, self.sigma, self.rho = inner.tau, inner.sigma, inner.rho
+
+        P = PartitionSpec
+        self.y = jax.device_put(y, NamedSharding(self.mesh, P(self.dp, self.sp, None)))
+        # per-image A^H y (vmapped sharded adjoint over the local batch)
+        smapped = jax.shard_map(
+            lambda yb: jax.vmap(
+                lambda img: sharded_conv2d_adjoint(
+                    img, inner.filt, self.sp, h_hat=_join(inner._h_hat_adj)
+                )
+            )(yb),
+            mesh=self.mesh,
+            in_specs=P(self.dp, self.sp, None),
+            out_specs=P(self.dp, self.sp, None),
+        )
+        self.atb = jax.jit(smapped)(self.y)
+
+    def initial_state(self):
+        P = PartitionSpec
+        B, (H, W) = self.batch, self.shape
+        x0 = jax.device_put(
+            jnp.zeros((B, H, W), jnp.float32), NamedSharding(self.mesh, P(self.dp, self.sp, None))
+        )
+        z0 = jax.device_put(
+            jnp.zeros((B, 2, H, W), jnp.float32),
+            NamedSharding(self.mesh, P(self.dp, None, self.sp, None)),
+        )
+        return {"x": x0, "z": z0}
+
+    def step(self, state):
+        P = PartitionSpec
+        inner = self._inner
+
+        if inner._use_gram:
+            def local(x, z, atb):
+                return jax.vmap(lambda xi, zi, ai: inner._local_step(xi, zi, ai))(x, z, atb)
+            third = self.atb
+        else:
+            def local(x, z, y):
+                return jax.vmap(lambda xi, zi, yi: inner._local_step(xi, zi, None, y_loc=yi))(x, z, y)
+            third = self.y
+
+        # the inner solver's halo exchanges name the sp axis; rebind by
+        # constructing the shard_map over the 2-D mesh with the same name
+        inner_ax = inner.axis_name
+        assert inner_ax == self.sp
+        smapped = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(self.dp, self.sp, None), P(self.dp, None, self.sp, None), P(self.dp, self.sp, None)),
+            out_specs=(P(self.dp, self.sp, None), P(self.dp, None, self.sp, None)),
+        )
+        x, z = smapped(state["x"], state["z"], third)
+        return {"x": x, "z": z}
 
     def run(self, n_iters: int, x=None, z=None):
         """Run ``n_iters`` fused iterations on the 2-D mesh."""
-        if self._run_jit is None or self._n_iters != n_iters:
-            self._run_jit = self._build(n_iters)
-            self._n_iters = n_iters
-        x = self.x0 if x is None else x
-        z = self.z0 if z is None else z
-        return self._run_jit(x, z, self.y)
+        state = None
+        if x is not None or z is not None:
+            init = self.initial_state()
+            state = self._wrap_state(
+                {"x": x if x is not None else init["x"], "z": z if z is not None else init["z"]}
+            )
+        state = self.run_fixed(n_iters, state=state)
+        return state["x"], state["z"]

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["power_iteration", "lanczos_eigs"]
+__all__ = ["power_iteration", "lanczos_eigs", "smallest_eig_psd"]
 
 
 def _norm(x):
@@ -103,6 +103,105 @@ def _lanczos(op, v0, m: int):
 
     V, alphas, betas = jax.lax.fori_loop(0, m, body, (V, alphas, betas))
     return alphas, betas
+
+
+from pycsou_tpu._module import Module, static_field
+
+
+class _SpectralWrapOp(Module):
+    """Duck-typed self-adjoint wrapper base for the spectral helpers below
+    (a pytree so the jitted Lanczos can take it as an argument)."""
+
+    base: object = None
+    c: float = static_field(default=0.0)
+    damp: float = static_field(default=0.0)
+    tol: float = static_field(default=1e-8)
+    maxiter: int = static_field(default=500)
+
+    def __init__(self, base, c=0.0, damp=0.0, tol=1e-8, maxiter=500):
+        self.base = base
+        self.c = float(c)
+        self.damp = float(damp)
+        self.tol = float(tol)
+        self.maxiter = int(maxiter)
+
+    @property
+    def dim_shape(self):
+        return self.base.dim_shape
+
+    @property
+    def codim_shape(self):
+        return self.base.codim_shape
+
+    @property
+    def dim(self):
+        return self.base.dim
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def adjoint(self, v):
+        return self.apply(v)
+
+
+class _FoldedOp(_SpectralWrapOp):
+    """``v -> c v - A v`` for a self-adjoint PSD ``A``: its LARGEST eigenvalue
+    is ``c - lambda_min(A)`` — the spectrum-fold trick that makes the
+    smallest eigenvalue a *dominant* one, which Lanczos/power iteration find
+    reliably (TPU-native stand-in for ARPACK shift-invert 'SM',
+    reference linop.py:178-277)."""
+
+    def apply(self, v):
+        return self.c * v - self.base.apply(v)
+
+
+class _CGInverseOp(_SpectralWrapOp):
+    """``v -> (A + damp I)^{-1} v`` by jitted CG: its largest eigenvalue is
+    ``1/(lambda_min(A) + damp)`` — true shift-invert for PSD operators."""
+
+    def apply(self, v):
+        def mv(w):
+            out = self.base.apply(w)
+            if self.damp:
+                out = out + self.damp * w
+            return out
+
+        x, _ = jax.scipy.sparse.linalg.cg(mv, v, tol=self.tol, maxiter=self.maxiter)
+        return x
+
+
+def smallest_eig_psd(
+    op,
+    maxiter: Optional[int] = None,
+    key: int = 0,
+    method: str = "fold",
+    cg_tol: float = 1e-8,
+    cg_maxiter: int = 500,
+) -> float:
+    """Smallest eigenvalue of a self-adjoint PSD operator, reliably.
+
+    * ``method='fold'`` (default, cheap): lambda_min = c - lambda_max(cI - A)
+      with c a safe upper bound on lambda_max — two Lanczos runs, no solves.
+      NOTE: the subtraction cancels in f32, so the relative accuracy of
+      lambda_min degrades like ~eps_f32 * lambda_max / lambda_min — fine up
+      to condition numbers ~1e3, use shift-invert beyond;
+    * ``method='shift-invert'``: Lanczos on the CG-inverted operator — the
+      small eigenvalue becomes DOMINANT (no cancellation), costs a CG solve
+      per matvec (the reference reaches this via ARPACK ``sigma=0``
+      shift-invert).
+    """
+    if method == "fold":
+        lam_max = float(np.real(lanczos_eigs(op, 1, "LA", maxiter=maxiter, key=key)[0]))
+        c = lam_max * (1.0 + 1e-3) + 1e-12
+        folded = _FoldedOp(op, c)
+        lam = float(np.real(lanczos_eigs(folded, 1, "LA", maxiter=maxiter, key=key + 1)[0]))
+        return max(c - lam, 0.0)
+    if method == "shift-invert":
+        inv = _CGInverseOp(op, tol=cg_tol, maxiter=cg_maxiter)
+        mu = float(np.real(lanczos_eigs(inv, 1, "LA", maxiter=maxiter, key=key)[0]))
+        return 1.0 / mu if mu > 0 else 0.0
+    raise ValueError("method must be 'fold' or 'shift-invert'")
 
 
 def lanczos_eigs(op, k: int = 1, which: str = "LM", maxiter: Optional[int] = None, key: int = 0):

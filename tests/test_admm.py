@@ -96,3 +96,64 @@ def test_consensus_admm_with_prox_reg(rng):
 
     assert objective(z) < objective(np.zeros(shape))
     assert np.isfinite(z).all()
+
+
+def test_consensus_admm_cg_matches_direct_dense_solve(rng):
+    """VERDICT r1 task 4: arbitrary (non-convolutional) dense A_i via the
+    jitted-CG x-update must reach the closed-form least-squares solution
+    z* = (sum A_i^T A_i)^-1 sum A_i^T y_i."""
+    from pycsou_tpu.ops.basic import DenseOperator
+    from pycsou_tpu.opt.admm import stack_operators
+
+    mesh = make_mesh((8,), ("dp",))
+    n, m, S = 12, 20, 8
+    x_true = rng.standard_normal(n).astype(np.float32)
+    mats, ys, ops = [], [], []
+    for _ in range(S):
+        M = rng.standard_normal((m, n)).astype(np.float32)
+        mats.append(M)
+        ys.append(M @ x_true + 0.01 * rng.standard_normal(m).astype(np.float32))
+        ops.append(DenseOperator(jnp.asarray(M)))
+    stacked = stack_operators(ops)
+
+    admm = ConsensusADMM((n,), ops=stacked, data=np.stack(ys), g=None, rho=1.0, mesh=mesh, cg_maxiter=40)
+    z = np.asarray(admm.run(200))
+
+    AtA = sum(M.T @ M for M in mats)
+    Aty = sum(M.T @ y for M, y in zip(mats, ys))
+    z_star = np.linalg.solve(AtA, Aty)
+    np.testing.assert_allclose(z, z_star, rtol=5e-3, atol=5e-3)
+
+
+def test_consensus_admm_is_first_class_solver(rng):
+    """ADMM runs the full IterativeSolver machinery: converges to tolerance
+    with a recorded metric history on the mesh."""
+    from pycsou_tpu.ops.basic import DenseOperator
+    from pycsou_tpu.opt.admm import stack_operators
+
+    mesh = make_mesh((8,), ("dp",))
+    n, m, S = 10, 16, 8
+    x_true = rng.standard_normal(n).astype(np.float32)
+    ops, ys = [], []
+    for _ in range(S):
+        M = rng.standard_normal((m, n)).astype(np.float32)
+        ops.append(DenseOperator(jnp.asarray(M)))
+        ys.append(M @ x_true)
+    admm = ConsensusADMM(
+        (n,), ops=stack_operators(ops), data=np.stack(ys), rho=1.0, mesh=mesh,
+        max_iter=2000, accuracy_threshold=1e-6,
+    )
+    info = admm.solve()
+    assert info.converged
+    assert info.history[info.n_iter - 1] <= 1e-6
+    np.testing.assert_allclose(np.asarray(info["z"]), x_true, rtol=1e-2, atol=1e-2)
+
+
+def test_stack_operators_rejects_mixed(rng):
+    from pycsou_tpu.ops.basic import DenseOperator, DiagonalOperator
+    from pycsou_tpu.opt.admm import stack_operators
+
+    a = DenseOperator(jnp.ones((3, 3)))
+    b = DiagonalOperator(jnp.ones(3))
+    with pytest.raises(ValueError):
+        stack_operators([a, b])

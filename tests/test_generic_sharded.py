@@ -1,0 +1,151 @@
+"""Generic SPMD solvers (VERDICT r1 task 2): the *generic* PDS/APGD run over
+a device mesh for ARBITRARY operator expressions via GSPMD sharding
+constraints — no hand-written distributed solver involved — and produce
+iterates identical to the single-device run.
+
+Also covers the per-variable diagnostics parity (VERDICT task 7): primal AND
+dual relative improvements recorded per iteration, like the reference's
+diagnostics frame (/root/reference/pycsou/opt/proxalgs.py:366-394).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pycsou_tpu.parallel import make_mesh
+
+
+def _gauss(k, s):
+    ax = np.arange(k) - k // 2
+    g = np.exp(-(ax**2) / (2 * s**2))
+    g2 = np.outer(g, g)
+    return jnp.asarray(g2 / g2.sum(), jnp.float32)
+
+
+def _tv_pds(shape, y, filt, **kw):
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.opt import PDS
+
+    A = Convolve2D(shape, filt)
+    F = SquaredL2Loss(shape, data=y) * A
+    return PDS(
+        shape,
+        F=F,
+        G=NonNegativeOrthant(shape),
+        H=0.05 * L21Norm((2,) + shape, axis=0),
+        K=Gradient(shape),
+        **kw,
+    )
+
+
+def test_generic_pds_sharded_tv_equals_single_device(rng):
+    """BASELINE config 3 via the GENERIC solver, row-sharded over 8 devices."""
+    shape = (64, 64)
+    filt = _gauss(7, 1.5)
+    x_true = jnp.asarray(np.abs(rng.standard_normal(shape)), jnp.float32)
+    from pycsou_tpu.ops.conv import Convolve2D
+
+    y = Convolve2D(shape, filt)(x_true)
+
+    solver = _tv_pds(shape, y, filt, max_iter=100)
+    ref = solver.run_fixed(30)
+
+    mesh = make_mesh(axis_names=("sp",))
+    sharded = solver.with_shardings(
+        x=NamedSharding(mesh, P("sp", None)),
+        z=NamedSharding(mesh, P(None, "sp", None)),
+    )
+    got = sharded.run_fixed(30)
+    # iterates identical (same math, XLA-inserted collectives)
+    np.testing.assert_allclose(np.asarray(got["x"]), np.asarray(ref["x"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["z"]), np.asarray(ref["z"]), rtol=1e-4, atol=1e-5)
+    # the iterate actually lives sharded on the mesh
+    shards = got["x"].sharding
+    assert isinstance(shards, NamedSharding) and shards.spec[0] == "sp"
+    assert not got["x"].sharding.is_fully_replicated
+
+
+def test_generic_apgd_sharded_stacked_recovery(rng):
+    """BASELINE config 4 (stacked sparse + DCT-lowpass recovery) through the
+    generic APGD, sharded over the mesh."""
+    from pycsou_tpu.func import L1Norm, SquaredL2Loss
+    from pycsou_tpu.ops import DCTOperator, Masking, SubSampling
+    from pycsou_tpu.ops.stack import LinOpVStack
+    from pycsou_tpu.opt import APGD
+
+    n = 256
+    c_true = np.zeros(n, np.float32)
+    c_true[rng.choice(100, 12, replace=False)] = rng.standard_normal(12).astype(np.float32)
+    dct = DCTOperator((n,))
+    x_true = dct.adjoint(jnp.asarray(c_true))
+    mask = rng.uniform(size=n) < 0.4
+    K = LinOpVStack([Masking((n,), mask), SubSampling((n,), np.arange(24)) * dct])
+    K.compute_lipschitz_cst()
+    y = K(x_true)
+
+    F = SquaredL2Loss(K.codim_shape, data=y) * K
+    G = 0.01 * (L1Norm((n,)) * dct)
+    solver = APGD((n,), F=F, G=G, max_iter=200)
+    ref = solver.run_fixed(60)
+
+    mesh = make_mesh(axis_names=("sp",))
+    sh = NamedSharding(mesh, P("sp"))
+    got = solver.with_shardings(x=sh, x_temp=sh).run_fixed(60)
+    np.testing.assert_allclose(
+        np.asarray(got["x_temp"]), np.asarray(ref["x_temp"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_solve_converges_and_matches(rng):
+    """Full solve() (while_loop driver, stopping metric, diagnostics) under
+    shardings gives the single-device answer."""
+    shape = (32, 64)
+    filt = _gauss(5, 1.0)
+    x_true = jnp.asarray(np.abs(rng.standard_normal(shape)), jnp.float32)
+    from pycsou_tpu.ops.conv import Convolve2D
+
+    y = Convolve2D(shape, filt)(x_true)
+    ref = _tv_pds(shape, y, filt, max_iter=150, accuracy_threshold=1e-5).solve()
+
+    mesh = make_mesh(axis_names=("sp",))
+    solver = _tv_pds(shape, y, filt, max_iter=150, accuracy_threshold=1e-5).with_shardings(
+        x=NamedSharding(mesh, P("sp", None)),
+        z=NamedSharding(mesh, P(None, "sp", None)),
+    )
+    info = solver.solve()
+    assert info.converged == ref.converged
+    np.testing.assert_allclose(np.asarray(info["x"]), np.asarray(ref["x"]), rtol=1e-4, atol=1e-5)
+
+
+def test_per_variable_diagnostics(rng):
+    """Primal AND dual relative improvements are recorded (reference
+    proxalgs.py:366-394 parity)."""
+    shape = (16, 16)
+    filt = _gauss(5, 1.0)
+    y = jnp.asarray(np.abs(rng.standard_normal(shape)), jnp.float32)
+    info = _tv_pds(shape, y, filt, max_iter=40, accuracy_threshold=0.0).solve()
+    assert set(info.diagnostics) == {"x", "z"}
+    assert info.diagnostics["x"].shape == (info.n_iter,)
+    # the primal diagnostic IS the stopping history
+    np.testing.assert_allclose(info.diagnostics["x"], info.history, rtol=1e-6)
+    # dual moved too
+    assert np.isfinite(info.diagnostics["z"][5:]).all()
+    assert (info.diagnostics["z"][5:] > 0).any()
+
+
+def test_apgd_diagnostics_primary_var(rng):
+    from pycsou_tpu.func import SquaredL2Loss
+    from pycsou_tpu.ops.basic import DenseOperator
+    from pycsou_tpu.opt import APGD
+
+    A = DenseOperator(jnp.asarray(rng.standard_normal((20, 12)), jnp.float32))
+    A.compute_lipschitz_cst()
+    y = A(jnp.asarray(rng.standard_normal(12), jnp.float32))
+    F = SquaredL2Loss((20,), data=y) * A
+    solver = APGD((12,), F=F, max_iter=50, accuracy_threshold=0.0)
+    info = solver.solve()
+    assert "x_temp" in info.diagnostics and "x" in info.diagnostics
+    np.testing.assert_allclose(info.diagnostics["x_temp"], info.history, rtol=1e-6)

@@ -397,3 +397,37 @@ def test_gradient_equals_stack_of_derivatives(rng):
     np.testing.assert_allclose(G1(x), G2(x), rtol=1e-5)
     z = jarr(rng, 2, 6, 7)
     np.testing.assert_allclose(G1.adjoint(z), G2.adjoint(z), rtol=1e-4)
+
+
+def test_mdm_sparse_backend_equals_dense(rng, dot_test):
+    """Compact-support (cKDTree + gather/segment_sum) backend == dense for a
+    Wendland kernel (reference sampling.py:975-1019 parity)."""
+    from pycsou_tpu.math.green import Wendland
+    from pycsou_tpu.ops.sampling import MappedDistanceMatrix
+
+    s1 = rng.uniform(size=(120, 2)).astype(np.float32)
+    s2 = rng.uniform(size=(90, 2)).astype(np.float32)
+    f = Wendland(k=1, epsilon=0.2)
+    dense = MappedDistanceMatrix(s1, s2, f, backend="dense")
+    sparse = MappedDistanceMatrix(s1, s2, f, backend="sparse")
+    # the neighbour lists are genuinely compact
+    assert sparse._nbr_idx.shape[1] < 60
+    x = jnp.asarray(rng.standard_normal(90), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(120), jnp.float32)
+    np.testing.assert_allclose(np.asarray(sparse(x)), np.asarray(dense(x)), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sparse.adjoint(y)), np.asarray(dense.adjoint(y)), rtol=1e-4, atol=1e-5
+    )
+    dot_test(sparse)
+
+
+def test_mdm_sparse_requires_support(rng):
+    from pycsou_tpu.ops.sampling import MappedDistanceMatrix
+
+    s = rng.uniform(size=(10, 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="support"):
+        MappedDistanceMatrix(s, s, lambda d: jnp.exp(-d), backend="sparse")
+    # explicit radius works for kernels without a .support attribute
+    op = MappedDistanceMatrix(s, s, lambda d: jnp.maximum(1 - d / 0.3, 0.0), backend="sparse", support=0.3)
+    x = jnp.asarray(rng.standard_normal(10), jnp.float32)
+    assert op(x).shape == (10,)

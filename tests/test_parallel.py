@@ -143,3 +143,44 @@ def test_batched_2d_mesh_matches_per_image(rng):
         np.testing.assert_allclose(
             np.asarray(xb)[b], np.asarray(xs), rtol=1e-4, atol=1e-5
         )
+
+
+def test_distributed_solver_is_first_class(rng, mesh):
+    """VERDICT r1 task 3: the distributed solver runs the full
+    IterativeSolver machinery — stopping metric (GSPMD-reduced), on-device
+    history, per-variable diagnostics — and can assert convergence to 1e-6
+    on the mesh."""
+    H, W = 32, 16
+    h = jnp.asarray(rng.standard_normal((5, 5)) / 5, dtype=jnp.float32)
+    x_true = jnp.asarray(np.abs(rng.standard_normal((H, W))), dtype=jnp.float32)
+    A = Convolve2D((H, W), h)
+    y = A(x_true)
+
+    dist = DistributedTVDeconv2D(
+        (H, W), h, y, 0.02, mesh=mesh, max_iter=3000, accuracy_threshold=1e-6
+    )
+    info = dist.solve()
+    assert info.converged, f"did not reach 1e-6 in {info.n_iter} iters"
+    assert info.history[info.n_iter - 1] <= 1e-6
+    assert set(info.diagnostics) == {"x", "z"}
+    # the solution is still sharded over the mesh
+    assert not info["x"].sharding.is_fully_replicated
+
+
+def test_distributed_solver_checkpoint_resume(rng, mesh, tmp_path):
+    """Checkpoint/resume reaches the same iterate as an uninterrupted solve."""
+    H, W = 32, 16
+    h = jnp.asarray(rng.standard_normal((5, 5)) / 5, dtype=jnp.float32)
+    y = jnp.asarray(np.abs(rng.standard_normal((H, W))), dtype=jnp.float32)
+    mk = lambda: DistributedTVDeconv2D(
+        (H, W), h, y, 0.05, mesh=mesh, max_iter=40, min_iter=5, accuracy_threshold=0.0, verbose=20
+    )
+    full = mk().solve()
+    ck = str(tmp_path / "dist_ck")
+    s1 = mk()
+    s1.max_iter = 20
+    s1.solve(checkpoint_dir=ck)  # stops at 20, checkpointed
+    resumed = mk().solve(checkpoint_dir=ck)  # resumes 20 -> 40
+    np.testing.assert_allclose(
+        np.asarray(resumed["x"]), np.asarray(full["x"]), rtol=1e-4, atol=1e-5
+    )
