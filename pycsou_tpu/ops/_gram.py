@@ -20,7 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["conv_full_direct", "conv2d_gram_apply", "make_conv2d_gram"]
+__all__ = [
+    "conv_full_direct",
+    "conv2d_gram_apply",
+    "make_conv2d_gram",
+    "convnd_gram_apply",
+    "make_convnd_gram",
+]
 
 
 def conv_full_direct(a: jax.Array, h: jax.Array, h_hat=None) -> jax.Array:
@@ -292,3 +298,106 @@ def make_conv2d_gram(dim_shape: Tuple[int, int], filt_np: np.ndarray, fft_shape:
     H = jnp.fft.rfft2(jnp.asarray(filt_np), s=L)
     h2_hat = (H * jnp.conj(H)).real
     return h2_hat, L
+
+
+# ---------------------------------------------------------------------------
+# N-dimensional exact fused Gram (extends conv2d_gram_apply to volumes —
+# BASELINE's 3-D deconvolution config; reference has no 3-D convolution at
+# all, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def _conv_full_nd(a: jax.Array, h: jax.Array, h_hat=None) -> jax.Array:
+    """'full'-mode n-D convolution of a thin slab (FFT-based)."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
+    full = tuple(sa + sh - 1 for sa, sh in zip(a.shape, h.shape))
+    s = tuple(next_fast_len(f) for f in full)
+    axes = tuple(range(a.ndim))
+    A = jnp.fft.rfftn(a, s=s, axes=axes)
+    H = jnp.fft.rfftn(h, s=s, axes=axes) if h_hat is None else h_hat
+    out = jnp.fft.irfftn(A * H, s=s, axes=axes)
+    return out[tuple(slice(0, f) for f in full)].astype(a.dtype)
+
+
+def _corr_into_nd(out, strip, h, offs):
+    """Subtract ``A_full^T`` of a slab located at full-grid offset ``offs``
+    from ``out`` (n-D generalisation of ``_corr_into``)."""
+    c = _conv_full_nd(strip, jnp.flip(h, tuple(range(h.ndim))))
+    sl_out, sl_c = [], []
+    for d in range(out.ndim):
+        j_lo = offs[d] - (h.shape[d] - 1)
+        q_lo = max(0, -j_lo)
+        j_start = max(0, j_lo)
+        q_hi = min(c.shape[d], out.shape[d] - j_lo)
+        if q_hi <= q_lo:
+            return out
+        sl_c.append(slice(q_lo, q_hi))
+        sl_out.append(slice(j_start, j_start + (q_hi - q_lo)))
+    return out.at[tuple(sl_out)].add(-c[tuple(sl_c)])
+
+
+def make_convnd_gram(dim_shape: Tuple[int, ...], filt_np: np.ndarray):
+    """Precompute (|rfftn(h, L)|^2, L) for ``convnd_gram_apply``."""
+    from pycsou_tpu.ops.conv import next_fast_len
+
+    L = tuple(next_fast_len(n + 2 * m - 2) for n, m in zip(dim_shape, filt_np.shape))
+    axes = tuple(range(len(L)))
+    H = jnp.fft.rfftn(jnp.asarray(filt_np), s=L, axes=axes)
+    return (H * jnp.conj(H)).real, L
+
+
+def convnd_gram_apply(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, L) -> jax.Array:
+    """Exact ``A^H A x`` for 'same' n-D convolution: ONE rfftn/irfftn
+    roundtrip (full-conv Gram) minus thin boundary-slab corrections.
+
+    The 'same'-crop frame is decomposed axis by axis into 2d DISJOINT slabs:
+    for axis j, the low/high slabs are restricted to the valid window on
+    every axis < j — the n-D generalisation of ``conv2d_gram_apply``'s
+    4-strip split."""
+    nd = x.ndim
+    n = x.shape
+    m = filt.shape
+    o = tuple(mk // 2 for mk in m)
+    b = tuple(mk - 1 - ok for mk, ok in zip(m, o))
+    axes = tuple(range(nd))
+
+    X = jnp.fft.rfftn(x, s=L, axes=axes)
+    g = jnp.fft.irfftn(X * h2_hat, s=L, axes=axes)[tuple(slice(0, nk) for nk in n)].astype(x.dtype)
+
+    for j in range(nd):
+        # thin input slabs feeding the low/high frame slabs of axis j
+        for side in ("low", "high"):
+            if side == "low" and o[j] == 0:
+                continue
+            if side == "high" and b[j] == 0:
+                continue
+            # input slab along axis j
+            if side == "low":
+                sl_in = slice(0, min(m[j], n[j]))
+            else:
+                sl_in = slice(max(0, n[j] - (m[j] - 1)), n[j])
+            xs = x[tuple(slice(None) if d != j else sl_in for d in range(nd))]
+            cs = _conv_full_nd(xs, filt)
+            # full-grid offsets and restriction of the conv output:
+            # axes < j: valid window [o_d, o_d + n_d); axis j: the frame
+            # rows; axes > j: everything.
+            sel, offs = [], []
+            for d in range(nd):
+                if d < j:
+                    sel.append(slice(o[d], o[d] + n[d]))
+                    offs.append(o[d])
+                elif d > j:
+                    sel.append(slice(None))
+                    offs.append(0)
+                elif side == "low":
+                    sel.append(slice(0, o[j]))
+                    offs.append(0)
+                else:
+                    # local row r of cs <-> global full index start_in + r
+                    start_in = max(0, n[j] - (m[j] - 1))
+                    lo = (o[j] + n[j]) - start_in
+                    sel.append(slice(lo, lo + b[j]))
+                    offs.append(o[j] + n[j])
+            g = _corr_into_nd(g, cs[tuple(sel)], filt, tuple(offs))
+    return g

@@ -85,11 +85,18 @@ class Convolve1D(LinearOperator):
         if len(dim_shape) != 1:
             raise ValueError("Convolve1D expects a 1-D domain")
         filt = jnp.asarray(filt, dtype=dtype)
-        if method == "auto":
-            method = "direct" if filt.shape[0] <= 32 else "fft"
-        if method not in ("fft", "direct"):
-            raise ValueError("method must be 'auto', 'fft' or 'direct'")
         n, m = dim_shape[0], filt.shape[0]
+        if method == "auto":
+            if m <= 32:
+                method = "direct"
+            elif n >= 1 << 18 and m * 8 <= n:
+                # very long signals: batched small FFTs beat one giant FFT
+                # (reference conv.py:163 'overlap-add' switch)
+                method = "overlap-add"
+            else:
+                method = "fft"
+        if method not in ("fft", "direct", "overlap-add"):
+            raise ValueError("method must be 'auto', 'fft', 'direct' or 'overlap-add'")
         lip = _fft_lipschitz(np.asarray(filt), (n + m - 1,))
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         self.filt = filt
@@ -97,10 +104,21 @@ class Convolve1D(LinearOperator):
         # filter FFT per apply would cost a full-size FFT per matvec.
         # Stored as re/im pairs: some TPU runtimes cannot transfer complex
         # constants host-side, and split-real keeps closure-jit usable.
-        hh = jnp.fft.rfft(filt, n=next_fast_len(n + m - 1)) if method == "fft" else None
+        if method == "fft":
+            hh = jnp.fft.rfft(filt, n=next_fast_len(n + m - 1))
+        elif method == "overlap-add":
+            hh = jnp.fft.rfft(filt, n=self._oa_nfft())
+        else:
+            hh = None
         self.h_hat_re = jnp.real(hh) if hh is not None else None
         self.h_hat_im = jnp.imag(hh) if hh is not None else None
         self.method = method
+
+    def _oa_nfft(self) -> int:
+        """Chunk FFT size for overlap-add: a small fast size well above the
+        kernel, so the chunk tail (m-1) always fits in the next chunk."""
+        m = self.filt.shape[0]
+        return next_fast_len(max(8 * m, 256))
 
     @property
     def h_hat(self):
@@ -114,6 +132,22 @@ class Convolve1D(LinearOperator):
             n_fft = next_fast_len(n + m - 1)
             X = jnp.fft.rfft(x, n=n_fft)
             full = jnp.fft.irfft(X * self.h_hat, n=n_fft)
+            return full[ofs : ofs + n].astype(x.dtype)
+        if self.method == "overlap-add":
+            # split into L-sample chunks, convolve each with a small batched
+            # FFT, add the (m-1)-sample tails into the next chunk
+            nfft = self._oa_nfft()
+            L = nfft - (m - 1)
+            nb = -(-n // L)
+            xp = jnp.pad(x, (0, nb * L - n)).reshape(nb, L)
+            C = jnp.fft.rfft(xp, n=nfft, axis=1)
+            chunks = jnp.fft.irfft(C * self.h_hat[None, :], n=nfft, axis=1)
+            main = chunks[:, :L]
+            tails = chunks[:, L:]  # (nb, m-1), belongs at the head of chunk i+1
+            carry = jnp.concatenate([jnp.zeros((1, m - 1), chunks.dtype), tails[:-1]], axis=0)
+            full = (main.at[:, : m - 1].add(carry)).reshape(-1)
+            # last tail extends past nb*L; append it so the 'same' crop is safe
+            full = jnp.concatenate([full, tails[-1]])
             return full[ofs : ofs + n].astype(x.dtype)
         # direct path: lax 1-D convolution on the VPU
         lhs = x[None, None, :]
@@ -534,6 +568,36 @@ class ConvolveND(LinearOperator):
         full = jnp.fft.irfftn(X * self.h_hat, s=s, axes=axes)
         sl = tuple(slice(k // 2, k // 2 + n) for n, k in zip(self.dim_shape, self.filt.shape))
         return full[sl].astype(x.dtype)
+
+    @property
+    def gram(self):
+        """Fused exact n-D Gram: one rfftn roundtrip + thin slab corrections
+        (ops/_gram.py ``convnd_gram_apply``) — the volumetric analogue of
+        ConvGram2D, used by the 3-D deconvolution configs."""
+        return ConvGramND(self)
+
+
+class ConvGramND(LinearOperator):
+    """Exact Gram of a 'same' n-D convolution (self-adjoint PSD)."""
+
+    filt: jax.Array = None
+    h2_hat: jax.Array = None
+    L: Tuple[int, ...] = static_field(default=None)
+
+    def __init__(self, conv: "ConvolveND"):
+        from pycsou_tpu.ops._gram import make_convnd_gram
+
+        super().__init__(conv.dim_shape, conv.dim_shape, lipschitz=conv.lipschitz**2, dtype=conv.dtype)
+        self.filt = conv.filt
+        self.h2_hat, self.L = make_convnd_gram(conv.dim_shape, np.asarray(conv.filt))
+
+    def apply(self, x):
+        from pycsou_tpu.ops._gram import convnd_gram_apply
+
+        return convnd_gram_apply(x, self.filt, self.h2_hat, self.L)
+
+    def adjoint(self, y):
+        return self.apply(jnp.asarray(y))
 
 
 class CircularConvolve(LinearOperator):

@@ -116,29 +116,39 @@ class DownSampling(LinearOperator):
 class Pooling(LinearOperator):
     """Block sum/mean pooling via reshape-reduce (the reference wraps
     skimage ``block_reduce``, sampling.py:394-536); adjoint is broadcast
-    unpooling (:529-536).  Requires the block size to divide each axis."""
+    unpooling (:529-536).
+
+    Non-dividing block sizes are zero-padded at the trailing edge, exactly
+    like skimage ``block_reduce`` with ``cval=0`` (sampling.py:525-527) —
+    'mean' therefore averages over the FULL block volume including the pad,
+    matching the reference's semantics bit-for-bit."""
 
     block_size: Tuple[int, ...] = static_field(default=None)
     kind: str = static_field(default="mean")
+    _padded: Tuple[int, ...] = static_field(default=None)
 
     def __init__(self, dim_shape, block_size, kind: str = "mean", dtype=np.float32):
         dim_shape = as_shape(dim_shape)
         bs = tuple(int(b) for b in (block_size if not np.isscalar(block_size) else [block_size] * len(dim_shape)))
-        if len(bs) != len(dim_shape) or any(n % b for n, b in zip(dim_shape, bs)):
-            raise ValueError("block_size must divide dim_shape")
+        if len(bs) != len(dim_shape):
+            raise ValueError("block_size rank must match dim_shape")
         if kind not in ("sum", "mean"):
             raise ValueError("kind must be 'sum' or 'mean'")
-        codim = tuple(n // b for n, b in zip(dim_shape, bs))
+        padded = tuple(-(-n // b) * b for n, b in zip(dim_shape, bs))
+        codim = tuple(p // b for p, b in zip(padded, bs))
         vol = math.prod(bs)
         lip = math.sqrt(vol) if kind == "sum" else 1.0 / math.sqrt(vol)
         super().__init__(dim_shape, codim, lipschitz=lip, dtype=dtype)
         self.block_size = bs
         self.kind = kind
+        self._padded = padded
 
     def _blocked(self, x):
+        if self._padded != self.dim_shape:
+            x = jnp.pad(x, [(0, p - n) for n, p in zip(self.dim_shape, self._padded)])
         shape = []
-        for n, b in zip(self.dim_shape, self.block_size):
-            shape.extend([n // b, b])
+        for p, b in zip(self._padded, self.block_size):
+            shape.extend([p // b, b])
         xb = x.reshape(shape)
         # move block axes to the end
         d = len(self.dim_shape)
@@ -160,6 +170,8 @@ class Pooling(LinearOperator):
             y = y / math.prod(self.block_size)
         for i, b in enumerate(self.block_size):
             y = jnp.repeat(y, b, axis=i)
+        if self._padded != self.dim_shape:
+            y = y[tuple(slice(0, n) for n in self.dim_shape)]
         return y
 
 

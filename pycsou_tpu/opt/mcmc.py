@@ -119,6 +119,7 @@ class PMYULA(IterativeSolver):
         state = {
             "x": self.x0,
             "key": jax.random.PRNGKey(self.seed),
+            "n": jnp.asarray(0, jnp.int32),  # solver-owned iteration counter
             "count": jnp.asarray(0, jnp.int32),
             "mmse_raw": jnp.zeros_like(self.x0),
             "m2_raw": jnp.zeros_like(self.x0),
@@ -146,7 +147,7 @@ class PMYULA(IterativeSolver):
                 + jnp.sqrt(2 * g) * xi
             )
 
-        it = state["it"]  # completed iterations before this one
+        it = state["n"]  # completed iterations before this one (solver-owned)
         collect = jnp.logical_and(
             it > jnp.maximum(self.burnin, 4), (it - self.burnin) % self.thinning == 0
         )
@@ -179,6 +180,7 @@ class PMYULA(IterativeSolver):
         return {
             "x": x_new,
             "key": key,
+            "n": it + 1,
             "count": count,
             "mmse_raw": mmse_raw,
             "m2_raw": m2_raw,
@@ -194,12 +196,18 @@ class PMYULA(IterativeSolver):
 
     def metric(self, old, new):
         """Relative improvement of the running MMSE estimate
-        (reference mcmc.py:197-208)."""
+        (reference mcmc.py:197-208).
+
+        Between collected samples the running mean does not move, which
+        would read as a spurious 0 (instant "convergence"); the metric holds
+        its previous value on non-sample iterations instead."""
         m_old = old["mmse_raw"] / jnp.maximum(old["count"].astype(jnp.float32), 1.0)
         m_new = new["mmse_raw"] / jnp.maximum(new["count"].astype(jnp.float32), 1.0)
         n_old = jnp.sqrt(jnp.sum(m_old**2))
         n_diff = jnp.sqrt(jnp.sum((m_new - m_old) ** 2))
-        return jnp.where(n_old == 0, jnp.inf, n_diff / jnp.where(n_old == 0, 1.0, n_old))
+        rel = jnp.where(n_old == 0, jnp.inf, n_diff / jnp.where(n_old == 0, 1.0, n_old))
+        collected = new["count"] > old["count"]
+        return jnp.where(collected, rel, old["metric"])
 
     def postprocess(self, state):
         """MMSE / pointwise std / quantiles (reference mcmc.py:146-184)."""

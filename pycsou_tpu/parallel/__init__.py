@@ -1,5 +1,5 @@
 from pycsou_tpu.parallel.mesh import distributed_init, make_mesh, replicated, shard_along
-from pycsou_tpu.parallel.sharded import ShardedDenseOperator
+from pycsou_tpu.parallel.sharded import ShardedBlockDiagonalOperator, ShardedDenseOperator
 from pycsou_tpu.parallel.solvers import BatchedDistributedTVDeconv2D, DistributedTVDeconv2D
 from pycsou_tpu.parallel.spatial import (
     halo_from_next,

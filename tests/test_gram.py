@@ -157,3 +157,37 @@ def test_band_conv_matches_convolve1d_rows_cols(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
         got_r = band_conv_rows(x.T, plan)
         np.testing.assert_allclose(np.asarray(got_r), np.asarray(want.T), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,kshape",
+    [((12, 14, 10), (3, 5, 4)), ((16, 12, 10, 6), (3, 3, 2, 2)), ((20,), (5,))],
+)
+def test_convnd_gram_exact(rng, shape, kshape):
+    """Exact fused n-D Gram (1-D/3-D/4-D) == adjoint(apply)."""
+    from pycsou_tpu.ops.conv import ConvolveND
+
+    h = jnp.asarray(rng.standard_normal(kshape), jnp.float32)
+    A = ConvolveND(shape, h)
+    g = A.gram
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    expected = np.asarray(A.adjoint(A(x)))
+    atol = 1e-5 * float(np.max(np.abs(expected))) + 1e-6
+    np.testing.assert_allclose(np.asarray(g(x)), expected, rtol=1e-3, atol=atol)
+
+
+def test_convolve1d_overlap_add(rng):
+    """'overlap-add' == 'fft' for long signals (reference conv.py:163)."""
+    from pycsou_tpu.ops.conv import Convolve1D
+
+    for n, m in [(1000, 63), (5000, 128)]:
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        h = rng.standard_normal(m).astype(np.float32)
+        a = Convolve1D((n,), h, method="fft")
+        b = Convolve1D((n,), h, method="overlap-add")
+        np.testing.assert_allclose(np.asarray(b(x)), np.asarray(a(x)), rtol=1e-3, atol=1e-4)
+        # adjoint consistency (via linear_transpose of the OA apply)
+        y = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        lhs = float(jnp.vdot(y, b(x)))
+        rhs = float(jnp.vdot(b.adjoint(y), x))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-3)

@@ -431,3 +431,22 @@ def test_mdm_sparse_requires_support(rng):
     op = MappedDistanceMatrix(s, s, lambda d: jnp.maximum(1 - d / 0.3, 0.0), backend="sparse", support=0.3)
     x = jnp.asarray(rng.standard_normal(10), jnp.float32)
     assert op(x).shape == (10,)
+
+
+def test_pooling_pads_non_dividing_blocks(rng, dot_test):
+    """Non-dividing block sizes zero-pad like skimage block_reduce
+    (reference sampling.py:525-527)."""
+    from pycsou_tpu.ops.sampling import Pooling
+
+    x = jnp.asarray(rng.standard_normal((7, 10)), jnp.float32)
+    for kind in ("sum", "mean"):
+        P = Pooling((7, 10), (3, 4), kind=kind)
+        assert P.codim_shape == (3, 3)
+        got = np.asarray(P(x))
+        xp = np.zeros((9, 12), np.float32)
+        xp[:7, :10] = np.asarray(x)
+        want = xp.reshape(3, 3, 3, 4).sum(axis=(1, 3))
+        if kind == "mean":
+            want = want / 12.0
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        dot_test(P)
