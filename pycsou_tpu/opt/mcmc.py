@@ -51,6 +51,7 @@ class PMYULA(IterativeSolver):
     gamma: float = static_field(default=1.0)
     beta: float = static_field(default=0.0)
     pvalues: Tuple[float, ...] = static_field(default=())
+    scalar_fns: tuple = static_field(default=())
     burnin: int = static_field(default=0)
     thinning: int = static_field(default=1)
     seed: int = static_field(default=0)
@@ -67,6 +68,7 @@ class PMYULA(IterativeSolver):
         x0=None,
         linops: Optional[Sequence[LinearOperator]] = None,
         pvalues: Optional[Sequence[float]] = None,
+        scalar_fns: Optional[Sequence] = None,
         nb_burnin_iterations: int = 0,
         thinning_factor: int = 1,
         seed: int = 0,
@@ -109,6 +111,10 @@ class PMYULA(IterativeSolver):
 
         self.linops = tuple(linops) if linops is not None else ()
         self.pvalues = tuple(float(p) for p in pvalues) if pvalues is not None else ()
+        # scalar summaries x -> float tracked per collected sample; their
+        # traces feed the ESS / split-R-hat convergence diagnostics
+        # (utils/diagnostics.py) in postprocess.
+        self.scalar_fns = tuple(scalar_fns) if scalar_fns is not None else ()
         self.burnin = int(nb_burnin_iterations)
         self.thinning = int(thinning_factor)
         self.seed = int(seed)
@@ -130,6 +136,9 @@ class PMYULA(IterativeSolver):
                 [p2_init(p, op.codim_shape) for p in self.pvalues] for op in self.linops
             ],
         }
+        if self.scalar_fns:
+            # per-sample scalar traces, preallocated to the max sample count
+            state["traces"] = jnp.zeros((len(self.scalar_fns), self.max_iter), jnp.float32)
         return state
 
     def step(self, state):
@@ -177,7 +186,7 @@ class PMYULA(IterativeSolver):
                 ]
             )
 
-        return {
+        out = {
             "x": x_new,
             "key": key,
             "n": it + 1,
@@ -189,6 +198,14 @@ class PMYULA(IterativeSolver):
             "m2_ops": m2_ops,
             "p2_ops": p2_ops,
         }
+        if self.scalar_fns:
+            vals = jnp.stack([jnp.asarray(f(x_new), jnp.float32).reshape(()) for f in self.scalar_fns])
+            traces = state["traces"]
+            idx = state["count"]  # pre-increment sample index
+            cur = jax.lax.dynamic_slice(traces, (0, idx), (traces.shape[0], 1))[:, 0]
+            new = jnp.where(collect, vals, cur)
+            out["traces"] = jax.lax.dynamic_update_slice(traces, new[:, None], (0, idx))
+        return out
 
     def objective(self, x):
         """Negative log-posterior F(x) + G(x) (pure/jittable)."""
@@ -231,4 +248,15 @@ class PMYULA(IterativeSolver):
                     {p: p2_quantile(s) for p, s in zip(self.pvalues, states)}
                     for states in state["p2_ops"]
                 ]
+        if self.scalar_fns:
+            # ESS / split-R-hat of the tracked scalar summaries
+            # (utils/diagnostics.py; single chain -> half-split R-hat)
+            from pycsou_tpu.utils.diagnostics import effective_sample_size, split_rhat
+
+            n = int(state["count"])
+            traces = state["traces"][:, :n]
+            out["traces"] = traces
+            if n >= 8:
+                out["ess"] = jnp.stack([effective_sample_size(t) for t in traces])
+                out["rhat"] = jnp.stack([split_rhat(t) for t in traces])
         return out
