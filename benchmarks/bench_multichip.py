@@ -12,10 +12,20 @@ CPU timings are NOT meaningful as scaling numbers.
 
 Usage:  python benchmarks/bench_multichip.py [image_size] [kernel_size]
 """
+import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # some TPU runtimes force-register their backend in sitecustomize and
+    # ignore the env var; honour the explicit CPU request (virtual mesh runs)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 
 def main():

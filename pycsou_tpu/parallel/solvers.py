@@ -40,6 +40,7 @@ from pycsou_tpu.parallel.spatial import (
     sharded_conv2d_gram,
     sharded_grad2d,
     sharded_grad2d_adjoint,
+    sharded_sepgram_rank1,
 )
 
 __all__ = ["DistributedTVDeconv2D", "BatchedDistributedTVDeconv2D"]
@@ -71,6 +72,11 @@ class DistributedTVDeconv2D(IterativeSolver):
     _h_hat_fwd: tuple = None
     _h_hat_adj: tuple = None
     _acorr_hat: tuple = None
+    # rank-1 banded Gram plans (no FFT in the hot loop when set): arrays
+    # (b0, b1, E_top, E_bot) per axis from kernels.band.make_gram_band; the
+    # static ints (lead, L) live in _band_meta so slice bounds stay static
+    _band_rows: tuple = None
+    _band_cols: tuple = None
     lam: float = static_field(default=0.1)
     tau: float = static_field(default=0.1)
     sigma: float = static_field(default=0.1)
@@ -81,6 +87,8 @@ class DistributedTVDeconv2D(IterativeSolver):
     axis_name: str = static_field(default="sp")
     shape: Tuple[int, int] = static_field(default=None)
     _use_gram: bool = static_field(default=True)
+    _use_band: bool = static_field(default=False)
+    _band_meta: tuple = static_field(default=None)  # (lead_r, L_r, lead_c, L_c)
 
     def __init__(
         self,
@@ -148,6 +156,39 @@ class DistributedTVDeconv2D(IterativeSolver):
         self._acorr_hat = _split(conv_transfer(acorr, (h_local + 2 * (m0 - 1), W)))
         self._use_gram = h_local >= m0  # gram strips need block >= kernel
 
+        # rank-1 banded Gram (kernels/band.py): same (m0-1)-row halo as the
+        # FFT overlap-save path, but the local work per iteration is four
+        # 128x128 MXU matmul passes instead of an FFT roundtrip (single-chip
+        # measurement: 2.4ms banded vs 9.2ms FFT at 4096^2, docs/BENCH.md)
+        m1 = self.filt.shape[1]
+        self._band_rows = self._band_cols = None
+        self._use_band = False
+        from pycsou_tpu.ops.conv import lowrank_factors
+
+        fac = lowrank_factors(np.asarray(self.filt))
+        if (
+            fac is not None
+            and fac[0].shape[1] == 1
+            and not jnp.issubdtype(self.filt.dtype, jnp.complexfloating)
+            and H >= 3 * m0
+            and W >= 3 * m1
+            and h_local >= max(m0 - 1, 2 * m0 - 2)  # halo + local edge window
+        ):
+            from pycsou_tpu.kernels.band import make_gram_band
+
+            us, vs = fac
+
+            def _jn(gp):
+                (b0, b1, lead), Et, Eb, L = gp
+                Et = None if Et is None else jnp.asarray(Et)
+                Eb = None if Eb is None else jnp.asarray(Eb)
+                return (jnp.asarray(b0), jnp.asarray(b1), Et, Eb), lead, L
+
+            self._band_rows, lead_r, L_r = _jn(make_gram_band(us[:, 0], H))
+            self._band_cols, lead_c, L_c = _jn(make_gram_band(vs[:, 0], W))
+            self._band_meta = (lead_r, L_r, lead_c, L_c)
+            self._use_band = True
+
         spec_x = NamedSharding(self.mesh, PartitionSpec(self.axis_name, None))
         self.y = jax.device_put(jnp.asarray(y, dtype), spec_x)
         # A^H y, precomputed once with the same sharded adjoint
@@ -184,7 +225,15 @@ class DistributedTVDeconv2D(IterativeSolver):
         tau, sigma, rho, lam = self.tau, self.sigma, self.rho, self.lam
         filt = self.filt
 
-        if self._use_gram:
+        if self._use_band:
+            # rank-1 banded Gram: four MXU matmul passes, NO FFT (fastest)
+            lead_r, L_r, lead_c, L_c = self._band_meta
+            rb0, rb1, rEt, rEb = self._band_rows
+            cb0, cb1, cEt, cEb = self._band_cols
+            g_rows = ((rb0, rb1, lead_r), rEt, rEb, L_r)
+            g_cols = ((cb0, cb1, lead_c), cEt, cEb, L_c)
+            grad = 2.0 * (sharded_sepgram_rank1(x, g_rows, g_cols, ax) - atb_loc)
+        elif self._use_gram:
             # fused Gram: grad = 2 (A^H A x - A^H y); ONE local FFT roundtrip
             grad = 2.0 * (
                 sharded_conv2d_gram(x, filt, ax, acorr_hat=_join(self._acorr_hat)) - atb_loc

@@ -31,6 +31,8 @@ __all__ = [
     "sharded_grad2d_adjoint",
     "sharded_conv2d",
     "sharded_conv2d_adjoint",
+    "sharded_conv2d_gram",
+    "sharded_sepgram_rank1",
     "pdot",
     "pnorm",
 ]
@@ -233,6 +235,47 @@ def sharded_conv2d_gram(block: jax.Array, filt: jax.Array, axis_name: str, acorr
         cr = conv_full_direct(sr, f)[2 * p0 : 2 * p0 + hl, 0:b1]
         g = g.at[:, W - b1 :].add(-cr)
     return g
+
+
+def sharded_sepgram_rank1(block: jax.Array, g_rows, g_cols, axis_name: str) -> jax.Array:
+    """Row-sharded rank-1 separable Gram ``A^H A x`` — NO FFT anywhere.
+
+    The multi-chip twin of ``ops.conv.SeparableConvGram2D._apply_fast2``:
+    the column-axis 1-D Gram is purely local (``kernels.band.gram_band_cols``,
+    W unsharded), the row-axis Gram is one banded pass over the
+    (K-1)-row halo-extended block (same halo width as FFT overlap-save, but
+    the local work is two 128x128 MXU matmuls instead of an FFT roundtrip)
+    with the thin edge-correction matmuls masked onto the first/last device.
+
+    ``g_rows`` / ``g_cols``: ``make_gram_band`` plans of the row/col factor
+    taps, as ``(plan, E_top, E_bot, L)`` with jnp block arrays.  Requires the
+    local block height >= max(K-1, L=2K-2) rows (validated by callers).
+    """
+    from pycsou_tpu.kernels.band import DEFAULT_PRECISION, band_conv_rows, gram_band_cols
+
+    # -- column direction: local and exact on every device -------------------
+    y = gram_band_cols(block, g_cols)
+
+    # -- row direction: banded pass on the halo-extended block ---------------
+    plan, E_top, E_bot, L = g_rows
+    # the centred (2K-1)-tap autocorrelation reaches K-1 = lead rows both ways
+    h = plan[2]
+    ext = jnp.concatenate(
+        [halo_from_prev(y, h, axis_name), y, halo_from_next(y, h, axis_name)], axis=0
+    )
+    out = band_conv_rows(ext, plan)[h : h + block.shape[0]]
+
+    # -- global top/bottom edge corrections (first/last device only) ---------
+    if E_top is not None:
+        idx = jax.lax.axis_index(axis_name)
+        n = _axis_size(axis_name)
+        dt = block.dtype
+        first = (idx == 0).astype(dt)
+        last = (idx == n - 1).astype(dt)
+        Km1 = E_top.shape[0]
+        out = out.at[:Km1].add(first * jnp.matmul(E_top, y[:L], precision=DEFAULT_PRECISION))
+        out = out.at[-Km1:].add(last * jnp.matmul(E_bot, y[-L:], precision=DEFAULT_PRECISION))
+    return out
 
 
 def pdot(a: jax.Array, b: jax.Array, axis_name: str) -> jax.Array:

@@ -184,3 +184,83 @@ def test_distributed_solver_checkpoint_resume(rng, mesh, tmp_path):
     np.testing.assert_allclose(
         np.asarray(resumed["x"]), np.asarray(full["x"]), rtol=1e-4, atol=1e-5
     )
+
+
+def _gauss_taps(k, s=1.5):
+    ax = np.arange(k) - k // 2
+    g = np.exp(-(ax**2) / (2 * s * s))
+    return g / np.sqrt((g**2).sum())
+
+
+@pytest.mark.parametrize("K", [5, 7])
+def test_sharded_sepgram_rank1_matches_single_device(rng, mesh, K):
+    """Row-sharded banded rank-1 Gram (NO FFT) == SeparableConvGram2D."""
+    from pycsou_tpu.kernels.band import make_gram_band
+    from pycsou_tpu.parallel.spatial import sharded_sepgram_rank1
+
+    H, W = 96, 32
+    u, v = _gauss_taps(K), _gauss_taps(K, 2.0)
+    h = jnp.asarray(np.outer(u, v), dtype=jnp.float32)
+    A = Convolve2D((H, W), h)
+    from pycsou_tpu.ops.conv import SeparableConvGram2D
+
+    G = A.gram
+    assert isinstance(G, SeparableConvGram2D)  # rank-1 must take the banded path
+    x = jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
+    expected = G(x)
+
+    def _jn(gp):
+        (b0, b1, lead), Et, Eb, L = gp
+        Et = None if Et is None else jnp.asarray(Et)
+        Eb = None if Eb is None else jnp.asarray(Eb)
+        return ((jnp.asarray(b0), jnp.asarray(b1), lead), Et, Eb, L)
+
+    g_rows = _jn(make_gram_band(u, H))
+    g_cols = _jn(make_gram_band(v, W))
+    f = smap(
+        mesh,
+        lambda b: sharded_sepgram_rank1(b, g_rows, g_cols, "sp"),
+        (P("sp", None),),
+        P("sp", None),
+    )
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(expected), rtol=1e-5, atol=1e-5)
+    # exactness vs adjoint(apply(x)) too (the gram-parity invariant)
+    np.testing.assert_allclose(
+        np.asarray(f(x)), np.asarray(A.adjoint(A(x))), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_distributed_tv_banded_gram_path(rng, mesh):
+    """A rank-1 (Gaussian) PSF flips DistributedTVDeconv2D onto the banded
+    Gram path, and its iterates still match the generic single-device PDS."""
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.opt import PDS
+
+    H, W = 96, 32
+    h = jnp.asarray(np.outer(_gauss_taps(7), _gauss_taps(7)), dtype=jnp.float32)
+    x_true = jnp.asarray(np.abs(rng.standard_normal((H, W))), dtype=jnp.float32)
+    A = Convolve2D((H, W), h)
+    y = A(x_true) + 0.01 * jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
+    lam = 0.05
+
+    dist = DistributedTVDeconv2D((H, W), h, y, lam, nonneg=True, mesh=mesh)
+    assert dist._use_band, "rank-1 PSF must select the banded Gram"
+    xd, _ = dist.run(60)
+
+    F = SquaredL2Loss((H, W), data=y) * A
+    ref = PDS(
+        (H, W), F=F, G=NonNegativeOrthant((H, W)),
+        H=lam * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
+        tau=dist.tau, sigma=dist.sigma, rho=dist.rho, max_iter=100,
+    )
+    state = ref.run_fixed(60)
+    np.testing.assert_allclose(np.asarray(xd), np.asarray(state["x"]), rtol=1e-3, atol=1e-4)
+
+
+def test_distributed_tv_band_disabled_for_full_rank(rng, mesh):
+    """A full-rank PSF must stay on the FFT Gram (banded path gated off)."""
+    h = jnp.asarray(rng.standard_normal((5, 5)) / 5, dtype=jnp.float32)
+    y = jnp.asarray(rng.standard_normal((64, 16)), dtype=jnp.float32)
+    dist = DistributedTVDeconv2D((64, 16), h, y, 0.05, mesh=mesh)
+    assert not dist._use_band and dist._use_gram
