@@ -1,6 +1,10 @@
 from pycsou_tpu.parallel.mesh import distributed_init, make_mesh, replicated, shard_along
 from pycsou_tpu.parallel.sharded import ShardedBlockDiagonalOperator, ShardedDenseOperator
-from pycsou_tpu.parallel.solvers import BatchedDistributedTVDeconv2D, DistributedTVDeconv2D
+from pycsou_tpu.parallel.solvers import (
+    BatchedDistributedTVDeconv2D,
+    DistributedTVDeconv2D,
+    Spatial2DTVDeconv2D,
+)
 from pycsou_tpu.parallel.spatial import (
     halo_from_next,
     halo_from_prev,

@@ -33,6 +33,13 @@ __all__ = [
     "sharded_conv2d_adjoint",
     "sharded_conv2d_gram",
     "sharded_sepgram_rank1",
+    "halo_from_prev_cols",
+    "halo_from_next_cols",
+    "sharded_fdiff_cols",
+    "sharded_fdiff_cols_adjoint",
+    "sharded_grad2d_2d",
+    "sharded_grad2d_adjoint_2d",
+    "sharded_sepgram_rank1_2d",
     "pdot",
     "pnorm",
 ]
@@ -251,31 +258,132 @@ def sharded_sepgram_rank1(block: jax.Array, g_rows, g_cols, axis_name: str) -> j
     taps, as ``(plan, E_top, E_bot, L)`` with jnp block arrays.  Requires the
     local block height >= max(K-1, L=2K-2) rows (validated by callers).
     """
-    from pycsou_tpu.kernels.band import DEFAULT_PRECISION, band_conv_rows, gram_band_cols
+    from pycsou_tpu.kernels.band import gram_band_cols
 
-    # -- column direction: local and exact on every device -------------------
+    # column direction: local and exact on every device (W unsharded); row
+    # direction: one banded pass over the (K-1)-row halo-extended block with
+    # the thin edge corrections masked onto the first/last device
     y = gram_band_cols(block, g_cols)
+    return _gram_band_rows_halo(y, g_rows, axis_name, row_edges=True)
 
-    # -- row direction: banded pass on the halo-extended block ---------------
+
+# ---------------------------------------------------------------------------
+# 2-D spatial decomposition (rows x cols device mesh) — for very wide meshes
+# where a 1-D row split would leave blocks thinner than the kernel halo.
+# Mirrors of the row-axis primitives along the column axis; a (sp0, sp1)
+# shard_map composes them (parallel.solvers.Spatial2DTVDeconv2D).
+# ---------------------------------------------------------------------------
+
+
+def halo_from_prev_cols(block: jax.Array, h: int, axis_name: str) -> jax.Array:
+    """Last ``h`` columns of the left neighbour's block (zeros on device 0)."""
+    if h == 0:
+        return jnp.zeros(block.shape[:-1] + (0,), block.dtype)
+    n = _axis_size(axis_name)
+    send = block[..., -h:]
+    if n == 1:
+        return jnp.zeros_like(send)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    return jax.lax.ppermute(send, axis_name, perm)
+
+
+def halo_from_next_cols(block: jax.Array, h: int, axis_name: str) -> jax.Array:
+    """First ``h`` columns of the right neighbour's block (zeros on the last)."""
+    if h == 0:
+        return jnp.zeros(block.shape[:-1] + (0,), block.dtype)
+    n = _axis_size(axis_name)
+    send = block[..., :h]
+    if n == 1:
+        return jnp.zeros_like(send)
+    perm = [(i + 1, i) for i in range(n - 1)]
+    return jax.lax.ppermute(send, axis_name, perm)
+
+
+def sharded_fdiff_cols(block: jax.Array, axis_name: str, step: float = 1.0) -> jax.Array:
+    """Column-wise forward difference of a column-sharded array; globally
+    identical to ``ops.diff.fdiff_forward(x, axis=1)`` (zero last column)."""
+    nxt = halo_from_next_cols(block, 1, axis_name)
+    ext = jnp.concatenate([block, nxt], axis=-1)
+    d = (ext[..., 1:] - ext[..., :-1]) / step
+    scale = jnp.where(_is_last(axis_name), 0.0, 1.0).astype(d.dtype)
+    return d.at[..., -1].multiply(scale)
+
+
+def sharded_fdiff_cols_adjoint(y: jax.Array, axis_name: str, step: float = 1.0) -> jax.Array:
+    scale = jnp.where(_is_last(axis_name), 0.0, 1.0).astype(y.dtype)
+    y = y.at[..., -1].multiply(scale)
+    prev = halo_from_prev_cols(y, 1, axis_name)
+    ext = jnp.concatenate([prev, y], axis=-1)
+    return (ext[..., :-1] - ext[..., 1:]) / step
+
+
+def sharded_grad2d_2d(block: jax.Array, ax_r: str, ax_c: str, step: float = 1.0) -> jax.Array:
+    """(2, h, w) forward-difference gradient of a 2-D-sharded image block."""
+    d0 = sharded_fdiff_rows(block, ax_r, step)
+    d1 = sharded_fdiff_cols(block, ax_c, step)
+    return jnp.stack([d0, d1], axis=0)
+
+
+def sharded_grad2d_adjoint_2d(g: jax.Array, ax_r: str, ax_c: str, step: float = 1.0) -> jax.Array:
+    return sharded_fdiff_rows_adjoint(g[0], ax_r, step) + sharded_fdiff_cols_adjoint(g[1], ax_c, step)
+
+
+def _gram_band_rows_halo(y: jax.Array, g_rows, axis_name: str, row_edges: bool) -> jax.Array:
+    """Row-axis banded Gram pass on a halo-extended block; edge corrections
+    masked to the first/last device along ``axis_name`` (skipped when
+    ``row_edges`` is False, e.g. the K==1 degenerate plan)."""
+    from pycsou_tpu.kernels.band import DEFAULT_PRECISION, band_conv_rows
+
     plan, E_top, E_bot, L = g_rows
-    # the centred (2K-1)-tap autocorrelation reaches K-1 = lead rows both ways
     h = plan[2]
     ext = jnp.concatenate(
         [halo_from_prev(y, h, axis_name), y, halo_from_next(y, h, axis_name)], axis=0
     )
-    out = band_conv_rows(ext, plan)[h : h + block.shape[0]]
-
-    # -- global top/bottom edge corrections (first/last device only) ---------
-    if E_top is not None:
+    out = band_conv_rows(ext, plan)[h : h + y.shape[0]]
+    if E_top is not None and row_edges:
         idx = jax.lax.axis_index(axis_name)
         n = _axis_size(axis_name)
-        dt = block.dtype
+        dt = y.dtype
         first = (idx == 0).astype(dt)
         last = (idx == n - 1).astype(dt)
         Km1 = E_top.shape[0]
         out = out.at[:Km1].add(first * jnp.matmul(E_top, y[:L], precision=DEFAULT_PRECISION))
         out = out.at[-Km1:].add(last * jnp.matmul(E_bot, y[-L:], precision=DEFAULT_PRECISION))
     return out
+
+
+def _gram_band_cols_halo(x: jax.Array, g_cols, axis_name: str) -> jax.Array:
+    """Column-axis banded Gram pass with column halos + masked edge fixes."""
+    from pycsou_tpu.kernels.band import DEFAULT_PRECISION, band_conv_cols
+
+    plan, E_top, E_bot, L = g_cols
+    h = plan[2]
+    ext = jnp.concatenate(
+        [halo_from_prev_cols(x, h, axis_name), x, halo_from_next_cols(x, h, axis_name)], axis=-1
+    )
+    out = band_conv_cols(ext, plan)[:, h : h + x.shape[1]]
+    if E_top is not None:
+        idx = jax.lax.axis_index(axis_name)
+        n = _axis_size(axis_name)
+        dt = x.dtype
+        first = (idx == 0).astype(dt)
+        last = (idx == n - 1).astype(dt)
+        Km1 = E_top.shape[0]
+        out = out.at[:, :Km1].add(first * jnp.matmul(x[:, :L], E_top.T, precision=DEFAULT_PRECISION))
+        out = out.at[:, -Km1:].add(last * jnp.matmul(x[:, -L:], E_bot.T, precision=DEFAULT_PRECISION))
+    return out
+
+
+def sharded_sepgram_rank1_2d(block: jax.Array, g_rows, g_cols, ax_r: str, ax_c: str) -> jax.Array:
+    """Rank-1 separable Gram on a TRUE 2-D (rows x cols) device mesh.
+
+    Column pass exchanges (K-1)-column halos along ``ax_c``; row pass
+    exchanges (K-1)-row halos along ``ax_r``.  Still zero FFTs and zero
+    global collectives — all traffic is nearest-neighbour ``ppermute``.
+    Requires local blocks >= max(K-1, 2K-2) in each sharded direction.
+    """
+    y = _gram_band_cols_halo(block, g_cols, ax_c)
+    return _gram_band_rows_halo(y, g_rows, ax_r, row_edges=True)
 
 
 def pdot(a: jax.Array, b: jax.Array, axis_name: str) -> jax.Array:

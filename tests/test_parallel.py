@@ -264,3 +264,94 @@ def test_distributed_tv_band_disabled_for_full_rank(rng, mesh):
     y = jnp.asarray(rng.standard_normal((64, 16)), dtype=jnp.float32)
     dist = DistributedTVDeconv2D((64, 16), h, y, 0.05, mesh=mesh)
     assert not dist._use_band and dist._use_gram
+
+
+def test_sharded_sepgram_rank1_2d_mesh(rng):
+    """Rank-1 banded Gram on a TRUE 2-D (2x4) spatial mesh == single-device."""
+    from pycsou_tpu.kernels.band import make_gram_band
+    from pycsou_tpu.parallel.spatial import sharded_sepgram_rank1_2d
+
+    mesh2 = make_mesh((2, 4), ("sp0", "sp1"))
+    H, W = 32, 64
+    K = 5
+    u, v = _gauss_taps(K), _gauss_taps(K, 2.0)
+    h = jnp.asarray(np.outer(u, v), dtype=jnp.float32)
+    A = Convolve2D((H, W), h)
+    x = jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
+    expected = A.gram(x)
+
+    def _jn(gp):
+        (b0, b1, lead), Et, Eb, L = gp
+        Et = None if Et is None else jnp.asarray(Et)
+        Eb = None if Eb is None else jnp.asarray(Eb)
+        return ((jnp.asarray(b0), jnp.asarray(b1), lead), Et, Eb, L)
+
+    g_rows = _jn(make_gram_band(u, H))
+    g_cols = _jn(make_gram_band(v, W))
+    f = smap(
+        mesh2,
+        lambda b: sharded_sepgram_rank1_2d(b, g_rows, g_cols, "sp0", "sp1"),
+        (P("sp0", "sp1"),),
+        P("sp0", "sp1"),
+    )
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_grad2d_2d_mesh(rng):
+    from pycsou_tpu.parallel.spatial import sharded_grad2d_2d, sharded_grad2d_adjoint_2d
+
+    mesh2 = make_mesh((2, 4), ("sp0", "sp1"))
+    H, W = 16, 32
+    G = Gradient((H, W))
+    x = jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
+    f = smap(mesh2, lambda b: sharded_grad2d_2d(b, "sp0", "sp1"), (P("sp0", "sp1"),), P(None, "sp0", "sp1"))
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(G(x)), rtol=1e-5, atol=1e-6)
+    g = jnp.asarray(rng.standard_normal((2, H, W)), dtype=jnp.float32)
+    fa = smap(mesh2, lambda b: sharded_grad2d_adjoint_2d(b, "sp0", "sp1"), (P(None, "sp0", "sp1"),), P("sp0", "sp1"))
+    np.testing.assert_allclose(np.asarray(fa(g)), np.asarray(G.adjoint(g)), rtol=1e-5, atol=1e-6)
+
+
+def test_spatial2d_tv_deconv_matches_single_device(rng):
+    """2-D-mesh (2x4) TV deconvolution == generic single-device PDS, and the
+    first-class solve() machinery (metric/history) works on the 2-D mesh."""
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.opt import PDS
+    from pycsou_tpu.parallel import Spatial2DTVDeconv2D
+
+    mesh2 = make_mesh((2, 4), ("sp0", "sp1"))
+    H, W = 32, 64
+    h = jnp.asarray(np.outer(_gauss_taps(5), _gauss_taps(5)), dtype=jnp.float32)
+    x_true = jnp.asarray(np.abs(rng.standard_normal((H, W))), dtype=jnp.float32)
+    A = Convolve2D((H, W), h)
+    y = A(x_true) + 0.01 * jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
+    lam = 0.05
+
+    dist = Spatial2DTVDeconv2D((H, W), h, y, lam, nonneg=True, mesh=mesh2)
+    xd, _ = dist.run(60)
+
+    F = SquaredL2Loss((H, W), data=y) * A
+    ref = PDS(
+        (H, W), F=F, G=NonNegativeOrthant((H, W)),
+        H=lam * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
+        tau=dist.tau, sigma=dist.sigma, rho=dist.rho, max_iter=100,
+    )
+    state = ref.run_fixed(60)
+    np.testing.assert_allclose(np.asarray(xd), np.asarray(state["x"]), rtol=1e-3, atol=1e-4)
+
+    # first-class solve with stopping metric on the 2-D mesh
+    info = Spatial2DTVDeconv2D(
+        (H, W), h, y, lam, mesh=mesh2, max_iter=40, min_iter=5, accuracy_threshold=0.0
+    ).solve()
+    assert info.n_iter == 40 and np.isfinite(info.history[1:]).all()
+    # objective decreases
+    assert float(dist.objective(xd)) < float(dist.objective(dist.initial_state()["x"]))
+
+
+def test_spatial2d_rejects_full_rank(rng):
+    from pycsou_tpu.parallel import Spatial2DTVDeconv2D
+
+    mesh2 = make_mesh((2, 4), ("sp0", "sp1"))
+    h = jnp.asarray(rng.standard_normal((5, 5)), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="rank-1"):
+        Spatial2DTVDeconv2D((32, 64), h, jnp.zeros((32, 64)), 0.05, mesh=mesh2)
