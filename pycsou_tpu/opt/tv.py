@@ -24,7 +24,11 @@ import jax.numpy as jnp
 
 from pycsou_tpu._module import static_field
 from pycsou_tpu.core.solver import IterativeSolver
-from pycsou_tpu.kernels.tv import tv_pds_stencil_step, tv_pds_stencil_step_xla
+from pycsou_tpu.kernels.tv import (
+    tv_pds_stencil_step,
+    tv_pds_stencil_step_sweep,
+    tv_pds_stencil_step_xla,
+)
 from pycsou_tpu.ops.conv import Convolve2D
 from pycsou_tpu.utils.shapes import as_shape
 
@@ -45,6 +49,9 @@ class TVDeconvolution(IterativeSolver):
     beta: float = static_field(default=2.0)
     nonneg: bool = static_field(default=True)
     use_pallas: bool = static_field(default=False)
+    # "sweep" (scratch-carry pipeline, fastest), "element" (halo blocks),
+    # "xla" (pure-XLA twin; the CPU path)
+    stencil_mode: str = static_field(default="xla")
 
     def __init__(
         self,
@@ -85,11 +92,9 @@ class TVDeconvolution(IterativeSolver):
         self.tau = self.sigma = float(tau)
 
         if use_pallas == "auto":
-            # Measured on TPU v5e at 4096^2 with the exact-size Gram:
-            # Pallas 87.6 vs XLA 84.3 iters/s — the fused stencil pass pays
-            # once the FFT share shrinks.  Auto-on for TPU when the row
-            # count is tile-aligned; bench.py falls back to XLA stencils if
-            # the Mosaic compile fails on an exotic runtime.
+            # Auto-on for TPU when the row count is tile-aligned; bench.py
+            # falls back to XLA stencils if the Mosaic compile fails on an
+            # exotic runtime.
             from pycsou_tpu.kernels.tv import pallas_available
 
             self.use_pallas = (
@@ -99,6 +104,16 @@ class TVDeconvolution(IterativeSolver):
             )
         else:
             self.use_pallas = bool(use_pallas)
+        # stencil engine: the sweep kernel streams every array exactly once
+        # (measured 1.42 ms vs 2.82 ms Element-halo at 4096^2, docs/BENCH.md)
+        from pycsou_tpu.kernels.tv import sweep_available
+
+        if not self.use_pallas:
+            self.stencil_mode = "xla"
+        elif sweep_available(*shape):
+            self.stencil_mode = "sweep"
+        else:
+            self.stencil_mode = "element"
 
     # -- iteration ---------------------------------------------------------
     def _grad(self, x):
@@ -114,7 +129,9 @@ class TVDeconvolution(IterativeSolver):
         x, z = state["x"], state["z"]
         g = self._grad(x)
         kw = dict(tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam, nonneg=self.nonneg)
-        if self.use_pallas:
+        if self.stencil_mode == "sweep":
+            x, z = tv_pds_stencil_step_sweep(x, z, g, **kw)
+        elif self.stencil_mode == "element":
             x, z = tv_pds_stencil_step(x, z, g, **kw)
         else:
             x, z = tv_pds_stencil_step_xla(x, z, g, **kw)
