@@ -25,7 +25,7 @@ import numpy as np
 SHAPE = (4096, 4096)
 KSIZE = 15
 LAM = 0.05
-TPU_ITERS = 50
+TPU_ITERS = 100
 TPU_REPS = 3
 NUMPY_ITERS = 3
 
@@ -95,7 +95,10 @@ def bench_tpu(h, y):
     log(f"devices: {jax.devices()}")
     yj = jnp.asarray(y)
     # tuned flagship path: fused convolution Gram + fused Pallas stencil step
-    solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, max_iter=1000)
+    # metric_every=10: the stopping/diagnostic reductions are full passes
+    # over x AND z (~1.6 ms at 4096^2); sampling them every 10 iterations
+    # keeps the fused iteration bandwidth-bound (core/solver.py _advance)
+    solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, max_iter=1000, metric_every=10)
     log(f"tau=sigma={solver.tau:.4f} rho={solver.rho} beta={solver.beta:.4f} pallas={solver.use_pallas}")
     try:
         ips, state = _time_solver(solver, "tuned")
@@ -138,7 +141,16 @@ def bench_tpu(h, y):
         conv_solver = TVDeconvolution(
             SHAPE, yj, LAM, filt=h, nonneg=True,
             max_iter=3000, min_iter=50, accuracy_threshold=1e-6, verbose=None,
+            metric_every=10,
         )
+        # warm the solve-loop compile (same statics + state shapes as the
+        # real solve; it_stop is traced) so time-to-tol measures solver
+        # time, not one-time XLA compilation
+        from pycsou_tpu.core.solver import _run_chunk
+
+        _wst = conv_solver._wrap_state(conv_solver.initial_state())
+        _wst = _run_chunk(conv_solver, _wst, jnp.asarray(10, jnp.int32))
+        jax.block_until_ready(_wst["x"])
         info = conv_solver.solve()
         extras["time_to_1e6_s"] = round(info.elapsed, 2)
         log(

@@ -325,6 +325,196 @@ def sweep_available(H: int, W: int) -> bool:
     return _pick_sweep_rows(H, W) != 0
 
 
+# ---------------------------------------------------------------------------
+# Mega kernel: row-direction convolution Gram FUSED into the sweep stencil
+#
+# For a rank-1 PSF the data-term gradient is 2*(RowGram(ColGram(x)) - atb)
+# (ops/conv.py SeparableConvGram2D, both factors exact banded Toeplitz
+# passes).  The sweep stencil kernel already keeps a trailing window of every
+# array in VMEM scratch — so the ROW-direction Gram (reach K-1 <= 15 rows)
+# can be computed *inside* the kernel as one small MXU matmul over a 48-row
+# window of ``w = ColGram(x)``, instead of writing the full gradient to HBM
+# and reading it back.  Per iteration this saves two full-array HBM streams
+# (write g, read g) plus the row-Gram pass's own read/write pair; only the
+# lane-direction ColGram remains an XLA pass (in-kernel lane rolls are
+# VPU-bound, docs/BENCH.md).
+#
+# The (2K-1)-tap autocorrelation band becomes a (R+8, R+2*HG) matrix B
+# (x2 gradient scale folded in); 'same'-crop deviations from Toeplitz are
+# the thin E_top/E_bot corrections (kernels/band.py make_gram_band),
+# computed OUTSIDE on w[:L]/w[-L:] slices and added on the first/last tiles
+# via a small (2*HG, W) side input.  Requires K-1 <= MEGA_HG - 1 = 15 so
+# the bottom correction never reaches the one-row halo of the
+# second-to-last tile.
+# ---------------------------------------------------------------------------
+
+MEGA_R = 16  # rows per tile (VMEM working set ~13MB at W=4096)
+MEGA_HG = 16  # row-Gram halo (8-row aligned); supports taps K <= 16
+
+
+def make_mega_band(acorr) -> "np.ndarray":
+    """(R+8, R+2*HG) matrix applying 2x the (2K-1)-tap autocorrelation band
+    to the w-window rows [row0-HG, row0+R+HG); row jr of the output is
+    global row row0+jr (rows R+1..R+7 are alignment padding, clipped)."""
+    import numpy as np
+
+    acorr = np.asarray(acorr, np.float64).reshape(-1)
+    K1 = (acorr.size - 1) // 2
+    if K1 > MEGA_HG - 1:
+        raise ValueError(f"autocorrelation reach {K1} exceeds {MEGA_HG - 1}")
+    R, HG = MEGA_R, MEGA_HG
+    B = np.zeros((R + 8, R + 2 * HG), np.float32)
+    for jr in range(R + 8):
+        for q in range(R + 2 * HG):
+            d = jr + HG - q
+            if -K1 <= d <= K1:
+                B[jr, q] = 2.0 * acorr[K1 + d]
+    return B
+
+
+def _tv_mega_kernel(w_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref,
+                    xo, z0o, z1o, s_x, s_a, s_z0, s_z1, s_w, s_wt,
+                    *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
+    i = pl.program_id(0)
+    HG = MEGA_HG
+
+    cur_w = w_ref[...]
+    cur_x = x_ref[...]
+    cur_a = a_ref[...]
+    cur_z0 = z0_ref[...]
+    cur_z1 = z1_ref[...]
+
+    @pl.when(i > 0)
+    def _compute():
+        j = i - 1
+        row0 = j * R
+        dt = cur_x.dtype
+        Rw = R + 8
+
+        # ---- fused row-direction Gram over window rows [row0-HG, row0+R+HG)
+        last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows >= H are zero
+        win = jnp.concatenate([s_wt[...], s_w[...], cur_w * last_f], axis=0)
+        gsum = jnp.dot(
+            b_ref[...], win,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        first_f = jnp.where(j == 0, 1.0, 0.0).astype(dt)
+        lastj_f = jnp.where(j == nT - 1, 1.0, 0.0).astype(dt)
+        zpad8 = jnp.zeros((8, W), dt)
+        gsum = gsum + first_f * jnp.concatenate([corr_ref[:HG], zpad8], axis=0)
+        gsum = gsum + lastj_f * jnp.concatenate([corr_ref[HG:], zpad8], axis=0)
+        aw = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
+        gw = gsum - 2.0 * aw  # = 2*(RowGram(ColGram(x)) - atb) on the window
+
+        # ---- stencil chain (identical to _tv_sweep_kernel) ---------------
+        xw = jnp.concatenate([s_x[...], cur_x[:8]], axis=0)
+        z0w = jnp.concatenate([s_z0[8:], cur_z0[:8]], axis=0)
+        z0up = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
+        z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
+
+        def lastcol_mask(nrows):
+            colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
+            return jnp.where(colw == W - 1, 0.0, 1.0).astype(dt)
+
+        def firstcol_mask(nrows):
+            colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
+            return jnp.where(colw == 0, 0.0, 1.0).astype(dt)
+
+        z0w = z0w * _row_mask_last_zero(H, row0, Rw, W, dt)
+        z0up = z0up * _row_mask_last_zero(H, row0 - 1, Rw, W, dt)
+        z1w = z1w * lastcol_mask(Rw)
+
+        z1_left = _roll_lanes(z1w, 1) * firstcol_mask(Rw)
+        div = (z0up - z0w) + (z1_left - z1w)
+
+        x_t = xw - tau * gw - tau * div
+        if nonneg:
+            x_t = jnp.maximum(x_t, 0.0)
+
+        u = 2.0 * x_t - xw
+        du_r = (u[1 : 1 + R] - u[:R]) * _row_mask_last_zero(H, row0, R, W, dt)
+        uc = u[:R]
+        lc_R = lastcol_mask(R)
+        u_right = _roll_lanes(uc, -1) * lc_R
+        du_c = (u_right - uc) * lc_R
+
+        v0 = z0w[:R] + sigma * du_r
+        v1 = z1w[:R] + sigma * du_c
+        mag = jnp.sqrt(v0 * v0 + v1 * v1)
+        scale = lam / jnp.maximum(mag, lam)
+
+        xo[...] = rho * x_t[:R] + (1.0 - rho) * xw[:R]
+        z0o[...] = rho * (v0 * scale) + (1.0 - rho) * z0w[:R]
+        z1o[...] = rho * (v1 * scale) + (1.0 - rho) * z1w[:R]
+
+    @pl.when(i == 0)
+    def _init():
+        s_z0[:8] = jnp.zeros((8, W), cur_z0.dtype)
+        s_wt[...] = jnp.zeros((MEGA_HG, W), cur_w.dtype)
+
+    @pl.when(i > 0)
+    def _tail():
+        s_z0[:8] = s_z0[R : R + 8]
+        s_wt[...] = s_w[R - MEGA_HG :]
+
+    @pl.when(i < nT)
+    def _carry():
+        s_x[...] = cur_x
+        s_a[...] = cur_a
+        s_z0[8:] = cur_z0
+        s_z1[...] = cur_z1
+        s_w[...] = cur_w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
+)
+def tv_pds_mega_step(x, z, w, atb, corr, B, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False):
+    """One full TV PDS iteration with the row-direction Gram fused into the
+    sweep stencil kernel.
+
+    ``w = ColGram(x)`` (lane-direction banded pass, computed by the caller),
+    ``corr`` is the (2*MEGA_HG, W) top/bottom row-Gram edge correction
+    (already x2-scaled), ``B`` from :func:`make_mega_band`.  Equivalent to
+    ``tv_pds_stencil_step_xla(x, z, 2*(RowGram(w) - atb), ...)``.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = x.shape
+    R = MEGA_R
+    if H % R:
+        raise ValueError(f"H={H} must be divisible by {R}")
+    nT = H // R
+    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    corr_spec = pl.BlockSpec((2 * MEGA_HG, W), lambda i: (0, 0))
+    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
+    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
+    kern = functools.partial(
+        _tv_mega_kernel, R=R, nT=nT, H=H, W=W,
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    xn, z0n, z1n = pl.pallas_call(
+        kern,
+        grid=(nT + 1,),
+        in_specs=[in_spec, in_spec, in_spec, in_spec, in_spec, corr_spec, b_spec],
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R + 8, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((MEGA_HG, W), jnp.float32),
+        ],
+        compiler_params=cp(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(w, x, atb, z[0], z[1], corr, B)
+    return xn, jnp.stack([z0n, z1n], axis=0)
+
+
 def tv_pds_stencil_step_xla(x, z, g, *, tau, sigma, rho, lam, nonneg=True):
     """Pure-XLA twin of the fused kernel (correctness oracle / CPU path)."""
     from pycsou_tpu.ops.diff import fdiff_forward, fdiff_forward_adjoint

@@ -437,6 +437,10 @@ class SeparableConvGram2D(LinearOperator):
     rank: int = static_field(default=1)
     leads: tuple = static_field(default=None)  # (row_conv, col_conv, row_corr, col_corr)
     g_meta: tuple = static_field(default=None)  # (lead_r, L_r, lead_c, L_c) or None
+    # raw (2m-1)-tap autocorrelations of the rank-1 factors (host floats);
+    # consumed by the fused gram+stencil mega kernel (kernels/tv.py)
+    g_rows_acorr: tuple = static_field(default=None)
+    g_cols_acorr: tuple = static_field(default=None)
 
     @staticmethod
     def build(conv: "Convolve2D", tol: float = 1e-6, max_rank: int = 4):
@@ -492,6 +496,8 @@ class SeparableConvGram2D(LinearOperator):
             self.g_rows_E = None if Etr is None else (jnp.asarray(Etr), jnp.asarray(Ebr))
             self.g_cols_E = None if Etc is None else (jnp.asarray(Etc), jnp.asarray(Ebc))
             self.g_meta = (lead_r, L_r, lead_c, L_c)
+            self.g_rows_acorr = tuple(float(t) for t in np.convolve(us[:, 0], us[::-1, 0]))
+            self.g_cols_acorr = tuple(float(t) for t in np.convolve(vs[:, 0], vs[::-1, 0]))
 
     def _apply_fast2(self, x):
         """Rank-1 2-pass Gram: RowGram then ColGram, each one banded pass."""

@@ -25,6 +25,10 @@ import jax.numpy as jnp
 from pycsou_tpu._module import static_field
 from pycsou_tpu.core.solver import IterativeSolver
 from pycsou_tpu.kernels.tv import (
+    MEGA_HG,
+    MEGA_R,
+    make_mega_band,
+    tv_pds_mega_step,
     tv_pds_stencil_step,
     tv_pds_stencil_step_sweep,
     tv_pds_stencil_step_xla,
@@ -49,9 +53,11 @@ class TVDeconvolution(IterativeSolver):
     beta: float = static_field(default=2.0)
     nonneg: bool = static_field(default=True)
     use_pallas: bool = static_field(default=False)
-    # "sweep" (scratch-carry pipeline, fastest), "element" (halo blocks),
-    # "xla" (pure-XLA twin; the CPU path)
+    # "mega" (row-Gram fused into the sweep kernel, fastest), "sweep"
+    # (scratch-carry pipeline), "element" (halo blocks), "xla" (pure-XLA
+    # twin; the CPU path)
     stencil_mode: str = static_field(default="xla")
+    mega_B: jax.Array = None  # (R+8, R+2*HG) fused row-Gram band matrix
 
     def __init__(
         self,
@@ -67,8 +73,9 @@ class TVDeconvolution(IterativeSolver):
         min_iter: int = 10,
         accuracy_threshold: float = 1e-6,
         verbose: Optional[int] = None,
+        metric_every: int = 1,
     ):
-        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
+        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose, metric_every=metric_every)
         shape = as_shape(shape)
         self.y = jnp.asarray(y, jnp.float32)
         self.lam = float(lam)
@@ -104,16 +111,39 @@ class TVDeconvolution(IterativeSolver):
             )
         else:
             self.use_pallas = bool(use_pallas)
-        # stencil engine: the sweep kernel streams every array exactly once
-        # (measured 1.42 ms vs 2.82 ms Element-halo at 4096^2, docs/BENCH.md)
+        # stencil engine: the mega kernel additionally fuses the
+        # row-direction Gram into the sweep (378 vs 279 iters/s at 4096^2,
+        # docs/BENCH.md); the sweep kernel streams every array exactly once
+        # (measured 1.42 ms vs 2.82 ms Element-halo at 4096^2)
         from pycsou_tpu.kernels.tv import sweep_available
 
+        self.mega_B = None
         if not self.use_pallas:
             self.stencil_mode = "xla"
+        elif self._mega_eligible(shape):
+            self.stencil_mode = "mega"
+            self.mega_B = jnp.asarray(make_mega_band(self.gram.g_rows_acorr))
         elif sweep_available(*shape):
             self.stencil_mode = "sweep"
         else:
             self.stencil_mode = "element"
+
+    def _mega_eligible(self, shape) -> bool:
+        """Rank-1 PSF with the 2-pass Gram plan, taps within the fused
+        kernel's row reach, tile-aligned height, and a VMEM-feasible width
+        (the 48-row w-window must stay under the ~0.8MB Mosaic tile budget)."""
+        from pycsou_tpu.ops.conv import SeparableConvGram2D
+
+        g = self.gram
+        if not (isinstance(g, SeparableConvGram2D) and g.g_meta is not None):
+            return False
+        K1 = (len(g.g_rows_acorr) - 1) // 2
+        H, W = shape
+        return (
+            K1 <= MEGA_HG - 1
+            and H % MEGA_R == 0
+            and (MEGA_R + 2 * MEGA_HG) * W * 4 <= 820_000
+        )
 
     # -- iteration ---------------------------------------------------------
     def _grad(self, x):
@@ -127,8 +157,12 @@ class TVDeconvolution(IterativeSolver):
 
     def step(self, state):
         x, z = state["x"], state["z"]
-        g = self._grad(x)
         kw = dict(tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam, nonneg=self.nonneg)
+        if self.stencil_mode == "mega":
+            w, corr = self._mega_colgram(x)
+            x, z = tv_pds_mega_step(x, z, w, self.atb, corr, self.mega_B, **kw)
+            return {"x": x, "z": z}
+        g = self._grad(x)
         if self.stencil_mode == "sweep":
             x, z = tv_pds_stencil_step_sweep(x, z, g, **kw)
         elif self.stencil_mode == "element":
@@ -136,6 +170,39 @@ class TVDeconvolution(IterativeSolver):
         else:
             x, z = tv_pds_stencil_step_xla(x, z, g, **kw)
         return {"x": x, "z": z}
+
+    def _mega_colgram(self, x):
+        """Lane-direction Gram pass ``w = ColGram(x)`` plus the thin x2-scaled
+        row-Gram edge corrections consumed by :func:`tv_pds_mega_step`."""
+        from pycsou_tpu.kernels.band import gram_band_cols
+
+        g = self.gram
+        _, L_r, lead_c, L_c = g.g_meta
+        Ec = g.g_cols_E
+        w = gram_band_cols(
+            x,
+            (
+                (g.g_cols_band[0], g.g_cols_band[1], lead_c),
+                Ec[0] if Ec is not None else None,
+                Ec[1] if Ec is not None else None,
+                L_c,
+            ),
+        )
+        W = x.shape[1]
+        prec = jax.lax.Precision.HIGHEST
+        if g.g_rows_E is not None:
+            Etr, Ebr = g.g_rows_E
+            K1 = Etr.shape[0]
+            top = 2.0 * jnp.matmul(Etr, w[:L_r], precision=prec)
+            bot = 2.0 * jnp.matmul(Ebr, w[-L_r:], precision=prec)
+            corr = (
+                jnp.zeros((2 * MEGA_HG, W), x.dtype)
+                .at[:K1].set(top)
+                .at[2 * MEGA_HG - K1 :].set(bot)
+            )
+        else:
+            corr = jnp.zeros((2 * MEGA_HG, W), x.dtype)
+        return w, corr
 
     def objective(self, x):
         """Objective value (pure/jittable; usable with track_objective).

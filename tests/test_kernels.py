@@ -70,3 +70,99 @@ def test_sweep_step_iterated(rng):
         x2, z2 = tv_pds_stencil_step_xla(x2, z2, 2 * (x2 - y), **kw)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Mega kernel (row-Gram fused into the sweep stencil)
+# ---------------------------------------------------------------------------
+
+
+def _mega_problem(rng, H, W, K):
+    """Rank-1 Gaussian blur problem + the mega-kernel inputs for one step."""
+    from pycsou_tpu.kernels.band import gram_band_cols
+    from pycsou_tpu.kernels.tv import MEGA_HG, make_mega_band
+    from pycsou_tpu.ops.conv import Convolve2D, SeparableConvGram2D
+
+    ax = np.arange(K) - K // 2
+    g1 = np.exp(-(ax**2) / (2 * 2.0**2))
+    filt = np.outer(g1, g1).astype(np.float32)
+    filt /= filt.sum()
+    A = Convolve2D((H, W), filt)
+    gram = A.gram
+    assert isinstance(gram, SeparableConvGram2D) and gram.g_meta is not None
+    B = jnp.asarray(make_mega_band(gram.g_rows_acorr))
+
+    _, L_r, lead_c, L_c = gram.g_meta
+    Ec = gram.g_cols_E
+
+    def colgram_and_corr(x):
+        w = gram_band_cols(
+            x,
+            (
+                (gram.g_cols_band[0], gram.g_cols_band[1], lead_c),
+                Ec[0] if Ec is not None else None,
+                Ec[1] if Ec is not None else None,
+                L_c,
+            ),
+        )
+        Etr, Ebr = gram.g_rows_E
+        K1 = Etr.shape[0]
+        top = 2.0 * jnp.matmul(Etr, w[:L_r])
+        bot = 2.0 * jnp.matmul(Ebr, w[-L_r:])
+        corr = (
+            jnp.zeros((2 * MEGA_HG, W), x.dtype)
+            .at[:K1].set(top)
+            .at[2 * MEGA_HG - K1 :].set(bot)
+        )
+        return w, corr
+
+    return gram, B, colgram_and_corr
+
+
+@pytest.mark.parametrize("shape,K", [((128, 160), 15), ((96, 128), 9), ((64, 256), 15), ((128, 128), 5)])
+@pytest.mark.parametrize("nonneg", [True, False])
+def test_mega_step_matches_gram_plus_xla(rng, shape, K, nonneg):
+    """Fused gram+stencil kernel == (full Gram, then XLA stencil oracle)."""
+    from pycsou_tpu.kernels.tv import tv_pds_mega_step
+
+    H, W = shape
+    gram, B, colgram_and_corr = _mega_problem(rng, H, W, K)
+    x = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, H, W)), jnp.float32) * 0.1
+    z = z.at[0, -1].set(0.0).at[1, :, -1].set(0.0)
+    atb = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    kw = dict(tau=0.05, sigma=0.05, rho=0.9, lam=0.05, nonneg=nonneg)
+
+    g_ref = 2.0 * (gram.apply(x) - atb)
+    x2, z2 = tv_pds_stencil_step_xla(x, z, g_ref, **kw)
+
+    w, corr = colgram_and_corr(x)
+    x1, z1 = tv_pds_mega_step(x, z, w, atb, corr, B, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=3e-5, atol=3e-6)
+
+
+def test_mega_step_iterated(rng):
+    """Repeated fused steps track (Gram + XLA oracle) through real dynamics."""
+    from pycsou_tpu.kernels.tv import tv_pds_mega_step
+
+    H, W = 96, 128
+    gram, B, colgram_and_corr = _mega_problem(rng, H, W, 15)
+    atb = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    x1 = x2 = jnp.zeros((H, W), jnp.float32)
+    z1 = z2 = jnp.zeros((2, H, W), jnp.float32)
+    kw = dict(tau=0.1, sigma=0.1, rho=0.9, lam=0.05, nonneg=True)
+    for _ in range(5):
+        w, corr = colgram_and_corr(x1)
+        x1, z1 = tv_pds_mega_step(x1, z1, w, atb, corr, B, interpret=True, **kw)
+        g2 = 2.0 * (gram.apply(x2) - atb)
+        x2, z2 = tv_pds_stencil_step_xla(x2, z2, g2, **kw)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-4, atol=1e-5)
+
+
+def test_mega_band_reach_guard():
+    from pycsou_tpu.kernels.tv import make_mega_band
+
+    with pytest.raises(ValueError):
+        make_mega_band(np.ones(35))  # K-1 = 17 > MEGA_HG - 1

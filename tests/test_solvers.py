@@ -192,3 +192,35 @@ def test_eigenvals_nonsymmetric_scipy_fallback(rng):
     np.testing.assert_allclose(
         np.sort(np.abs(np.asarray(ev))), np.sort(np.abs(top2)), rtol=1e-3
     )
+
+
+def test_metric_every_stride(rng):
+    """metric_every>1: same iterates, sampled metric rows, NaN gaps."""
+    from pycsou_tpu.opt import TVDeconvolution
+
+    y = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    s1 = TVDeconvolution((32, 48), y, 0.1, max_iter=60, min_iter=5, accuracy_threshold=0.0)
+    s3 = TVDeconvolution((32, 48), y, 0.1, max_iter=60, min_iter=5, accuracy_threshold=0.0, metric_every=3)
+    i1 = s1.solve()
+    i3 = s3.solve()
+    # iterates are bit-identical: the stride changes bookkeeping only
+    np.testing.assert_array_equal(np.asarray(i1["x"]), np.asarray(i3["x"]))
+    h = i3.history
+    assert np.isnan(h[0]) and np.isnan(h[1]) and not np.isnan(h[2])
+    sampled = h[2::3]
+    assert not np.any(np.isnan(sampled))
+    np.testing.assert_allclose(sampled, i1.history[2::3], rtol=1e-5)
+    # per-variable diagnostics follow the same stride
+    assert np.isnan(i3.diagnostics["x"][0]) and not np.isnan(i3.diagnostics["x"][2])
+    np.testing.assert_allclose(i3.diagnostics["z"][2::3], i1.diagnostics["z"][2::3], rtol=1e-5)
+
+
+def test_metric_every_stops_on_sampled_metric(rng):
+    from pycsou_tpu.opt import TVDeconvolution
+
+    y = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+    s = TVDeconvolution((16, 32), y, 0.1, max_iter=500, min_iter=5, accuracy_threshold=1e-5, metric_every=4)
+    info = s.solve()
+    assert info.converged
+    assert info.n_iter % 4 == 0  # can only stop on a sampled iteration
+    assert info.history[info.n_iter - 1] <= 1e-5
