@@ -1,3 +1,4 @@
+from pycsou_tpu.parallel.fft import PencilCircularConv2D, pencil_irfft2, pencil_rfft2
 from pycsou_tpu.parallel.mesh import distributed_init, make_mesh, replicated, shard_along
 from pycsou_tpu.parallel.sharded import ShardedBlockDiagonalOperator, ShardedDenseOperator
 from pycsou_tpu.parallel.solvers import (
