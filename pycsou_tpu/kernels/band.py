@@ -32,6 +32,9 @@ __all__ = [
     "band_conv_cols",
     "band_conv_rows",
     "make_gram_band",
+    "gram_band_rows",
+    "gram_band_cols",
+    "gram_band_axis",
     "TILE",
 ]
 
@@ -136,6 +139,28 @@ def gram_band_cols(x: jax.Array, gplan, precision=None) -> jax.Array:
         out = out.at[:, :Km1].add(x[:, :L] @ jnp.asarray(E_top).T)
         out = out.at[:, -Km1:].add(x[:, -L:] @ jnp.asarray(E_bot).T)
     return out
+
+
+def gram_band_axis(x: jax.Array, gplan, axis: int, precision=None) -> jax.Array:
+    """Exact 1-D conv Gram along ANY axis of an n-D array: collapse the
+    other axes, run the banded pass + edge corrections, restore the shape.
+    The first/last-axis fast paths avoid the transpose entirely."""
+    nd = x.ndim
+    axis = axis % nd
+    if nd == 2 and axis == 0:
+        return gram_band_rows(x, gplan, precision=precision)
+    if axis == nd - 1:
+        shp = x.shape
+        out = gram_band_cols(x.reshape(-1, shp[-1]), gplan, precision=precision)
+        return out.reshape(shp)
+    if axis == 0:
+        shp = x.shape
+        out = gram_band_rows(x.reshape(shp[0], -1), gplan, precision=precision)
+        return out.reshape(shp)
+    xm = jnp.moveaxis(x, axis, -1)
+    shp = xm.shape
+    out = gram_band_cols(xm.reshape(-1, shp[-1]), gplan, precision=precision)
+    return jnp.moveaxis(out.reshape(shp), -1, axis)
 
 
 def band_conv_cols(x: jax.Array, plan, precision=None) -> jax.Array:

@@ -540,6 +540,92 @@ class SeparableConvGram2D(LinearOperator):
         return self.apply(jnp.asarray(y))
 
 
+def rank1_factors_nd(filt_np: np.ndarray, tol: float = 1e-6):
+    """Per-axis factors ``[u_0, ..., u_{d-1}]`` with
+    ``filt = u_0 (x) u_1 (x) ... (x) u_{d-1}`` (outer product), or None when
+    the kernel is not rank-1 separable to relative accuracy ``tol``.
+
+    Gaussian and most physically isotropic PSFs are exactly rank-1; this is
+    the n-D extension of :func:`lowrank_factors` (rank 1 only — higher
+    tensor ranks don't factor the Gram into per-axis passes)."""
+    filt = np.asarray(filt_np, np.float64)
+    nd = filt.ndim
+    us = []
+    for k in range(nd):
+        unf = np.moveaxis(filt, k, 0).reshape(filt.shape[k], -1)
+        U, S, Vt = np.linalg.svd(unf, full_matrices=False)
+        us.append(U[:, 0])
+    # scale: project filt onto the rank-1 tensor
+    outer = us[0]
+    for u in us[1:]:
+        outer = np.multiply.outer(outer, u)
+    s = float(np.vdot(outer, filt))
+    approx = s * outer
+    if np.linalg.norm(approx - filt) > tol * max(np.linalg.norm(filt), 1e-30):
+        return None
+    us[0] = us[0] * s
+    return [u.astype(np.float64) for u in us]
+
+
+class SeparableConvGramND(LinearOperator):
+    """Exact Gram ``A^H A`` of a 'same' n-D convolution with a RANK-1
+    (fully separable) kernel — ZERO FFTs, one banded MXU pass per axis.
+
+    ``filt = u_0 (x) ... (x) u_{d-1}`` factorises the operator into 1-D
+    'same' convolutions per axis, so the Gram is the composition of the
+    per-axis 1-D Grams (they act on disjoint axes and commute); each is a
+    (2K-1)-tap banded Toeplitz pass + thin edge corrections
+    (kernels/band.py ``make_gram_band``).  The volumetric extension of
+    ``SeparableConvGram2D`` — at 3-D sizes the FFT Gram (ConvGramND) pays
+    3 full rfftn/irfftn axes per matvec, this pays 2d banded matmul
+    streams.  Reference has no 3-D convolution at all (SURVEY §2.3)."""
+
+    g_bands: tuple = None  # per-axis (b0, b1) jnp blocks
+    g_E: tuple = None  # per-axis (E_top, E_bot) or None
+    g_meta: tuple = static_field(default=None)  # per-axis (lead, L)
+
+    @staticmethod
+    def build(conv: "ConvolveND", tol: float = 1e-6):
+        from pycsou_tpu.kernels.band import TILE
+
+        if jnp.issubdtype(conv.dtype, jnp.complexfloating):
+            return None
+        filt = np.asarray(conv.filt)
+        if any(m - 1 > TILE for m in filt.shape):
+            return None
+        if any(n < 3 * m for n, m in zip(conv.dim_shape, filt.shape)):
+            return None
+        us = rank1_factors_nd(filt, tol=tol)
+        if us is None:
+            return None
+        return SeparableConvGramND(conv, us)
+
+    def __init__(self, conv: "ConvolveND", factors):
+        from pycsou_tpu.kernels.band import make_gram_band
+
+        super().__init__(conv.dim_shape, conv.dim_shape, lipschitz=conv.lipschitz**2, dtype=conv.dtype)
+        bands, Es, meta = [], [], []
+        for u, n in zip(factors, conv.dim_shape):
+            (b0, b1, lead), Et, Eb, L = make_gram_band(u, int(n))
+            bands.append((jnp.asarray(b0), jnp.asarray(b1)))
+            Es.append(None if Et is None else (jnp.asarray(Et), jnp.asarray(Eb)))
+            meta.append((lead, L))
+        self.g_bands = tuple(bands)
+        self.g_E = tuple(Es)
+        self.g_meta = tuple(meta)
+
+    def apply(self, x):
+        from pycsou_tpu.kernels.band import gram_band_axis
+
+        for ax, ((b0, b1), E, (lead, L)) in enumerate(zip(self.g_bands, self.g_E, self.g_meta)):
+            Et, Eb = E if E is not None else (None, None)
+            x = gram_band_axis(x, ((b0, b1, lead), Et, Eb, L), ax)
+        return x
+
+    def adjoint(self, y):
+        return self.apply(jnp.asarray(y))
+
+
 class ConvolveND(LinearOperator):
     """n-dimensional FFT convolution with 'same' centering (extends the
     reference's 1-D/2-D pair to volumes; needed for the 3-D deconvolution
@@ -577,10 +663,12 @@ class ConvolveND(LinearOperator):
 
     @property
     def gram(self):
-        """Fused exact n-D Gram: one rfftn roundtrip + thin slab corrections
-        (ops/_gram.py ``convnd_gram_apply``) — the volumetric analogue of
-        ConvGram2D, used by the 3-D deconvolution configs."""
-        return ConvGramND(self)
+        """Fused exact n-D Gram.  Rank-1 (separable) kernels take the
+        zero-FFT banded path (``SeparableConvGramND``, one MXU pass per
+        axis); everything else gets one rfftn roundtrip + thin slab
+        corrections (ops/_gram.py ``convnd_gram_apply``)."""
+        g = SeparableConvGramND.build(self)
+        return g if g is not None else ConvGramND(self)
 
 
 class ConvGramND(LinearOperator):

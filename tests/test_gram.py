@@ -191,3 +191,52 @@ def test_convolve1d_overlap_add(rng):
         lhs = float(jnp.vdot(y, b(x)))
         rhs = float(jnp.vdot(b.adjoint(y), x))
         np.testing.assert_allclose(lhs, rhs, rtol=1e-3)
+
+
+@pytest.mark.parametrize("shape,ks", [((24, 30, 36), (7, 5, 7)), ((32, 24), (5, 7)), ((48,), (9,))])
+def test_separable_convnd_gram_rank1(rng, shape, ks):
+    """Rank-1 n-D kernels take the zero-FFT banded Gram; exact vs both
+    adjoint(apply) and the FFT Gram."""
+    from pycsou_tpu.ops.conv import ConvGramND, ConvolveND, SeparableConvGramND
+
+    # anisotropic Gaussian: exactly rank-1, different width per axis
+    us = []
+    for i, k in enumerate(ks):
+        ax = np.arange(k) - k // 2
+        us.append(np.exp(-(ax**2) / (2 * (1.0 + 0.5 * i) ** 2)))
+    filt = us[0]
+    for u in us[1:]:
+        filt = np.multiply.outer(filt, u)
+    filt = (filt / filt.sum()).astype(np.float32)
+
+    A = ConvolveND(shape, filt)
+    g = A.gram
+    assert isinstance(g, SeparableConvGramND)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    expected = np.asarray(A.adjoint(A(x)))
+    atol = 1e-5 * float(np.max(np.abs(expected))) + 1e-6
+    np.testing.assert_allclose(np.asarray(g(x)), expected, rtol=1e-3, atol=atol)
+    fft_g = ConvGramND(A)
+    np.testing.assert_allclose(np.asarray(g(x)), np.asarray(fft_g(x)), rtol=1e-3, atol=atol)
+
+
+def test_separable_convnd_gram_rejects_nonseparable(rng):
+    from pycsou_tpu.ops.conv import ConvGramND, ConvolveND
+
+    h = rng.standard_normal((3, 3, 3)).astype(np.float32)  # full-rank tensor
+    A = ConvolveND((16, 16, 16), h)
+    assert isinstance(A.gram, ConvGramND)
+
+
+def test_rank1_factors_nd_roundtrip(rng):
+    from pycsou_tpu.ops.conv import rank1_factors_nd
+
+    u = rng.standard_normal(5)
+    v = rng.standard_normal(7)
+    w = rng.standard_normal(3)
+    filt = np.multiply.outer(np.multiply.outer(u, v), w)
+    us = rank1_factors_nd(filt)
+    assert us is not None
+    rec = np.multiply.outer(np.multiply.outer(us[0], us[1]), us[2])
+    np.testing.assert_allclose(rec, filt, rtol=1e-6, atol=1e-9)
+    assert rank1_factors_nd(rng.standard_normal((3, 3, 3))) is None
