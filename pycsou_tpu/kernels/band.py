@@ -35,7 +35,11 @@ __all__ = [
     "gram_band_rows",
     "gram_band_cols",
     "gram_band_axis",
+    "make_chanconv",
+    "chanconv_cols",
+    "gram_chanconv_cols",
     "TILE",
+    "CHAN_TILE",
 ]
 
 TILE = 128  # MXU systolic array edge
@@ -161,6 +165,79 @@ def gram_band_axis(x: jax.Array, gplan, axis: int, precision=None) -> jax.Array:
     shp = xm.shape
     out = gram_band_cols(xm.reshape(-1, shp[-1]), gplan, precision=precision)
     return jnp.moveaxis(out.reshape(shp), -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# Channel-conv formulation of the lane-direction banded pass
+#
+# The block-bidiagonal matmul (band_conv_cols) must left-shift the input by
+# `lead` lanes — an unaligned lane pad that costs a full extra HBM copy of
+# the array, and its two matmuls contract over 128-wide blocks even when the
+# band halfwidth is ~14 (>90% of the MXU work multiplies zeros).  Viewing the
+# lane axis as (W/tile, tile) and treating the `tile` lanes of each chunk as
+# FEATURE channels turns the band into a window-3 tile->tile-channel
+# convolution: out_chunk[t] = sum_{d in -1..1} x_chunk[t+d] @ C_d — an
+# implicit GEMM that XLA lowers onto the MXU with no pad copy and with
+# MXU work proportional to `tile` instead of 128.  Measured at 4096^2,
+# K=15 Gram band (docs/BENCH.md): 1.36 ms -> 0.95 ms, exact (HIGHEST) to
+# 1.4e-7 vs the block-bidiagonal pass.
+# ---------------------------------------------------------------------------
+
+CHAN_TILE = 16  # smallest tile covering halfwidth<=31 bands; fastest measured
+
+
+def make_chanconv(taps, offset: int, tile: int = CHAN_TILE):
+    """(3, tile, tile) channel-conv kernel for the banded 'same' pass
+    ``out[j] = sum_k taps[k] * x[j - k + offset]`` (zero boundary), or None
+    when the band's reach exceeds the window-3 coverage ``2*tile - 1``.
+
+    Writing the pass as ``out[p] = sum_m b[m] x[p+m]`` with
+    ``b[m] = taps[offset - m]``, channel kernel entry ``C_d[i, l]`` is the
+    coefficient coupling input lane ``i`` of chunk ``t+d`` to output lane
+    ``l`` of chunk ``t``: ``b[tile*d + i - l]``.
+    """
+    taps = np.asarray(taps, np.float64).reshape(-1)
+    K = taps.size
+    m_lo, m_hi = offset - K + 1, offset
+    if m_lo < -(2 * tile - 1) or m_hi > 2 * tile - 1:
+        return None
+    i = np.arange(tile)[:, None]
+    l = np.arange(tile)[None, :]
+    Kc = np.zeros((3, tile, tile), np.float32)
+    for d in (-1, 0, 1):
+        m = tile * d + i - l
+        valid = (m >= m_lo) & (m <= m_hi)
+        Kc[d + 1] = np.where(valid, taps[np.clip(offset - m, 0, K - 1)], 0.0)
+    return Kc
+
+
+def chanconv_cols(x: jax.Array, Kc, precision=None) -> jax.Array:
+    """Banded 'same' convolution along the LAST axis via the channel-conv
+    formulation (``Kc`` from :func:`make_chanconv`).  Requires the lane size
+    to be a multiple of the tile."""
+    precision = DEFAULT_PRECISION if precision is None else precision
+    Kc = jnp.asarray(Kc, x.dtype)
+    tile = Kc.shape[1]
+    B, W = x.shape
+    xt = x.reshape(B, W // tile, tile)
+    out = jax.lax.conv_general_dilated(
+        xt, Kc, window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"), precision=precision,
+    )
+    return out.reshape(B, W)
+
+
+def gram_chanconv_cols(x: jax.Array, Kc, E, L: int, precision=None) -> jax.Array:
+    """Exact 1-D conv Gram along the LAST axis: channel-conv banded pass +
+    the same thin edge corrections as :func:`gram_band_cols`."""
+    out = chanconv_cols(x, Kc, precision=precision)
+    if E is not None:
+        E_top, E_bot = E
+        Km1 = E_top.shape[0]
+        prec = DEFAULT_PRECISION if precision is None else precision
+        out = out.at[:, :Km1].add(jnp.matmul(x[:, :L], jnp.asarray(E_top).T, precision=prec))
+        out = out.at[:, -Km1:].add(jnp.matmul(x[:, -L:], jnp.asarray(E_bot).T, precision=prec))
+    return out
 
 
 def band_conv_cols(x: jax.Array, plan, precision=None) -> jax.Array:

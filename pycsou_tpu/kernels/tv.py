@@ -515,6 +515,239 @@ def tv_pds_mega_step(x, z, w, atb, corr, B, *, tau: float, sigma: float, rho: fl
     return xn, jnp.stack([z0n, z1n], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Mega2 kernel: BOTH Gram directions fused into the sweep stencil
+#
+# Mega (above) still pays a separate XLA pass for the lane-direction
+# ``w = ColGram(x)`` — one full read of x and write of w per iteration, plus
+# w is re-read by the kernel.  Mega2 computes the lane Gram INSIDE the
+# kernel from the x tile it already streams: the (2K-1)-tap band as a
+# CIRCULAR lane accumulation (symmetric taps: K-1 roll pairs on the VPU,
+# overlapped with the kernel's DMA), and the difference between the exact
+# 'same'-crop Gram and the circular band — wraparound + edge corrections,
+# both confined to the first/last 128 lanes — as ONE (R, 256) @ (256, 256)
+# MXU corner-fix matmul (:func:`make_mega2_lane_plan`).  The w HBM array
+# disappears entirely: 10 streams/iteration -> 7.
+# ---------------------------------------------------------------------------
+
+
+def make_mega2_lane_plan(col_taps, W: int):
+    """Static tap tuple + (256, 256) corner-fix matrix F for the in-kernel
+    lane Gram: ``exact(x) = circ(x) + scatter([x[:, :128] | x[:, -128:]] @ F)``
+    with the fix's two 128-lane halves landing on lanes [0, 128) and
+    [W-128, W).  Requires ``W >= 384`` (corner regions independent) and
+    ``W % 128 == 0`` (aligned corner slices)."""
+    import numpy as np
+
+    col_taps = np.asarray(col_taps, np.float64).reshape(-1)
+    # accept either the raw K filter taps or the (2K-1) autocorrelation
+    K = col_taps.size
+    acorr = col_taps if K % 2 == 1 and np.allclose(col_taps, col_taps[::-1]) else np.convolve(col_taps, col_taps[::-1])
+    taps = np.asarray(acorr, np.float64)
+    K1 = (taps.size - 1) // 2
+    if W < 384 or W % 128:
+        raise ValueError(f"mega2 lane plan needs W % 128 == 0 and W >= 384, got {W}")
+    if 2 * K1 > 128:
+        raise ValueError(f"lane Gram reach {K1} too wide for 128-lane corner fix")
+    # exact 'same'-conv Gram vs circular band on a witness width: the
+    # difference is edge-local, hence identical for every W >= 384
+    Wt = 384
+    # recover the forward taps to build T^H T exactly like make_gram_band
+    # (the acorr alone does not determine the crop corrections) — so this
+    # builder requires the RAW taps; reject pre-convolved input
+    if K % 2 == 1 and np.allclose(col_taps, col_taps[::-1]) and K > 1:
+        raise ValueError("make_mega2_lane_plan needs the raw filter taps, not the autocorrelation")
+    v = col_taps
+    o = K // 2
+    T = np.zeros((Wt, Wt))
+    for j in range(Wt):
+        for k in range(K):
+            p = j - k + o
+            if 0 <= p < Wt:
+                T[j, p] += v[k]
+    G = T.T @ T
+    C = np.zeros((Wt, Wt))
+    for m in range(-K1, K1 + 1):
+        C[np.arange(Wt), (np.arange(Wt) + m) % Wt] += taps[K1 + m]
+    D = G - C
+    # support check: the fix must live in the corner blocks only
+    assert np.allclose(D[128:-128], 0.0) and np.allclose(D[:, 128:-128], 0.0)
+    F = np.zeros((256, 256), np.float32)
+    F[:128, :128] = D[:128, :128].T
+    F[128:, :128] = D[:128, Wt - 128 :].T
+    F[:128, 128:] = D[Wt - 128 :, :128].T
+    F[128:, 128:] = D[Wt - 128 :, Wt - 128 :].T
+    return tuple(float(t) for t in taps), F
+
+
+def _lane_gram_tile(x_tile, f_mat, taps, W: int):
+    """Exact lane-direction conv Gram of one (R, W) tile, entirely in VMEM:
+    circular symmetric band via roll pairs + the MXU corner-fix matmul."""
+    dt = x_tile.dtype
+    K1 = (len(taps) - 1) // 2
+    acc = taps[K1] * x_tile
+    for m in range(1, K1 + 1):
+        acc = acc + taps[K1 + m] * (_roll_lanes(x_tile, -m) + _roll_lanes(x_tile, m))
+    xcat = jnp.concatenate([x_tile[:, :128], x_tile[:, W - 128 :]], axis=1)
+    fix = jnp.dot(
+        xcat, f_mat,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    zmid = jnp.zeros((x_tile.shape[0], W - 256), dt)
+    return acc + jnp.concatenate([fix[:, :128], zmid, fix[:, 128:]], axis=1)
+
+
+def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, f_ref,
+                     xo, z0o, z1o, s_x, s_a, s_z0, s_z1, s_w, s_wt,
+                     *, R, nT, H, W, taps, tau, sigma, rho, lam, nonneg):
+    i = pl.program_id(0)
+    HG = MEGA_HG
+
+    cur_x = x_ref[...]
+    cur_a = a_ref[...]
+    cur_z0 = z0_ref[...]
+    cur_z1 = z1_ref[...]
+
+    # in-kernel lane Gram of the tile the sweep is already streaming
+    cur_w = _lane_gram_tile(cur_x, f_ref[...], taps, W)
+
+    @pl.when(i > 0)
+    def _compute():
+        j = i - 1
+        row0 = j * R
+        dt = cur_x.dtype
+        Rw = R + 8
+
+        # ---- fused row-direction Gram over window rows [row0-HG, row0+R+HG)
+        last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows >= H are zero
+        win = jnp.concatenate([s_wt[...], s_w[...], cur_w * last_f], axis=0)
+        gsum = jnp.dot(
+            b_ref[...], win,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        first_f = jnp.where(j == 0, 1.0, 0.0).astype(dt)
+        lastj_f = jnp.where(j == nT - 1, 1.0, 0.0).astype(dt)
+        zpad8 = jnp.zeros((8, W), dt)
+        gsum = gsum + first_f * jnp.concatenate([corr_ref[:HG], zpad8], axis=0)
+        gsum = gsum + lastj_f * jnp.concatenate([corr_ref[HG:], zpad8], axis=0)
+        aw = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
+        gw = gsum - 2.0 * aw  # = 2*(RowGram(ColGram(x)) - atb) on the window
+
+        # ---- stencil chain (identical to _tv_sweep_kernel) ---------------
+        xw = jnp.concatenate([s_x[...], cur_x[:8]], axis=0)
+        z0w = jnp.concatenate([s_z0[8:], cur_z0[:8]], axis=0)
+        z0up = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
+        z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
+
+        def lastcol_mask(nrows):
+            colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
+            return jnp.where(colw == W - 1, 0.0, 1.0).astype(dt)
+
+        def firstcol_mask(nrows):
+            colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
+            return jnp.where(colw == 0, 0.0, 1.0).astype(dt)
+
+        z0w = z0w * _row_mask_last_zero(H, row0, Rw, W, dt)
+        z0up = z0up * _row_mask_last_zero(H, row0 - 1, Rw, W, dt)
+        z1w = z1w * lastcol_mask(Rw)
+
+        z1_left = _roll_lanes(z1w, 1) * firstcol_mask(Rw)
+        div = (z0up - z0w) + (z1_left - z1w)
+
+        x_t = xw - tau * gw - tau * div
+        if nonneg:
+            x_t = jnp.maximum(x_t, 0.0)
+
+        u = 2.0 * x_t - xw
+        du_r = (u[1 : 1 + R] - u[:R]) * _row_mask_last_zero(H, row0, R, W, dt)
+        uc = u[:R]
+        lc_R = lastcol_mask(R)
+        u_right = _roll_lanes(uc, -1) * lc_R
+        du_c = (u_right - uc) * lc_R
+
+        v0 = z0w[:R] + sigma * du_r
+        v1 = z1w[:R] + sigma * du_c
+        mag = jnp.sqrt(v0 * v0 + v1 * v1)
+        scale = lam / jnp.maximum(mag, lam)
+
+        xo[...] = rho * x_t[:R] + (1.0 - rho) * xw[:R]
+        z0o[...] = rho * (v0 * scale) + (1.0 - rho) * z0w[:R]
+        z1o[...] = rho * (v1 * scale) + (1.0 - rho) * z1w[:R]
+
+    @pl.when(i == 0)
+    def _init():
+        s_z0[:8] = jnp.zeros((8, W), cur_z0.dtype)
+        s_wt[...] = jnp.zeros((MEGA_HG, W), cur_w.dtype)
+
+    @pl.when(i > 0)
+    def _tail():
+        s_z0[:8] = s_z0[R : R + 8]
+        s_wt[...] = s_w[R - MEGA_HG :]
+
+    @pl.when(i < nT)
+    def _carry():
+        s_x[...] = cur_x
+        s_a[...] = cur_a
+        s_z0[8:] = cur_z0
+        s_z1[...] = cur_z1
+        s_w[...] = cur_w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taps", "tau", "sigma", "rho", "lam", "nonneg", "interpret")
+)
+def tv_pds_mega2_step(x, z, atb, corr, B, F, *, taps, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False):
+    """One full TV PDS iteration with BOTH Gram directions fused into the
+    sweep stencil kernel — no separate ColGram pass, no w HBM array.
+
+    ``taps`` is the static (2K-1) lane-autocorrelation tuple and ``F`` the
+    (256, 256) corner-fix matrix from :func:`make_mega2_lane_plan`;
+    ``corr`` the (2*MEGA_HG, W) x2-scaled row-Gram edge correction (computed
+    from the first/last rows of x by the caller); ``B`` from
+    :func:`make_mega_band`.  Equivalent to
+    ``tv_pds_stencil_step_xla(x, z, 2*(Gram(x) - atb), ...)``.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = x.shape
+    R = MEGA_R
+    if H % R:
+        raise ValueError(f"H={H} must be divisible by {R}")
+    if W < 384 or W % 128:
+        raise ValueError(f"mega2 needs W % 128 == 0 and W >= 384, got {W}")
+    nT = H // R
+    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    corr_spec = pl.BlockSpec((2 * MEGA_HG, W), lambda i: (0, 0))
+    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
+    f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
+    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
+    kern = functools.partial(
+        _tv_mega2_kernel, R=R, nT=nT, H=H, W=W, taps=tuple(float(t) for t in taps),
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    xn, z0n, z1n = pl.pallas_call(
+        kern,
+        grid=(nT + 1,),
+        in_specs=[in_spec, in_spec, in_spec, corr_spec, b_spec, f_spec],
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R + 8, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((MEGA_HG, W), jnp.float32),
+        ],
+        compiler_params=cp(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x, atb, z[0], z[1], corr, B, F)
+    return xn, jnp.stack([z0n, z1n], axis=0)
+
+
 def tv_pds_stencil_step_xla(x, z, g, *, tau, sigma, rho, lam, nonneg=True):
     """Pure-XLA twin of the fused kernel (correctness oracle / CPU path)."""
     from pycsou_tpu.ops.diff import fdiff_forward, fdiff_forward_adjoint

@@ -441,6 +441,9 @@ class SeparableConvGram2D(LinearOperator):
     # consumed by the fused gram+stencil mega kernel (kernels/tv.py)
     g_rows_acorr: tuple = static_field(default=None)
     g_cols_acorr: tuple = static_field(default=None)
+    # channel-conv formulation of the lane-direction Gram band (no pad copy,
+    # MXU work ~ tile instead of 128; kernels/band.py make_chanconv)
+    g_cols_chan: jax.Array = None
 
     @staticmethod
     def build(conv: "Convolve2D", tol: float = 1e-6, max_rank: int = 4):
@@ -498,6 +501,13 @@ class SeparableConvGram2D(LinearOperator):
             self.g_meta = (lead_r, L_r, lead_c, L_c)
             self.g_rows_acorr = tuple(float(t) for t in np.convolve(us[:, 0], us[::-1, 0]))
             self.g_cols_acorr = tuple(float(t) for t in np.convolve(vs[:, 0], vs[::-1, 0]))
+            from pycsou_tpu.kernels.band import CHAN_TILE, make_chanconv
+
+            self.g_cols_chan = None
+            if W % CHAN_TILE == 0:
+                Kc = make_chanconv(np.asarray(self.g_cols_acorr), m1 - 1)
+                if Kc is not None:
+                    self.g_cols_chan = jnp.asarray(Kc)
 
     def _apply_fast2(self, x):
         """Rank-1 2-pass Gram: RowGram then ColGram, each one banded pass."""
@@ -511,6 +521,10 @@ class SeparableConvGram2D(LinearOperator):
             Km1 = Et.shape[0]
             y = y.at[:Km1].add(jnp.matmul(Et, x[:L_r], precision=prec))
             y = y.at[-Km1:].add(jnp.matmul(Eb, x[-L_r:], precision=prec))
+        if self.g_cols_chan is not None:
+            from pycsou_tpu.kernels.band import gram_chanconv_cols
+
+            return gram_chanconv_cols(y, self.g_cols_chan, self.g_cols_E, L_c)
         g = band_conv_cols(y, (*self.g_cols_band, lead_c))
         if self.g_cols_E is not None:
             Et, Eb = self.g_cols_E

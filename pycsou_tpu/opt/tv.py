@@ -174,20 +174,25 @@ class TVDeconvolution(IterativeSolver):
     def _mega_colgram(self, x):
         """Lane-direction Gram pass ``w = ColGram(x)`` plus the thin x2-scaled
         row-Gram edge corrections consumed by :func:`tv_pds_mega_step`."""
-        from pycsou_tpu.kernels.band import gram_band_cols
+        from pycsou_tpu.kernels.band import gram_band_cols, gram_chanconv_cols
 
         g = self.gram
         _, L_r, lead_c, L_c = g.g_meta
         Ec = g.g_cols_E
-        w = gram_band_cols(
-            x,
-            (
-                (g.g_cols_band[0], g.g_cols_band[1], lead_c),
-                Ec[0] if Ec is not None else None,
-                Ec[1] if Ec is not None else None,
-                L_c,
-            ),
-        )
+        if g.g_cols_chan is not None:
+            # channel-conv formulation: no pad copy, MXU work ~ CHAN_TILE
+            # (1.36 -> 0.95 ms at 4096^2, docs/BENCH.md)
+            w = gram_chanconv_cols(x, g.g_cols_chan, Ec, L_c)
+        else:
+            w = gram_band_cols(
+                x,
+                (
+                    (g.g_cols_band[0], g.g_cols_band[1], lead_c),
+                    Ec[0] if Ec is not None else None,
+                    Ec[1] if Ec is not None else None,
+                    L_c,
+                ),
+            )
         W = x.shape[1]
         prec = jax.lax.Precision.HIGHEST
         if g.g_rows_E is not None:
