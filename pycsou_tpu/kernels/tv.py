@@ -393,7 +393,7 @@ def _tv_mega_kernel(w_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref,
 
         # ---- fused row-direction Gram over window rows [row0-HG, row0+R+HG)
         last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows >= H are zero
-        win = jnp.concatenate([s_wt[...], s_w[...], cur_w * last_f], axis=0)
+        win = jnp.concatenate([s_wt[...], s_w[...], (cur_w * last_f)[:HG]], axis=0)
         gsum = jnp.dot(
             b_ref[...], win,
             precision=jax.lax.Precision.HIGHEST,
@@ -401,9 +401,9 @@ def _tv_mega_kernel(w_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref,
         ).astype(dt)
         first_f = jnp.where(j == 0, 1.0, 0.0).astype(dt)
         lastj_f = jnp.where(j == nT - 1, 1.0, 0.0).astype(dt)
-        zpad8 = jnp.zeros((8, W), dt)
-        gsum = gsum + first_f * jnp.concatenate([corr_ref[:HG], zpad8], axis=0)
-        gsum = gsum + lastj_f * jnp.concatenate([corr_ref[HG:], zpad8], axis=0)
+        zpad = jnp.zeros((R + 8 - HG, W), dt)
+        gsum = gsum + first_f * jnp.concatenate([corr_ref[:HG], zpad], axis=0)
+        gsum = gsum + lastj_f * jnp.concatenate([corr_ref[HG:], zpad], axis=0)
         aw = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
         gw = gsum - 2.0 * aw  # = 2*(RowGram(ColGram(x)) - atb) on the window
 
@@ -521,43 +521,55 @@ def tv_pds_mega_step(x, z, w, atb, corr, B, *, tau: float, sigma: float, rho: fl
 # Mega (above) still pays a separate XLA pass for the lane-direction
 # ``w = ColGram(x)`` — one full read of x and write of w per iteration, plus
 # w is re-read by the kernel.  Mega2 computes the lane Gram INSIDE the
-# kernel from the x tile it already streams: the (2K-1)-tap band as a
-# CIRCULAR lane accumulation (symmetric taps: K-1 roll pairs on the VPU,
-# overlapped with the kernel's DMA), and the difference between the exact
-# 'same'-crop Gram and the circular band — wraparound + edge corrections,
-# both confined to the first/last 128 lanes — as ONE (R, 256) @ (256, 256)
-# MXU corner-fix matmul (:func:`make_mega2_lane_plan`).  The w HBM array
-# disappears entirely: 10 streams/iteration -> 7.
+# kernel from the x tile it already streams: the lane axis viewed as
+# (W/128, 128) chunks makes the (2K-1)-tap band a block-tridiagonal
+# chunk matmul — three (R*W/128, 128) @ (128, 128) MXU contractions on the
+# flat lane-split view (a VPU roll-pair accumulation measured 3x slower:
+# 28 rolls ~ 1.2 ms/iter at 4096^2), plus ONE (R, 256) @ (256, 256)
+# corner-fix matmul for the 'same'-crop edge corrections
+# (:func:`make_mega2_lane_plan`).  The w HBM array disappears entirely:
+# 10 streams/iteration -> 7.
 # ---------------------------------------------------------------------------
 
 
 def make_mega2_lane_plan(col_taps, W: int):
-    """Static tap tuple + (256, 256) corner-fix matrix F for the in-kernel
-    lane Gram: ``exact(x) = circ(x) + scatter([x[:, :128] | x[:, -128:]] @ F)``
-    with the fix's two 128-lane halves landing on lanes [0, 128) and
-    [W-128, W).  Requires ``W >= 384`` (corner regions independent) and
-    ``W % 128 == 0`` (aligned corner slices)."""
+    """(C, F) matrices for the in-kernel MXU lane Gram.
+
+    ``C`` is the (384, 128) stack [C_-1; C_0; C_+1] of the band's
+    block-tridiagonal 128-chunk form — viewing the lane axis as
+    (W/128, 128) chunks, the zero-boundary banded Toeplitz pass is
+    ``out_chunk[c] = sum_d x_chunk[c+d] @ C_d`` (three (R*W/128, 128) @
+    (128, 128) MXU matmuls on the flat lane-split view; VPU roll pairs
+    measured 3x slower, docs/BENCH.md).  ``F`` is the (256, 256)
+    corner-fix: ``exact(x) = band(x) + scatter([x[:, :128] | x[:, -128:]]
+    @ F)`` — the 'same'-crop deviations from Toeplitz, confined to the
+    first/last K-1 lanes, landing on lanes [0, 128) and [W-128, W).
+    Requires ``W >= 384`` (corner regions independent) and ``W % 128 == 0``
+    (aligned slices).  ``col_taps`` are the RAW filter taps (the crop
+    corrections are not determined by the autocorrelation alone)."""
     import numpy as np
 
-    col_taps = np.asarray(col_taps, np.float64).reshape(-1)
-    # accept either the raw K filter taps or the (2K-1) autocorrelation
-    K = col_taps.size
-    acorr = col_taps if K % 2 == 1 and np.allclose(col_taps, col_taps[::-1]) else np.convolve(col_taps, col_taps[::-1])
-    taps = np.asarray(acorr, np.float64)
-    K1 = (taps.size - 1) // 2
+    v = np.asarray(col_taps, np.float64).reshape(-1)  # RAW filter taps
+    K = v.size
+    taps = np.convolve(v, v[::-1])  # (2K-1) autocorrelation, symmetric
+    K1 = K - 1
     if W < 384 or W % 128:
         raise ValueError(f"mega2 lane plan needs W % 128 == 0 and W >= 384, got {W}")
     if 2 * K1 > 128:
         raise ValueError(f"lane Gram reach {K1} too wide for 128-lane corner fix")
-    # exact 'same'-conv Gram vs circular band on a witness width: the
-    # difference is edge-local, hence identical for every W >= 384
+    tile = 128
+    i = np.arange(tile)[:, None]
+    ll = np.arange(tile)[None, :]
+    C = np.zeros((3 * tile, tile), np.float32)
+    for d in (-1, 0, 1):
+        m = tile * d + i - ll  # out[p] = sum_m a_m x[p+m]
+        valid = np.abs(m) <= K1
+        C[(d + 1) * tile : (d + 2) * tile] = np.where(
+            valid, taps[np.clip(K1 + m, 0, 2 * K1)], 0.0
+        )
+    # exact 'same'-conv Gram vs the clipped banded Toeplitz on a witness
+    # width: the difference is edge-local, hence identical for every W >= 384
     Wt = 384
-    # recover the forward taps to build T^H T exactly like make_gram_band
-    # (the acorr alone does not determine the crop corrections) — so this
-    # builder requires the RAW taps; reject pre-convolved input
-    if K % 2 == 1 and np.allclose(col_taps, col_taps[::-1]) and K > 1:
-        raise ValueError("make_mega2_lane_plan needs the raw filter taps, not the autocorrelation")
-    v = col_taps
     o = K // 2
     T = np.zeros((Wt, Wt))
     for j in range(Wt):
@@ -566,10 +578,11 @@ def make_mega2_lane_plan(col_taps, W: int):
             if 0 <= p < Wt:
                 T[j, p] += v[k]
     G = T.T @ T
-    C = np.zeros((Wt, Wt))
+    Tb = np.zeros((Wt, Wt))
     for m in range(-K1, K1 + 1):
-        C[np.arange(Wt), (np.arange(Wt) + m) % Wt] += taps[K1 + m]
-    D = G - C
+        idx = np.arange(max(0, -m), min(Wt, Wt - m))
+        Tb[idx, idx + m] = taps[K1 + m]
+    D = G - Tb
     # support check: the fix must live in the corner blocks only
     assert np.allclose(D[128:-128], 0.0) and np.allclose(D[:, 128:-128], 0.0)
     F = np.zeros((256, 256), np.float32)
@@ -577,30 +590,40 @@ def make_mega2_lane_plan(col_taps, W: int):
     F[128:, :128] = D[:128, Wt - 128 :].T
     F[:128, 128:] = D[Wt - 128 :, :128].T
     F[128:, 128:] = D[Wt - 128 :, Wt - 128 :].T
-    return tuple(float(t) for t in taps), F
+    return C, F
 
 
-def _lane_gram_tile(x_tile, f_mat, taps, W: int):
+def _lane_gram_tile(x_tile, c_mat, f_mat, W: int):
     """Exact lane-direction conv Gram of one (R, W) tile, entirely in VMEM:
-    circular symmetric band via roll pairs + the MXU corner-fix matmul."""
+    block-tridiagonal 128-chunk MXU matmuls on the lane-split view + the
+    corner-fix matmul (plan from :func:`make_mega2_lane_plan`)."""
     dt = x_tile.dtype
-    K1 = (len(taps) - 1) // 2
-    acc = taps[K1] * x_tile
-    for m in range(1, K1 + 1):
-        acc = acc + taps[K1 + m] * (_roll_lanes(x_tile, -m) + _roll_lanes(x_tile, m))
-    xcat = jnp.concatenate([x_tile[:, :128], x_tile[:, W - 128 :]], axis=1)
-    fix = jnp.dot(
-        xcat, f_mat,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    R = x_tile.shape[0]
+    tile = 128
+    nC = W // tile
+    HIP = jax.lax.Precision.HIGHEST
+    xv = jnp.reshape(x_tile, (R * nC, tile))
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (R * nC, tile), 0)
+    m_first = jnp.where(fidx % nC == 0, 0.0, 1.0).astype(dt)
+    m_last = jnp.where(fidx % nC == nC - 1, 0.0, 1.0).astype(dt)
+    # chunk c+-1 = flat row shift, masked at chunk-group (image-row) edges
+    xm = pltpu.roll(xv, 1, axis=0) * m_first
+    xp = pltpu.roll(xv, R * nC - 1, axis=0) * m_last
+    out = (
+        jnp.dot(xm, c_mat[:tile], precision=HIP, preferred_element_type=jnp.float32)
+        + jnp.dot(xv, c_mat[tile : 2 * tile], precision=HIP, preferred_element_type=jnp.float32)
+        + jnp.dot(xp, c_mat[2 * tile :], precision=HIP, preferred_element_type=jnp.float32)
     ).astype(dt)
-    zmid = jnp.zeros((x_tile.shape[0], W - 256), dt)
+    acc = jnp.reshape(out, (R, W))
+    xcat = jnp.concatenate([x_tile[:, :128], x_tile[:, W - 128 :]], axis=1)
+    fix = jnp.dot(xcat, f_mat, precision=HIP, preferred_element_type=jnp.float32).astype(dt)
+    zmid = jnp.zeros((R, W - 256), dt)
     return acc + jnp.concatenate([fix[:, :128], zmid, fix[:, 128:]], axis=1)
 
 
-def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, f_ref,
+def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref,
                      xo, z0o, z1o, s_x, s_a, s_z0, s_z1, s_w, s_wt,
-                     *, R, nT, H, W, taps, tau, sigma, rho, lam, nonneg):
+                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
     i = pl.program_id(0)
     HG = MEGA_HG
 
@@ -610,7 +633,7 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, f_ref,
     cur_z1 = z1_ref[...]
 
     # in-kernel lane Gram of the tile the sweep is already streaming
-    cur_w = _lane_gram_tile(cur_x, f_ref[...], taps, W)
+    cur_w = _lane_gram_tile(cur_x, c_ref[...], f_ref[...], W)
 
     @pl.when(i > 0)
     def _compute():
@@ -621,7 +644,7 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, f_ref,
 
         # ---- fused row-direction Gram over window rows [row0-HG, row0+R+HG)
         last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows >= H are zero
-        win = jnp.concatenate([s_wt[...], s_w[...], cur_w * last_f], axis=0)
+        win = jnp.concatenate([s_wt[...], s_w[...], (cur_w * last_f)[:HG]], axis=0)
         gsum = jnp.dot(
             b_ref[...], win,
             precision=jax.lax.Precision.HIGHEST,
@@ -629,9 +652,9 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, f_ref,
         ).astype(dt)
         first_f = jnp.where(j == 0, 1.0, 0.0).astype(dt)
         lastj_f = jnp.where(j == nT - 1, 1.0, 0.0).astype(dt)
-        zpad8 = jnp.zeros((8, W), dt)
-        gsum = gsum + first_f * jnp.concatenate([corr_ref[:HG], zpad8], axis=0)
-        gsum = gsum + lastj_f * jnp.concatenate([corr_ref[HG:], zpad8], axis=0)
+        zpad = jnp.zeros((R + 8 - HG, W), dt)
+        gsum = gsum + first_f * jnp.concatenate([corr_ref[:HG], zpad], axis=0)
+        gsum = gsum + lastj_f * jnp.concatenate([corr_ref[HG:], zpad], axis=0)
         aw = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
         gw = gsum - 2.0 * aw  # = 2*(RowGram(ColGram(x)) - atb) on the window
 
@@ -696,14 +719,14 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, f_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("taps", "tau", "sigma", "rho", "lam", "nonneg", "interpret")
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
 )
-def tv_pds_mega2_step(x, z, atb, corr, B, F, *, taps, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False):
+def tv_pds_mega2_step(x, z, atb, corr, B, C, F, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False):
     """One full TV PDS iteration with BOTH Gram directions fused into the
     sweep stencil kernel — no separate ColGram pass, no w HBM array.
 
-    ``taps`` is the static (2K-1) lane-autocorrelation tuple and ``F`` the
-    (256, 256) corner-fix matrix from :func:`make_mega2_lane_plan`;
+    ``C`` is the (384, 128) block-tridiagonal lane-band stack and ``F`` the
+    (256, 256) corner-fix matrix, both from :func:`make_mega2_lane_plan`;
     ``corr`` the (2*MEGA_HG, W) x2-scaled row-Gram edge correction (computed
     from the first/last rows of x by the caller); ``B`` from
     :func:`make_mega_band`.  Equivalent to
@@ -721,17 +744,18 @@ def tv_pds_mega2_step(x, z, atb, corr, B, F, *, taps, tau: float, sigma: float, 
     in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
     corr_spec = pl.BlockSpec((2 * MEGA_HG, W), lambda i: (0, 0))
     b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
+    c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
     f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
     out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
     kern = functools.partial(
-        _tv_mega2_kernel, R=R, nT=nT, H=H, W=W, taps=tuple(float(t) for t in taps),
+        _tv_mega2_kernel, R=R, nT=nT, H=H, W=W,
         tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     xn, z0n, z1n = pl.pallas_call(
         kern,
         grid=(nT + 1,),
-        in_specs=[in_spec, in_spec, in_spec, corr_spec, b_spec, f_spec],
+        in_specs=[in_spec, in_spec, in_spec, in_spec, corr_spec, b_spec, c_spec, f_spec],
         out_specs=[out_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3,
         scratch_shapes=[
@@ -744,7 +768,7 @@ def tv_pds_mega2_step(x, z, atb, corr, B, F, *, taps, tau: float, sigma: float, 
         ],
         compiler_params=cp(dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(x, atb, z[0], z[1], corr, B, F)
+    )(x, atb, z[0], z[1], corr, B, C, F)
     return xn, jnp.stack([z0n, z1n], axis=0)
 
 

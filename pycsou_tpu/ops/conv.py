@@ -444,6 +444,9 @@ class SeparableConvGram2D(LinearOperator):
     # channel-conv formulation of the lane-direction Gram band (no pad copy,
     # MXU work ~ tile instead of 128; kernels/band.py make_chanconv)
     g_cols_chan: jax.Array = None
+    # raw rank-1 factor taps (host floats; mega2 lane-plan builder input)
+    g_rows_taps: tuple = static_field(default=None)
+    g_cols_taps: tuple = static_field(default=None)
 
     @staticmethod
     def build(conv: "Convolve2D", tol: float = 1e-6, max_rank: int = 4):
@@ -501,6 +504,8 @@ class SeparableConvGram2D(LinearOperator):
             self.g_meta = (lead_r, L_r, lead_c, L_c)
             self.g_rows_acorr = tuple(float(t) for t in np.convolve(us[:, 0], us[::-1, 0]))
             self.g_cols_acorr = tuple(float(t) for t in np.convolve(vs[:, 0], vs[::-1, 0]))
+            self.g_rows_taps = tuple(float(t) for t in us[:, 0])
+            self.g_cols_taps = tuple(float(t) for t in vs[:, 0])
             from pycsou_tpu.kernels.band import CHAN_TILE, make_chanconv
 
             self.g_cols_chan = None

@@ -27,7 +27,9 @@ from pycsou_tpu.core.solver import IterativeSolver
 from pycsou_tpu.kernels.tv import (
     MEGA_HG,
     MEGA_R,
+    make_mega2_lane_plan,
     make_mega_band,
+    tv_pds_mega2_step,
     tv_pds_mega_step,
     tv_pds_stencil_step,
     tv_pds_stencil_step_sweep,
@@ -53,11 +55,14 @@ class TVDeconvolution(IterativeSolver):
     beta: float = static_field(default=2.0)
     nonneg: bool = static_field(default=True)
     use_pallas: bool = static_field(default=False)
-    # "mega" (row-Gram fused into the sweep kernel, fastest), "sweep"
+    # "mega2" (BOTH Gram directions fused into the sweep kernel, fastest),
+    # "mega" (row-Gram fused, lane Gram as an XLA pass), "sweep"
     # (scratch-carry pipeline), "element" (halo blocks), "xla" (pure-XLA
     # twin; the CPU path)
     stencil_mode: str = static_field(default="xla")
     mega_B: jax.Array = None  # (R+8, R+2*HG) fused row-Gram band matrix
+    mega_C: jax.Array = None  # (384, 128) mega2 block-tridiag lane band
+    mega_F: jax.Array = None  # (256, 256) mega2 lane corner-fix matrix
 
     def __init__(
         self,
@@ -118,11 +123,20 @@ class TVDeconvolution(IterativeSolver):
         from pycsou_tpu.kernels.tv import sweep_available
 
         self.mega_B = None
+        self.mega_C = None
+        self.mega_F = None
         if not self.use_pallas:
             self.stencil_mode = "xla"
         elif self._mega_eligible(shape):
-            self.stencil_mode = "mega"
             self.mega_B = jnp.asarray(make_mega_band(self.gram.g_rows_acorr))
+            if self._mega2_eligible(shape):
+                # both Gram directions in-kernel: no ColGram pass, no w array
+                C, F = make_mega2_lane_plan(self.gram.g_cols_taps, shape[1])
+                self.mega_C = jnp.asarray(C)
+                self.mega_F = jnp.asarray(F)
+                self.stencil_mode = "mega2"
+            else:
+                self.stencil_mode = "mega"
         elif sweep_available(*shape):
             self.stencil_mode = "sweep"
         else:
@@ -145,6 +159,16 @@ class TVDeconvolution(IterativeSolver):
             and (MEGA_R + 2 * MEGA_HG) * W * 4 <= 820_000
         )
 
+    def _mega2_eligible(self, shape) -> bool:
+        """Mega2 additionally needs raw lane factor taps, 128-aligned width
+        for the corner-fix slices, and lane-Gram reach within one corner."""
+        g = self.gram
+        H, W = shape
+        if g.g_cols_taps is None:
+            return False
+        K1c = len(g.g_cols_taps) - 1
+        return W % 128 == 0 and W >= 384 and 2 * K1c <= 128
+
     # -- iteration ---------------------------------------------------------
     def _grad(self, x):
         if self.gram is None:
@@ -158,6 +182,12 @@ class TVDeconvolution(IterativeSolver):
     def step(self, state):
         x, z = state["x"], state["z"]
         kw = dict(tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam, nonneg=self.nonneg)
+        if self.stencil_mode == "mega2":
+            corr = self._mega2_corr(x)
+            x, z = tv_pds_mega2_step(
+                x, z, self.atb, corr, self.mega_B, self.mega_C, self.mega_F, **kw
+            )
+            return {"x": x, "z": z}
         if self.stencil_mode == "mega":
             w, corr = self._mega_colgram(x)
             x, z = tv_pds_mega_step(x, z, w, self.atb, corr, self.mega_B, **kw)
@@ -208,6 +238,43 @@ class TVDeconvolution(IterativeSolver):
         else:
             corr = jnp.zeros((2 * MEGA_HG, W), x.dtype)
         return w, corr
+
+    def _mega2_corr(self, x):
+        """x2-scaled row-Gram edge corrections from the first/last rows of x
+        — the lane Gram is row-local, so ``w``'s edge rows come from thin
+        (L_r, W) slices instead of the full ColGram pass mega needs."""
+        from pycsou_tpu.kernels.band import gram_band_cols, gram_chanconv_cols
+
+        g = self.gram
+        _, L_r, lead_c, L_c = g.g_meta
+        Ec = g.g_cols_E
+        if g.g_cols_chan is not None:
+            w_top = gram_chanconv_cols(x[:L_r], g.g_cols_chan, Ec, L_c)
+            w_bot = gram_chanconv_cols(x[-L_r:], g.g_cols_chan, Ec, L_c)
+        else:
+            gplan = (
+                (g.g_cols_band[0], g.g_cols_band[1], lead_c),
+                Ec[0] if Ec is not None else None,
+                Ec[1] if Ec is not None else None,
+                L_c,
+            )
+            w_top = gram_band_cols(x[:L_r], gplan)
+            w_bot = gram_band_cols(x[-L_r:], gplan)
+        W = x.shape[1]
+        prec = jax.lax.Precision.HIGHEST
+        if g.g_rows_E is not None:
+            Etr, Ebr = g.g_rows_E
+            K1 = Etr.shape[0]
+            top = 2.0 * jnp.matmul(Etr, w_top, precision=prec)
+            bot = 2.0 * jnp.matmul(Ebr, w_bot, precision=prec)
+            corr = (
+                jnp.zeros((2 * MEGA_HG, W), x.dtype)
+                .at[:K1].set(top)
+                .at[2 * MEGA_HG - K1 :].set(bot)
+            )
+        else:
+            corr = jnp.zeros((2 * MEGA_HG, W), x.dtype)
+        return corr
 
     def objective(self, x):
         """Objective value (pure/jittable; usable with track_objective).

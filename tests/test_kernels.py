@@ -166,3 +166,78 @@ def test_mega_band_reach_guard():
 
     with pytest.raises(ValueError):
         make_mega_band(np.ones(35))  # K-1 = 17 > MEGA_HG - 1
+
+
+# ---------------------------------------------------------------------------
+# Mega2 kernel (BOTH Gram directions fused: in-kernel MXU lane Gram)
+# ---------------------------------------------------------------------------
+
+
+def _mega2_problem(rng, H, W, K):
+    from pycsou_tpu.kernels.tv import make_mega2_lane_plan, make_mega_band
+    from pycsou_tpu.ops.conv import Convolve2D, SeparableConvGram2D
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    ax = np.arange(K) - K // 2
+    g1 = np.exp(-(ax**2) / (2 * 2.0**2))
+    g2 = np.exp(-(ax**2) / (2 * 1.3**2))
+    filt = np.outer(g1, g2).astype(np.float32)
+    filt /= filt.sum()
+    A = Convolve2D((H, W), filt)
+    gram = A.gram
+    assert isinstance(gram, SeparableConvGram2D) and gram.g_meta is not None
+    B = jnp.asarray(make_mega_band(gram.g_rows_acorr))
+    C, F = make_mega2_lane_plan(gram.g_cols_taps, W)
+    solver = TVDeconvolution.__new__(TVDeconvolution)
+    solver.gram = gram
+    return gram, B, jnp.asarray(C), jnp.asarray(F), lambda x: TVDeconvolution._mega2_corr(solver, x)
+
+
+@pytest.mark.parametrize("shape,K", [((64, 384), 15), ((32, 512), 9), ((128, 384), 5), ((64, 384), 4)])
+@pytest.mark.parametrize("nonneg", [True, False])
+def test_mega2_step_matches_gram_plus_xla(rng, shape, K, nonneg):
+    """Fully fused (lane Gram + row Gram + stencil) kernel == oracle."""
+    from pycsou_tpu.kernels.tv import tv_pds_mega2_step
+
+    H, W = shape
+    gram, B, C, F, corr_of = _mega2_problem(rng, H, W, K)
+    x = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, H, W)), jnp.float32) * 0.1
+    z = z.at[0, -1].set(0.0).at[1, :, -1].set(0.0)
+    atb = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    kw = dict(tau=0.05, sigma=0.05, rho=0.9, lam=0.05, nonneg=nonneg)
+
+    g_ref = 2.0 * (gram.apply(x) - atb)
+    x2, z2 = tv_pds_stencil_step_xla(x, z, g_ref, **kw)
+    x1, z1 = tv_pds_mega2_step(x, z, atb, corr_of(x), B, C, F, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=3e-5, atol=3e-6)
+
+
+def test_mega2_step_iterated(rng):
+    from pycsou_tpu.kernels.tv import tv_pds_mega2_step
+
+    H, W = 96, 384
+    gram, B, C, F, corr_of = _mega2_problem(rng, H, W, 15)
+    atb = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    x1 = x2 = jnp.zeros((H, W), jnp.float32)
+    z1 = z2 = jnp.zeros((2, H, W), jnp.float32)
+    kw = dict(tau=0.1, sigma=0.1, rho=0.9, lam=0.05, nonneg=True)
+    for _ in range(5):
+        x1, z1 = tv_pds_mega2_step(x1, z1, atb, corr_of(x1), B, C, F, interpret=True, **kw)
+        g2 = 2.0 * (gram.apply(x2) - atb)
+        x2, z2 = tv_pds_stencil_step_xla(x2, z2, g2, **kw)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-4, atol=1e-5)
+
+
+def test_mega2_lane_plan_guards():
+    from pycsou_tpu.kernels.tv import make_mega2_lane_plan
+
+    taps = np.exp(-((np.arange(15) - 7.0) ** 2) / 8.0)
+    with pytest.raises(ValueError):
+        make_mega2_lane_plan(taps, 256)  # W < 384
+    with pytest.raises(ValueError):
+        make_mega2_lane_plan(taps, 4100)  # W % 128 != 0
+    with pytest.raises(ValueError):
+        make_mega2_lane_plan(np.ones(70), 512)  # reach > one corner
