@@ -248,11 +248,13 @@ class IterativeSolver(Module):
         """
         state = self._wrap_state(self.initial_state())
         if checkpoint_dir is not None:
-            from pycsou_tpu.utils.checkpoint import latest_checkpoint, load_state
+            # resume from the newest LOADABLE checkpoint (a kill mid-save can
+            # leave the newest step_* partial; fall back to the previous one)
+            from pycsou_tpu.utils.checkpoint import load_latest_state
 
-            latest = latest_checkpoint(checkpoint_dir)
-            if latest is not None:
-                state = load_state(latest, template=state)
+            resumed = load_latest_state(checkpoint_dir, template=state)
+            if resumed is not None:
+                state = resumed
         chunk = self.verbose if self.verbose else 100
         n_chunks = 0
         t0 = time.perf_counter()

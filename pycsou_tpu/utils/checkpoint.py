@@ -14,7 +14,7 @@ from typing import Any, Optional
 import jax
 import numpy as np
 
-__all__ = ["save_state", "load_state", "latest_checkpoint"]
+__all__ = ["save_state", "load_state", "latest_checkpoint", "checkpoint_steps", "load_latest_state"]
 
 
 def _checkpointer():
@@ -47,13 +47,43 @@ def load_state(path: str, template: Optional[Any] = None) -> Any:
     return jax.tree_util.tree_unflatten(treedef, flat)
 
 
+def checkpoint_steps(directory: str) -> list:
+    """COMPLETED checkpoint subdirectories of ``directory``, most recent step
+    first.  Orbax stages in-progress saves in ``*.orbax-checkpoint-tmp*``
+    dirs and renames on commit; anything whose suffix is not a bare integer
+    (i.e. a save that was interrupted mid-write) is excluded."""
+    if not os.path.isdir(directory):
+        return []
+    subs = []
+    for d in os.listdir(directory):
+        if not d.startswith("step_"):
+            continue
+        try:
+            step = int(d.split("_", 1)[1])
+        except ValueError:
+            continue  # staging dir of an in-flight/killed save
+        subs.append((step, d))
+    subs.sort(reverse=True)
+    return [os.path.join(directory, d) for _, d in subs]
+
+
 def latest_checkpoint(directory: str) -> Optional[str]:
     """Most recent checkpoint subdirectory of ``directory`` (by step suffix),
     or None."""
-    if not os.path.isdir(directory):
-        return None
-    subs = [d for d in os.listdir(directory) if d.startswith("step_")]
-    if not subs:
-        return None
-    best = max(subs, key=lambda d: int(d.split("_")[1]))
-    return os.path.join(directory, best)
+    steps = checkpoint_steps(directory)
+    return steps[0] if steps else None
+
+
+def load_latest_state(directory: str, template: Optional[Any] = None) -> Optional[Any]:
+    """Restore the most recent LOADABLE checkpoint, or None.
+
+    A process killed mid-save (preemption, SIGKILL) can leave its newest
+    ``step_*`` directory partially written; resume must then fall back to
+    the previous complete checkpoint rather than crash — this scans newest
+    to oldest and returns the first one that restores cleanly."""
+    for path in checkpoint_steps(directory):
+        try:
+            return load_state(path, template)
+        except Exception:
+            continue
+    return None
