@@ -352,7 +352,7 @@ MEGA_R = 16  # rows per tile (VMEM working set ~13MB at W=4096)
 MEGA_HG = 16  # row-Gram halo (8-row aligned); supports taps K <= 16
 
 
-def make_mega_band(acorr) -> "np.ndarray":
+def make_mega_band(acorr, r: int = None) -> "np.ndarray":
     """(R+8, R+2*HG) matrix applying 2x the (2K-1)-tap autocorrelation band
     to the w-window rows [row0-HG, row0+R+HG); row jr of the output is
     global row row0+jr (rows R+1..R+7 are alignment padding, clipped)."""
@@ -362,7 +362,7 @@ def make_mega_band(acorr) -> "np.ndarray":
     K1 = (acorr.size - 1) // 2
     if K1 > MEGA_HG - 1:
         raise ValueError(f"autocorrelation reach {K1} exceeds {MEGA_HG - 1}")
-    R, HG = MEGA_R, MEGA_HG
+    R, HG = (MEGA_R if r is None else int(r)), MEGA_HG
     B = np.zeros((R + 8, R + 2 * HG), np.float32)
     for jr in range(R + 8):
         for q in range(R + 2 * HG):
@@ -644,17 +644,35 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
 
         # ---- fused row-direction Gram over window rows [row0-HG, row0+R+HG)
         last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows >= H are zero
-        win = jnp.concatenate([s_wt[...], s_w[...], (cur_w * last_f)[:HG]], axis=0)
-        gsum = jnp.dot(
-            b_ref[...], win,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+        # window matmul in two halves so no intermediate exceeds
+        # max(R, 2*HG) rows — a single (R+2*HG, W) concat trips the Mosaic
+        # tiler beyond ~0.8MB (R=32 at W=4096)
+        half1 = (
+            s_wt[...] if R == HG
+            else jnp.concatenate([s_wt[...], s_w[: R - HG]], axis=0)
+        )  # (R, W)
+        half2 = jnp.concatenate([s_w[R - HG :], (cur_w * last_f)[:HG]], axis=0)  # (2*HG, W)
+        HIP = jax.lax.Precision.HIGHEST
+        gsum = (
+            jnp.dot(b_ref[:, :R], half1, precision=HIP, preferred_element_type=jnp.float32)
+            + jnp.dot(b_ref[:, R:], half2, precision=HIP, preferred_element_type=jnp.float32)
         ).astype(dt)
         first_f = jnp.where(j == 0, 1.0, 0.0).astype(dt)
         lastj_f = jnp.where(j == nT - 1, 1.0, 0.0).astype(dt)
-        zpad = jnp.zeros((R + 8 - HG, W), dt)
-        gsum = gsum + first_f * jnp.concatenate([corr_ref[:HG], zpad], axis=0)
-        gsum = gsum + lastj_f * jnp.concatenate([corr_ref[HG:], zpad], axis=0)
+        # top correction: global rows [0, HG) = the first tile's leading
+        # rows; bottom correction: global rows [H-HG, H) = the LAST HG rows
+        # of the last tile = gsum rows [R-HG, R) (distinct slots when R > HG)
+        gsum = gsum + first_f * jnp.concatenate(
+            [corr_ref[:HG], jnp.zeros((R + 8 - HG, W), dt)], axis=0
+        )
+        bot = (
+            jnp.concatenate([corr_ref[HG:], jnp.zeros((8, W), dt)], axis=0)
+            if R == HG
+            else jnp.concatenate(
+                [jnp.zeros((R - HG, W), dt), corr_ref[HG:], jnp.zeros((8, W), dt)], axis=0
+            )
+        )
+        gsum = gsum + lastj_f * bot
         aw = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
         gw = gsum - 2.0 * aw  # = 2*(RowGram(ColGram(x)) - atb) on the window
 
@@ -719,11 +737,16 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r")
 )
-def tv_pds_mega2_step(x, z, atb, corr, B, C, F, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False):
+def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, mega_r: int = None):
     """One full TV PDS iteration with BOTH Gram directions fused into the
     sweep stencil kernel — no separate ColGram pass, no w HBM array.
+
+    The duals ``z0``/``z1`` travel as SEPARATE (H, W) arrays: slicing a
+    stacked (2, H, W) dual into kernel operands and re-stacking the outputs
+    costs ~0.4 ms/iter of hidden copies at 4096^2 (measured; XLA cannot
+    alias slices across a pallas_call boundary).
 
     ``C`` is the (384, 128) block-tridiagonal lane-band stack and ``F`` the
     (256, 256) corner-fix matrix, both from :func:`make_mega2_lane_plan`;
@@ -735,7 +758,7 @@ def tv_pds_mega2_step(x, z, atb, corr, B, C, F, *, tau: float, sigma: float, rho
     from jax.experimental.pallas import tpu as pltpu
 
     H, W = x.shape
-    R = MEGA_R
+    R = MEGA_R if mega_r is None else int(mega_r)
     if H % R:
         raise ValueError(f"H={H} must be divisible by {R}")
     if W < 384 or W % 128:
@@ -768,8 +791,8 @@ def tv_pds_mega2_step(x, z, atb, corr, B, C, F, *, tau: float, sigma: float, rho
         ],
         compiler_params=cp(dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(x, atb, z[0], z[1], corr, B, C, F)
-    return xn, jnp.stack([z0n, z1n], axis=0)
+    )(x, atb, z0, z1, corr, B, C, F)
+    return xn, z0n, z1n
 
 
 def tv_pds_stencil_step_xla(x, z, g, *, tau, sigma, rho, lam, nonneg=True):

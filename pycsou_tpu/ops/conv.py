@@ -206,6 +206,11 @@ class Convolve2D(LinearOperator):
     band_col: tuple = None
     band_row_adj: tuple = None
     band_col_adj: tuple = None
+    # channel-conv form of the column (lane) passes: no pad copy, MXU work
+    # ~ CHAN_TILE instead of 128 (kernels/band.py make_chanconv); None when
+    # the width is not tile-aligned or the band reach exceeds the window
+    band_col_chan: tuple = None
+    band_col_adj_chan: tuple = None
     method: str = static_field(default="fft")
     band_leads: tuple = static_field(default=None)
     band_rank: int = static_field(default=0)
@@ -236,6 +241,7 @@ class Convolve2D(LinearOperator):
         self.h_hat_im = jnp.imag(hh) if hh is not None else None
         self.method = method
         self.band_row = self.band_col = self.band_row_adj = self.band_col_adj = None
+        self.band_col_chan = self.band_col_adj_chan = None
         self.band_leads = None
         self.band_rank = 0
         if method == "band":
@@ -260,6 +266,15 @@ class Convolve2D(LinearOperator):
             self.band_col_adj = tuple(b for b, _ in ca)
             self.band_leads = (rc[0][1], cc[0][1], ra[0][1], ca[0][1])
             self.band_rank = r
+            from pycsou_tpu.kernels.band import CHAN_TILE, make_chanconv
+
+            vs_np = np.asarray(vs)
+            if dim_shape[1] % CHAN_TILE == 0:
+                cf = [make_chanconv(vs_np[:, i], o1) for i in range(r)]
+                cb = [make_chanconv(vs_np[::-1, i], m1 - 1 - o1) for i in range(r)]
+                if all(c is not None for c in cf + cb):
+                    self.band_col_chan = tuple(jnp.asarray(c) for c in cf)
+                    self.band_col_adj_chan = tuple(jnp.asarray(c) for c in cb)
 
     @staticmethod
     def _band_factors(filt):
@@ -280,12 +295,16 @@ class Convolve2D(LinearOperator):
         (n0, n1), (m0, m1) = self.dim_shape, self.filt.shape
         o0, o1 = m0 // 2, m1 // 2
         if self.method == "band":
-            from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows
+            from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows, chanconv_cols
 
             l_r, l_c = self.band_leads[0], self.band_leads[1]
             out = None
             for i in range(self.band_rank):
-                ti = band_conv_cols(band_conv_rows(x, (*self.band_row[i], l_r)), (*self.band_col[i], l_c))
+                rowed = band_conv_rows(x, (*self.band_row[i], l_r))
+                if self.band_col_chan is not None:
+                    ti = chanconv_cols(rowed, self.band_col_chan[i])
+                else:
+                    ti = band_conv_cols(rowed, (*self.band_col[i], l_c))
                 out = ti if out is None else out + ti
             return out
         if self.method == "fft":
@@ -305,15 +324,17 @@ class Convolve2D(LinearOperator):
 
     def adjoint(self, y):
         if self.method == "band":
-            from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows
+            from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows, chanconv_cols
 
             y = jnp.asarray(y)
             l_ra, l_ca = self.band_leads[2], self.band_leads[3]
             out = None
             for i in range(self.band_rank):
-                ti = band_conv_cols(
-                    band_conv_rows(y, (*self.band_row_adj[i], l_ra)), (*self.band_col_adj[i], l_ca)
-                )
+                rowed = band_conv_rows(y, (*self.band_row_adj[i], l_ra))
+                if self.band_col_adj_chan is not None:
+                    ti = chanconv_cols(rowed, self.band_col_adj_chan[i])
+                else:
+                    ti = band_conv_cols(rowed, (*self.band_col_adj[i], l_ca))
                 out = ti if out is None else out + ti
             return out
         return super().adjoint(y)
@@ -428,6 +449,9 @@ class SeparableConvGram2D(LinearOperator):
     col_conv: tuple = None
     row_corr: tuple = None
     col_corr: tuple = None
+    # channel-conv form of the column (lane) passes (make_chanconv)
+    g_chan_cc: tuple = None
+    g_chan_ca: tuple = None
     # rank-1 fast path: A^H A = RowGram o ColGram — ONE (2m-1)-tap banded
     # pass per axis (plus thin edge corrections) instead of two m-tap passes
     g_rows_band: tuple = None
@@ -487,6 +511,16 @@ class SeparableConvGram2D(LinearOperator):
         self.row_corr = tuple(b for b, _ in ra)
         self.col_corr = tuple(b for b, _ in ca)
         self.leads = (rc[0][1], cc[0][1], ra[0][1], ca[0][1])
+        from pycsou_tpu.kernels.band import CHAN_TILE, make_chanconv
+
+        self.g_chan_cc = self.g_chan_ca = None
+        W2 = conv.dim_shape[1]
+        if W2 % CHAN_TILE == 0:
+            vf = [make_chanconv(np.asarray(vs)[:, i], o1) for i in range(r)]
+            va = [make_chanconv(np.asarray(vs)[::-1, i], m1 - 1 - o1) for i in range(r)]
+            if all(c is not None for c in vf + va):
+                self.g_chan_cc = tuple(jnp.asarray(c) for c in vf)
+                self.g_chan_ca = tuple(jnp.asarray(c) for c in va)
 
         # rank-1 2-pass plan (needs room for the windowed edge corrections)
         H, W = conv.dim_shape
@@ -543,15 +577,25 @@ class SeparableConvGram2D(LinearOperator):
 
         if self.g_meta is not None:
             return self._apply_fast2(x)
+        from pycsou_tpu.kernels.band import chanconv_cols
+
         r = self.rank
         l_rc, l_cc, l_ra, l_ca = self.leads
         t = None
         for i in range(r):
-            ti = band_conv_cols(band_conv_rows(x, (*self.row_conv[i], l_rc)), (*self.col_conv[i], l_cc))
+            rowed = band_conv_rows(x, (*self.row_conv[i], l_rc))
+            if self.g_chan_cc is not None:
+                ti = chanconv_cols(rowed, self.g_chan_cc[i])
+            else:
+                ti = band_conv_cols(rowed, (*self.col_conv[i], l_cc))
             t = ti if t is None else t + ti
         g = None
         for j in range(r):
-            gj = band_conv_rows(band_conv_cols(t, (*self.col_corr[j], l_ca)), (*self.row_corr[j], l_ra))
+            if self.g_chan_ca is not None:
+                coled = chanconv_cols(t, self.g_chan_ca[j])
+            else:
+                coled = band_conv_cols(t, (*self.col_corr[j], l_ca))
+            gj = band_conv_rows(coled, (*self.row_corr[j], l_ra))
             g = gj if g is None else g + gj
         return g
 
@@ -602,6 +646,8 @@ class SeparableConvGramND(LinearOperator):
     g_bands: tuple = None  # per-axis (b0, b1) jnp blocks
     g_E: tuple = None  # per-axis (E_top, E_bot) or None
     g_meta: tuple = static_field(default=None)  # per-axis (lead, L)
+    # channel-conv form of the LAST-axis (lane) pass (make_chanconv)
+    g_chan_last: jax.Array = None
 
     @staticmethod
     def build(conv: "ConvolveND", tol: float = 1e-6):
@@ -632,11 +678,25 @@ class SeparableConvGramND(LinearOperator):
         self.g_bands = tuple(bands)
         self.g_E = tuple(Es)
         self.g_meta = tuple(meta)
+        from pycsou_tpu.kernels.band import CHAN_TILE, make_chanconv
+
+        self.g_chan_last = None
+        if conv.dim_shape[-1] % CHAN_TILE == 0:
+            u_last = np.asarray(factors[-1], np.float64)
+            acorr = np.convolve(u_last, u_last[::-1])
+            Kc = make_chanconv(acorr, u_last.size - 1)
+            if Kc is not None:
+                self.g_chan_last = jnp.asarray(Kc)
 
     def apply(self, x):
-        from pycsou_tpu.kernels.band import gram_band_axis
+        from pycsou_tpu.kernels.band import gram_band_axis, gram_chanconv_cols
 
+        nd = x.ndim
         for ax, ((b0, b1), E, (lead, L)) in enumerate(zip(self.g_bands, self.g_E, self.g_meta)):
+            if ax == nd - 1 and self.g_chan_last is not None:
+                shp = x.shape
+                x = gram_chanconv_cols(x.reshape(-1, shp[-1]), self.g_chan_last, E, L).reshape(shp)
+                continue
             Et, Eb = E if E is not None else (None, None)
             x = gram_band_axis(x, ((b0, b1, lead), Et, Eb, L), ax)
         return x

@@ -63,6 +63,9 @@ class TVDeconvolution(IterativeSolver):
     mega_B: jax.Array = None  # (R+8, R+2*HG) fused row-Gram band matrix
     mega_C: jax.Array = None  # (384, 128) mega2 block-tridiag lane band
     mega_F: jax.Array = None  # (256, 256) mega2 lane corner-fix matrix
+    # mega2 tile rows: 32 when feasible (halves the sequential grid's
+    # per-step overhead: 2.34 -> see docs/BENCH.md), else 16
+    mega_r: int = static_field(default=MEGA_R)
 
     def __init__(
         self,
@@ -125,18 +128,22 @@ class TVDeconvolution(IterativeSolver):
         self.mega_B = None
         self.mega_C = None
         self.mega_F = None
+        self.mega_r = MEGA_R
         if not self.use_pallas:
             self.stencil_mode = "xla"
         elif self._mega_eligible(shape):
-            self.mega_B = jnp.asarray(make_mega_band(self.gram.g_rows_acorr))
             if self._mega2_eligible(shape):
                 # both Gram directions in-kernel: no ColGram pass, no w array
-                C, F = make_mega2_lane_plan(self.gram.g_cols_taps, shape[1])
+                H, W = shape
+                if H % 32 == 0 and (32 + 8) * W * 4 <= 820_000:
+                    self.mega_r = 32
+                C, F = make_mega2_lane_plan(self.gram.g_cols_taps, W)
                 self.mega_C = jnp.asarray(C)
                 self.mega_F = jnp.asarray(F)
                 self.stencil_mode = "mega2"
             else:
                 self.stencil_mode = "mega"
+            self.mega_B = jnp.asarray(make_mega_band(self.gram.g_rows_acorr, r=self.mega_r))
         elif sweep_available(*shape):
             self.stencil_mode = "sweep"
         else:
@@ -177,21 +184,30 @@ class TVDeconvolution(IterativeSolver):
 
     def initial_state(self):
         shape = self.y.shape
-        return {"x": jnp.zeros(shape, jnp.float32), "z": jnp.zeros((2,) + shape, jnp.float32)}
+        # duals as separate arrays: stacking them into (2, H, W) costs
+        # ~0.4 ms/iter of hidden slice/stack copies around the Pallas
+        # kernel at 4096^2 (kernels/tv.py tv_pds_mega2_step docstring)
+        return {
+            "x": jnp.zeros(shape, jnp.float32),
+            "z0": jnp.zeros(shape, jnp.float32),
+            "z1": jnp.zeros(shape, jnp.float32),
+        }
 
     def step(self, state):
-        x, z = state["x"], state["z"]
+        x, z0, z1 = state["x"], state["z0"], state["z1"]
         kw = dict(tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam, nonneg=self.nonneg)
         if self.stencil_mode == "mega2":
             corr = self._mega2_corr(x)
-            x, z = tv_pds_mega2_step(
-                x, z, self.atb, corr, self.mega_B, self.mega_C, self.mega_F, **kw
+            x, z0, z1 = tv_pds_mega2_step(
+                x, z0, z1, self.atb, corr, self.mega_B, self.mega_C, self.mega_F,
+                mega_r=self.mega_r, **kw,
             )
-            return {"x": x, "z": z}
+            return {"x": x, "z0": z0, "z1": z1}
+        z = jnp.stack([z0, z1], axis=0)
         if self.stencil_mode == "mega":
             w, corr = self._mega_colgram(x)
             x, z = tv_pds_mega_step(x, z, w, self.atb, corr, self.mega_B, **kw)
-            return {"x": x, "z": z}
+            return {"x": x, "z0": z[0], "z1": z[1]}
         g = self._grad(x)
         if self.stencil_mode == "sweep":
             x, z = tv_pds_stencil_step_sweep(x, z, g, **kw)
@@ -199,7 +215,7 @@ class TVDeconvolution(IterativeSolver):
             x, z = tv_pds_stencil_step(x, z, g, **kw)
         else:
             x, z = tv_pds_stencil_step_xla(x, z, g, **kw)
-        return {"x": x, "z": z}
+        return {"x": x, "z0": z[0], "z1": z[1]}
 
     def _mega_colgram(self, x):
         """Lane-direction Gram pass ``w = ColGram(x)`` plus the thin x2-scaled

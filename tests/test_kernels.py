@@ -209,9 +209,9 @@ def test_mega2_step_matches_gram_plus_xla(rng, shape, K, nonneg):
 
     g_ref = 2.0 * (gram.apply(x) - atb)
     x2, z2 = tv_pds_stencil_step_xla(x, z, g_ref, **kw)
-    x1, z1 = tv_pds_mega2_step(x, z, atb, corr_of(x), B, C, F, interpret=True, **kw)
+    x1, za, zb = tv_pds_mega2_step(x, z[0], z[1], atb, corr_of(x), B, C, F, interpret=True, **kw)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=3e-5, atol=3e-6)
-    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(jnp.stack([za, zb])), np.asarray(z2), rtol=3e-5, atol=3e-6)
 
 
 def test_mega2_step_iterated(rng):
@@ -224,7 +224,8 @@ def test_mega2_step_iterated(rng):
     z1 = z2 = jnp.zeros((2, H, W), jnp.float32)
     kw = dict(tau=0.1, sigma=0.1, rho=0.9, lam=0.05, nonneg=True)
     for _ in range(5):
-        x1, z1 = tv_pds_mega2_step(x1, z1, atb, corr_of(x1), B, C, F, interpret=True, **kw)
+        x1, za, zb = tv_pds_mega2_step(x1, z1[0], z1[1], atb, corr_of(x1), B, C, F, interpret=True, **kw)
+        z1 = jnp.stack([za, zb])
         g2 = 2.0 * (gram.apply(x2) - atb)
         x2, z2 = tv_pds_stencil_step_xla(x2, z2, g2, **kw)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4, atol=1e-5)

@@ -212,7 +212,7 @@ def test_metric_every_stride(rng):
     np.testing.assert_allclose(sampled, i1.history[2::3], rtol=1e-5)
     # per-variable diagnostics follow the same stride
     assert np.isnan(i3.diagnostics["x"][0]) and not np.isnan(i3.diagnostics["x"][2])
-    np.testing.assert_allclose(i3.diagnostics["z"][2::3], i1.diagnostics["z"][2::3], rtol=1e-5)
+    np.testing.assert_allclose(i3.diagnostics["z0"][2::3], i1.diagnostics["z0"][2::3], rtol=1e-5)
 
 
 def test_metric_every_stops_on_sampled_metric(rng):
