@@ -41,7 +41,7 @@ def _rel_improvement(a_old, a_new) -> jax.Array:
 def _advance(solver, s, new):
     """Shared bookkeeping after one step: metrics, histories, shardings."""
     m = solver.metric(s, new)
-    it = s["it"] + 1
+    it = s["it"] + getattr(solver, "iters_per_step", 1)
     new["it"] = it
     new["metric"] = m
     new["history"] = s["history"].at[it - 1].set(m)
@@ -68,7 +68,7 @@ def _stride_body(solver, s):
 
     def inner(_, st):
         new = solver._step(st)
-        new["it"] = st["it"] + 1
+        new["it"] = st["it"] + getattr(solver, "iters_per_step", 1)
         for key in ("metric", "history", "var_history", "obj_history"):
             if key in st:
                 new[key] = st[key]
@@ -143,6 +143,10 @@ class IterativeSolver(Module):
     # name of the state entry driving the stopping metric (reference
     # proxalgs.py:360-364 stops on the primal variable)
     primary_var: str = static_field(default="x")
+    # iterations performed by ONE step() call (2 for the double-iteration
+    # fused TV kernel); it/history/max_iter stay in ITERATION units, the
+    # stopping metric then measures the improvement across a whole step
+    iters_per_step: int = static_field(default=1)
     # optional {state key -> jax sharding}: initial state is device_put
     # accordingly and every iteration re-constrains the state, so the whole
     # solve runs SPMD over the mesh with XLA-inserted collectives (GSPMD) —
@@ -226,9 +230,10 @@ class IterativeSolver(Module):
             }
         state.setdefault("it", jnp.asarray(0, dtype=jnp.int32))
         state.setdefault("metric", jnp.asarray(_INF, dtype=jnp.float32))
-        # a stride can overshoot max_iter by up to metric_every - 1
+        # a stride can overshoot max_iter by up to eff - 1 iterations
         every = max(1, int(getattr(self, "metric_every", 1) or 1))
-        n_hist = -(-self.max_iter // every) * every
+        eff = every * max(1, int(getattr(self, "iters_per_step", 1) or 1))
+        n_hist = -(-self.max_iter // eff) * eff
         state.setdefault("history", jnp.full((n_hist,), jnp.nan, dtype=jnp.float32))
         n_vars = len(self.diagnostics_vars(state))
         if n_vars > 1:
@@ -315,25 +320,28 @@ class IterativeSolver(Module):
 @partial(jax.jit, static_argnums=(2,))
 def _run_fixed(solver, state, n_iter: int):
     every = int(getattr(solver, "metric_every", 1) or 1)
+    ips = max(1, int(getattr(solver, "iters_per_step", 1) or 1))
+    eff = every * ips  # iterations per stride
 
     def body(s, _):
         return _stride_body(solver, s), None
 
-    if every <= 1:
+    if eff <= 1:
         state, _ = jax.lax.scan(body, state, None, length=n_iter)
         return state
-    n_outer, rem = divmod(n_iter, every)
+    n_outer, rem = divmod(n_iter, eff)
     state, _ = jax.lax.scan(body, state, None, length=n_outer)
-    if rem:
-        # remainder: rem-1 raw steps + one measured step
+    rem_steps = rem // ips  # sub-step remainder is dropped (ips > 1)
+    if rem_steps:
+        # remainder: rem_steps-1 raw steps + one measured step
         def inner(_, st):
             new = solver._step(st)
-            new["it"] = st["it"] + 1
+            new["it"] = st["it"] + ips
             for key in ("metric", "history", "var_history", "obj_history"):
                 if key in st:
                     new[key] = st[key]
             return solver._constrain(new)
 
-        state = jax.lax.fori_loop(0, rem - 1, inner, state)
+        state = jax.lax.fori_loop(0, rem_steps - 1, inner, state)
         state = _advance(solver, state, solver._step(state))
     return state

@@ -621,6 +621,84 @@ def _lane_gram_tile(x_tile, c_mat, f_mat, W: int):
     return acc + jnp.concatenate([fix[:, :128], zmid, fix[:, 128:]], axis=1)
 
 
+
+def _lastcol_mask(nrows, W, dt):
+    colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
+    return jnp.where(colw == W - 1, 0.0, 1.0).astype(dt)
+
+
+def _firstcol_mask(nrows, W, dt):
+    colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
+    return jnp.where(colw == 0, 0.0, 1.0).astype(dt)
+
+
+def _mega_row_gram(w_tail, w_body, w_head, b_mat, corr, j, nT, R, W, dt):
+    """(R+8, W) row-band pass over window rows [row0-HG, row0+R+HG) plus the
+    masked first/last-tile edge corrections.
+
+    ``w_tail`` (HG, W) = w rows [row0-HG, row0); ``w_body`` (R, W) = tile j;
+    ``w_head`` (HG, W) = rows [row0+R, ...), already zero-masked past H.
+    The matmul runs in two halves so no intermediate exceeds max(R, 2*HG)
+    rows (a single (R+2*HG, W) concat trips the Mosaic tiler at R=32)."""
+    HG = MEGA_HG
+    half1 = w_tail if R == HG else jnp.concatenate([w_tail, w_body[: R - HG]], axis=0)
+    half2 = jnp.concatenate([w_body[R - HG :], w_head], axis=0)  # (2*HG, W)
+    HIP = jax.lax.Precision.HIGHEST
+    gsum = (
+        jnp.dot(b_mat[:, :R], half1, precision=HIP, preferred_element_type=jnp.float32)
+        + jnp.dot(b_mat[:, R:], half2, precision=HIP, preferred_element_type=jnp.float32)
+    ).astype(dt)
+    first_f = jnp.where(j == 0, 1.0, 0.0).astype(dt)
+    lastj_f = jnp.where(j == nT - 1, 1.0, 0.0).astype(dt)
+    # top correction: global rows [0, HG); bottom: global rows [H-HG, H) =
+    # the LAST HG rows of the last tile = gsum rows [R-HG, R)
+    gsum = gsum + first_f * jnp.concatenate(
+        [corr[:HG], jnp.zeros((R + 8 - HG, W), dt)], axis=0
+    )
+    bot = (
+        jnp.concatenate([corr[HG:], jnp.zeros((8, W), dt)], axis=0)
+        if R == HG
+        else jnp.concatenate(
+            [jnp.zeros((R - HG, W), dt), corr[HG:], jnp.zeros((8, W), dt)], axis=0
+        )
+    )
+    return gsum + lastj_f * bot
+
+
+def _pds_stencil(xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg):
+    """Masked TV PDS stencil chain on an (R+8)-row window; returns the R-row
+    (x_new, z0_new, z1_new) tiles.  Identical math to _tv_sweep_kernel."""
+    dt = xw.dtype
+    Rw = R + 8
+    z0w = z0w * _row_mask_last_zero(H, row0, Rw, W, dt)
+    z0up = z0up * _row_mask_last_zero(H, row0 - 1, Rw, W, dt)
+    z1w = z1w * _lastcol_mask(Rw, W, dt)
+
+    z1_left = _roll_lanes(z1w, 1) * _firstcol_mask(Rw, W, dt)
+    div = (z0up - z0w) + (z1_left - z1w)
+
+    x_t = xw - tau * gw - tau * div
+    if nonneg:
+        x_t = jnp.maximum(x_t, 0.0)
+
+    u = 2.0 * x_t - xw
+    du_r = (u[1 : 1 + R] - u[:R]) * _row_mask_last_zero(H, row0, R, W, dt)
+    uc = u[:R]
+    lc_R = _lastcol_mask(R, W, dt)
+    u_right = _roll_lanes(uc, -1) * lc_R
+    du_c = (u_right - uc) * lc_R
+
+    v0 = z0w[:R] + sigma * du_r
+    v1 = z1w[:R] + sigma * du_c
+    mag = jnp.sqrt(v0 * v0 + v1 * v1)
+    scale = lam / jnp.maximum(mag, lam)
+
+    x_new = rho * x_t[:R] + (1.0 - rho) * xw[:R]
+    z0_new = rho * (v0 * scale) + (1.0 - rho) * z0w[:R]
+    z1_new = rho * (v1 * scale) + (1.0 - rho) * z1w[:R]
+    return x_new, z0_new, z1_new
+
+
 def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref,
                      xo, z0o, z1o, s_x, s_a, s_z0, s_z1, s_w, s_wt,
                      *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
@@ -640,82 +718,25 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
         j = i - 1
         row0 = j * R
         dt = cur_x.dtype
-        Rw = R + 8
 
-        # ---- fused row-direction Gram over window rows [row0-HG, row0+R+HG)
         last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows >= H are zero
-        # window matmul in two halves so no intermediate exceeds
-        # max(R, 2*HG) rows — a single (R+2*HG, W) concat trips the Mosaic
-        # tiler beyond ~0.8MB (R=32 at W=4096)
-        half1 = (
-            s_wt[...] if R == HG
-            else jnp.concatenate([s_wt[...], s_w[: R - HG]], axis=0)
-        )  # (R, W)
-        half2 = jnp.concatenate([s_w[R - HG :], (cur_w * last_f)[:HG]], axis=0)  # (2*HG, W)
-        HIP = jax.lax.Precision.HIGHEST
-        gsum = (
-            jnp.dot(b_ref[:, :R], half1, precision=HIP, preferred_element_type=jnp.float32)
-            + jnp.dot(b_ref[:, R:], half2, precision=HIP, preferred_element_type=jnp.float32)
-        ).astype(dt)
-        first_f = jnp.where(j == 0, 1.0, 0.0).astype(dt)
-        lastj_f = jnp.where(j == nT - 1, 1.0, 0.0).astype(dt)
-        # top correction: global rows [0, HG) = the first tile's leading
-        # rows; bottom correction: global rows [H-HG, H) = the LAST HG rows
-        # of the last tile = gsum rows [R-HG, R) (distinct slots when R > HG)
-        gsum = gsum + first_f * jnp.concatenate(
-            [corr_ref[:HG], jnp.zeros((R + 8 - HG, W), dt)], axis=0
+        gsum = _mega_row_gram(
+            s_wt[...], s_w[...], (cur_w * last_f)[:HG], b_ref[...], corr_ref[...],
+            j, nT, R, W, dt,
         )
-        bot = (
-            jnp.concatenate([corr_ref[HG:], jnp.zeros((8, W), dt)], axis=0)
-            if R == HG
-            else jnp.concatenate(
-                [jnp.zeros((R - HG, W), dt), corr_ref[HG:], jnp.zeros((8, W), dt)], axis=0
-            )
-        )
-        gsum = gsum + lastj_f * bot
         aw = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
         gw = gsum - 2.0 * aw  # = 2*(RowGram(ColGram(x)) - atb) on the window
 
-        # ---- stencil chain (identical to _tv_sweep_kernel) ---------------
         xw = jnp.concatenate([s_x[...], cur_x[:8]], axis=0)
         z0w = jnp.concatenate([s_z0[8:], cur_z0[:8]], axis=0)
         z0up = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
         z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
-
-        def lastcol_mask(nrows):
-            colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
-            return jnp.where(colw == W - 1, 0.0, 1.0).astype(dt)
-
-        def firstcol_mask(nrows):
-            colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
-            return jnp.where(colw == 0, 0.0, 1.0).astype(dt)
-
-        z0w = z0w * _row_mask_last_zero(H, row0, Rw, W, dt)
-        z0up = z0up * _row_mask_last_zero(H, row0 - 1, Rw, W, dt)
-        z1w = z1w * lastcol_mask(Rw)
-
-        z1_left = _roll_lanes(z1w, 1) * firstcol_mask(Rw)
-        div = (z0up - z0w) + (z1_left - z1w)
-
-        x_t = xw - tau * gw - tau * div
-        if nonneg:
-            x_t = jnp.maximum(x_t, 0.0)
-
-        u = 2.0 * x_t - xw
-        du_r = (u[1 : 1 + R] - u[:R]) * _row_mask_last_zero(H, row0, R, W, dt)
-        uc = u[:R]
-        lc_R = lastcol_mask(R)
-        u_right = _roll_lanes(uc, -1) * lc_R
-        du_c = (u_right - uc) * lc_R
-
-        v0 = z0w[:R] + sigma * du_r
-        v1 = z1w[:R] + sigma * du_c
-        mag = jnp.sqrt(v0 * v0 + v1 * v1)
-        scale = lam / jnp.maximum(mag, lam)
-
-        xo[...] = rho * x_t[:R] + (1.0 - rho) * xw[:R]
-        z0o[...] = rho * (v0 * scale) + (1.0 - rho) * z0w[:R]
-        z1o[...] = rho * (v1 * scale) + (1.0 - rho) * z1w[:R]
+        x_n, z0_n, z1_n = _pds_stencil(
+            xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg
+        )
+        xo[...] = x_n
+        z0o[...] = z0_n
+        z1o[...] = z1_n
 
     @pl.when(i == 0)
     def _init():
@@ -792,6 +813,213 @@ def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float
         compiler_params=cp(dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(x, atb, z0, z1, corr, B, C, F)
+    return xn, z0n, z1n
+
+
+# ---------------------------------------------------------------------------
+# Mega3: TWO full PDS iterations per kernel pass
+#
+# Mega2's iteration is stream-bound plus ~7 us/step of non-overlapped
+# compute.  Fusing two iterations into one sweep amortises every HBM
+# stream over two iterations: the kernel reads x/atb/z0/z1 tiles once,
+# runs stage 1 (iteration t+1) on tile i-1 and stage 2 (iteration t+2) on
+# tile i-2 — a two-deep software pipeline whose stage-1 results (x1, duals,
+# their lane Gram) live in VMEM rings and are never written to HBM.  The
+# stage-2 row-Gram edge corrections are computed IN-kernel from stage-1's
+# first/last tiles (padded (HG, 32) E-matrices).  Grid nT+2 sequential
+# steps; outputs are iteration t+2.
+# ---------------------------------------------------------------------------
+
+
+def make_mega3_corr_mats(g_rows_E, L_r: int):
+    """Padded x2-scaled row-Gram edge-correction matrices for the in-kernel
+    stage-2 corr: ``Et_p`` (HG, 32) reads the first 32 rows of w1's first
+    tile, ``Eb_p`` (HG, 32) the last 32 rows of its last tile.  Zero
+    matrices when the Gram has no edge corrections (K == 1)."""
+    import numpy as np
+
+    HG = MEGA_HG
+    Et_p = np.zeros((HG, 32), np.float32)
+    Eb_p = np.zeros((HG, 32), np.float32)
+    if g_rows_E is not None:
+        Etr, Ebr = (np.asarray(m) for m in g_rows_E)
+        K1 = Etr.shape[0]
+        if L_r > 32 or K1 > HG:
+            raise ValueError("row-Gram corrections exceed the mega3 windows")
+        Et_p[:K1, :L_r] = 2.0 * Etr
+        Eb_p[HG - K1 :, 32 - L_r :] = 2.0 * Ebr
+    return Et_p, Eb_p
+
+
+def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref,
+                     et_ref, eb_ref, xo, z0o, z1o,
+                     s_x, s_a0, s_a1, s_z0, s_z1, s_w, s_wt,
+                     s_x1, s_z01, s_z11, s_w1, s_w1t, s_corr,
+                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
+    i = pl.program_id(0)
+    HG = MEGA_HG
+
+    # zero-init the scratch a masked consumer could read before its first
+    # real write (uninitialised VMEM may hold NaN: mask * NaN == NaN)
+    @pl.when(i == 0)
+    def _init0():
+        s_z0[:8] = jnp.zeros((8, W), jnp.float32)
+        s_wt[...] = jnp.zeros((HG, W), jnp.float32)
+        s_corr[...] = jnp.zeros((2 * HG, W), jnp.float32)
+
+    @pl.when(i <= 1)
+    def _init1():
+        s_z01[:8] = jnp.zeros((8, W), jnp.float32)
+        s_w1t[...] = jnp.zeros((HG, W), jnp.float32)
+
+    cur_x = x_ref[...]
+    cur_a = a_ref[...]
+    cur_z0 = z0_ref[...]
+    cur_z1 = z1_ref[...]
+    c_mat = c_ref[...]
+    f_mat = f_ref[...]
+    dt = cur_x.dtype
+    HIP = jax.lax.Precision.HIGHEST
+
+    cur_w = _lane_gram_tile(cur_x, c_mat, f_mat, W)
+
+    # ---- stage 1: iteration t+1 on tile j1 = i-1 (garbage at i==0 and
+    # i==nT+1; every consumer of those results is overwritten or masked) ---
+    j1 = i - 1
+    row1 = j1 * R
+    last_f1 = jnp.where(i >= nT, 0.0, 1.0).astype(dt)  # head tile j1+1 = i
+    gsum1 = _mega_row_gram(
+        s_wt[...], s_w[...], (cur_w * last_f1)[:HG], b_ref[...], corr_ref[...],
+        j1, nT, R, W, dt,
+    )
+    aw1 = jnp.concatenate([s_a0[...], cur_a[:8]], axis=0)
+    gw1 = gsum1 - 2.0 * aw1
+    xw1 = jnp.concatenate([s_x[...], cur_x[:8]], axis=0)
+    z0w1 = jnp.concatenate([s_z0[8:], cur_z0[:8]], axis=0)
+    z0up1 = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
+    z1w1 = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
+    x1, z01, z11 = _pds_stencil(
+        xw1, gw1, z0w1, z0up1, z1w1, row1, R, H, W, tau, sigma, rho, lam, nonneg
+    )
+    w1 = _lane_gram_tile(x1, c_mat, f_mat, W)
+
+    # stage-2 row-Gram edge corrections from stage-1's first/last tiles
+    @pl.when(j1 == 0)
+    def _corr_top():
+        s_corr[:HG] = jnp.dot(et_ref[...], w1[:32], precision=HIP, preferred_element_type=jnp.float32).astype(dt)
+
+    @pl.when(j1 == nT - 1)
+    def _corr_bot():
+        s_corr[HG:] = jnp.dot(eb_ref[...], w1[R - 32 :], precision=HIP, preferred_element_type=jnp.float32).astype(dt)
+
+    # ---- stage 2: iteration t+2 on tile j2 = i-2 (garbage at i<2,
+    # overwritten by the revisit of out block 0) ---------------------------
+    j2 = i - 2
+    row2 = j2 * R
+    last_f2 = jnp.where(i >= nT + 1, 0.0, 1.0).astype(dt)  # head tile j2+1 = i-1
+    gsum2 = _mega_row_gram(
+        s_w1t[...], s_w1[...], (w1 * last_f2)[:HG], b_ref[...], s_corr[...],
+        j2, nT, R, W, dt,
+    )
+    aw2 = jnp.concatenate([s_a1[...], s_a0[:8]], axis=0)
+    gw2 = gsum2 - 2.0 * aw2
+    xw2 = jnp.concatenate([s_x1[...], x1[:8]], axis=0)
+    z0w2 = jnp.concatenate([s_z01[8:], z01[:8]], axis=0)
+    z0up2 = jnp.concatenate([s_z01[7 : R + 8], z01[:7]], axis=0)
+    z1w2 = jnp.concatenate([s_z11[...], z11[:8]], axis=0)
+    x2, z02, z12 = _pds_stencil(
+        xw2, gw2, z0w2, z0up2, z1w2, row2, R, H, W, tau, sigma, rho, lam, nonneg
+    )
+    xo[...] = x2
+    z0o[...] = z02
+    z1o[...] = z12
+
+    # ---- ring updates (tails capture OLD ring contents, then carry) ------
+    @pl.when(i > 0)
+    def _tail0():
+        s_z0[:8] = s_z0[R : R + 8]
+        s_wt[...] = s_w[R - HG :]
+
+    @pl.when(i < nT)
+    def _carry0():
+        s_x[...] = cur_x
+        s_z0[8:] = cur_z0
+        s_z1[...] = cur_z1
+        s_w[...] = cur_w
+
+    @pl.when(i > 1)
+    def _tail1():
+        s_z01[:8] = s_z01[R : R + 8]
+        s_w1t[...] = s_w1[R - HG :]
+
+    # atb ring shifts every step (stage 2 reads the clamped repetition of
+    # the last tile at the trailing steps, which is exactly tile j2)
+    s_a1[...] = s_a0[...]
+    s_a0[...] = cur_a
+    # stage-1 result rings (garbage written at i==0 / i==nT+1 is overwritten
+    # or guarded by the zeroed tails before any valid stage-2 use)
+    s_x1[...] = x1
+    s_z01[8:] = z01
+    s_z11[...] = z11
+    s_w1[...] = w1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r")
+)
+def tv_pds_mega3_step(x, z0, z1, atb, corr, B, C, F, Et_p, Eb_p, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, mega_r: int = 32):
+    """TWO full TV PDS iterations in one fused sweep (see module comment).
+
+    Inputs as :func:`tv_pds_mega2_step` plus the padded corr matrices from
+    :func:`make_mega3_corr_mats`; ``corr`` is the iteration-t correction
+    (from x), the iteration-t+1 correction is computed in-kernel.
+    Returns the state after TWO iterations.  Requires ``mega_r == 32``
+    (the in-kernel corr reads 32-row slices) and ``nT >= 2``.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = x.shape
+    R = int(mega_r)
+    if R != 32:
+        raise ValueError("mega3 requires 32-row tiles")
+    if H % R or H // R < 2:
+        raise ValueError(f"H={H} must be a multiple of {R} with >= 2 tiles")
+    if W < 384 or W % 128:
+        raise ValueError(f"mega3 needs W % 128 == 0 and W >= 384, got {W}")
+    nT = H // R
+    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    corr_spec = pl.BlockSpec((2 * MEGA_HG, W), lambda i: (0, 0))
+    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
+    c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
+    f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
+    e_spec = pl.BlockSpec((MEGA_HG, 32), lambda i: (0, 0))
+    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 2, 0), 0))
+    kern = functools.partial(
+        _tv_mega3_kernel, R=R, nT=nT, H=H, W=W,
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    tile = lambda rows: pltpu.VMEM((rows, W), jnp.float32)
+    # two pipeline stages of rings + double-buffered blocks exceed the
+    # default 16MB scoped-vmem budget at W=4096 (~20MB); raise it (v5e has
+    # 128MB VMEM per core)
+    try:
+        params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # pragma: no cover - older pallas without the knob
+        params = cp(dimension_semantics=("arbitrary",))
+    xn, z0n, z1n = pl.pallas_call(
+        kern,
+        grid=(nT + 2,),
+        in_specs=[in_spec, in_spec, in_spec, in_spec, corr_spec, b_spec, c_spec, f_spec, e_spec, e_spec],
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3,
+        scratch_shapes=[
+            tile(R), tile(R), tile(R), tile(R + 8), tile(R), tile(R), tile(MEGA_HG),  # stage-0
+            tile(R), tile(R + 8), tile(R), tile(R), tile(MEGA_HG), tile(2 * MEGA_HG),  # stage-1
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(x, atb, z0, z1, corr, B, C, F, Et_p, Eb_p)
     return xn, z0n, z1n
 
 

@@ -28,8 +28,10 @@ from pycsou_tpu.kernels.tv import (
     MEGA_HG,
     MEGA_R,
     make_mega2_lane_plan,
+    make_mega3_corr_mats,
     make_mega_band,
     tv_pds_mega2_step,
+    tv_pds_mega3_step,
     tv_pds_mega_step,
     tv_pds_stencil_step,
     tv_pds_stencil_step_sweep,
@@ -55,10 +57,13 @@ class TVDeconvolution(IterativeSolver):
     beta: float = static_field(default=2.0)
     nonneg: bool = static_field(default=True)
     use_pallas: bool = static_field(default=False)
-    # "mega2" (BOTH Gram directions fused into the sweep kernel, fastest),
+    # "mega3" (TWO iterations per pass, both Gram directions in-kernel,
+    # fastest), "mega2" (one iteration, both Gram directions fused),
     # "mega" (row-Gram fused, lane Gram as an XLA pass), "sweep"
     # (scratch-carry pipeline), "element" (halo blocks), "xla" (pure-XLA
-    # twin; the CPU path)
+    # twin; the CPU path).  mega3 sets iters_per_step=2: it/history/
+    # max_iter stay in iteration units, the stopping metric measures the
+    # improvement across a double step (conservative vs single-step).
     stencil_mode: str = static_field(default="xla")
     mega_B: jax.Array = None  # (R+8, R+2*HG) fused row-Gram band matrix
     mega_C: jax.Array = None  # (384, 128) mega2 block-tridiag lane band
@@ -66,6 +71,9 @@ class TVDeconvolution(IterativeSolver):
     # mega2 tile rows: 32 when feasible (halves the sequential grid's
     # per-step overhead: 2.34 -> see docs/BENCH.md), else 16
     mega_r: int = static_field(default=MEGA_R)
+    # mega3 (two fused iterations per pass) padded corr matrices
+    mega_Et: jax.Array = None
+    mega_Eb: jax.Array = None
 
     def __init__(
         self,
@@ -77,6 +85,7 @@ class TVDeconvolution(IterativeSolver):
         tau: Optional[float] = None,
         rho: float = 0.9,
         use_pallas: str = "auto",
+        stencil: str = "auto",
         max_iter: int = 500,
         min_iter: int = 10,
         accuracy_threshold: float = 1e-6,
@@ -129,6 +138,8 @@ class TVDeconvolution(IterativeSolver):
         self.mega_C = None
         self.mega_F = None
         self.mega_r = MEGA_R
+        self.mega_Et = None
+        self.mega_Eb = None
         if not self.use_pallas:
             self.stencil_mode = "xla"
         elif self._mega_eligible(shape):
@@ -140,7 +151,20 @@ class TVDeconvolution(IterativeSolver):
                 C, F = make_mega2_lane_plan(self.gram.g_cols_taps, W)
                 self.mega_C = jnp.asarray(C)
                 self.mega_F = jnp.asarray(F)
-                self.stencil_mode = "mega2"
+                _, L_r, _, _ = self.gram.g_meta
+                if stencil in ("auto", "mega3") and self.mega_r == 32 and H // 32 >= 2 and L_r <= 32:
+                    # two fused iterations per kernel pass.  The raw kernel
+                    # is per-step compute-bound (2.02 vs 2.07 ms/iter), but
+                    # end-to-end the double step halves the per-iteration
+                    # metric/launch overhead: 508 -> 573 iters/s at 4096^2
+                    # (docs/BENCH.md).  stencil="mega2" opts out.
+                    Et_p, Eb_p = make_mega3_corr_mats(self.gram.g_rows_E, L_r)
+                    self.mega_Et = jnp.asarray(Et_p)
+                    self.mega_Eb = jnp.asarray(Eb_p)
+                    self.stencil_mode = "mega3"
+                    self.iters_per_step = 2
+                else:
+                    self.stencil_mode = "mega2"
             else:
                 self.stencil_mode = "mega"
             self.mega_B = jnp.asarray(make_mega_band(self.gram.g_rows_acorr, r=self.mega_r))
@@ -196,6 +220,13 @@ class TVDeconvolution(IterativeSolver):
     def step(self, state):
         x, z0, z1 = state["x"], state["z0"], state["z1"]
         kw = dict(tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam, nonneg=self.nonneg)
+        if self.stencil_mode == "mega3":
+            corr = self._mega2_corr(x)
+            x, z0, z1 = tv_pds_mega3_step(
+                x, z0, z1, self.atb, corr, self.mega_B, self.mega_C, self.mega_F,
+                self.mega_Et, self.mega_Eb, mega_r=self.mega_r, **kw,
+            )
+            return {"x": x, "z0": z0, "z1": z1}
         if self.stencil_mode == "mega2":
             corr = self._mega2_corr(x)
             x, z0, z1 = tv_pds_mega2_step(

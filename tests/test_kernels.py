@@ -242,3 +242,55 @@ def test_mega2_lane_plan_guards():
         make_mega2_lane_plan(taps, 4100)  # W % 128 != 0
     with pytest.raises(ValueError):
         make_mega2_lane_plan(np.ones(70), 512)  # reach > one corner
+
+
+# ---------------------------------------------------------------------------
+# Mega3 kernel (TWO fused iterations per pass)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape,K", [((64, 384), 15), ((96, 512), 9), ((64, 384), 4), ((64, 384), 1)])
+def test_mega3_double_step_matches_two_oracle_iterations(rng, shape, K):
+    from pycsou_tpu.kernels.tv import (
+        make_mega2_lane_plan,
+        make_mega3_corr_mats,
+        make_mega_band,
+        tv_pds_mega3_step,
+    )
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    H, W = shape
+    if K == 1:
+        filt = np.ones((1, 1), np.float32)
+    else:
+        ax = np.arange(K) - K // 2
+        filt = np.outer(np.exp(-(ax**2) / 8.0), np.exp(-(ax**2) / 3.4)).astype(np.float32)
+        filt /= filt.sum()
+    gram = Convolve2D((H, W), filt).gram
+    R = 32
+    B = jnp.asarray(make_mega_band(gram.g_rows_acorr, r=R))
+    C, F = make_mega2_lane_plan(gram.g_cols_taps, W)
+    _, L_r, _, _ = gram.g_meta
+    Et_p, Eb_p = make_mega3_corr_mats(gram.g_rows_E, L_r)
+    Cj, Fj, Etj, Ebj = map(jnp.asarray, (C, F, Et_p, Eb_p))
+
+    x = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, H, W)), jnp.float32) * 0.1
+    z = z.at[0, -1].set(0.0).at[1, :, -1].set(0.0)
+    atb = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    kw = dict(tau=0.05, sigma=0.05, rho=0.9, lam=0.05, nonneg=True)
+
+    x2, z2 = x, z
+    for _ in range(2):
+        g_ref = 2.0 * (gram.apply(x2) - atb)
+        x2, z2 = tv_pds_stencil_step_xla(x2, z2, g_ref, **kw)
+
+    solver = TVDeconvolution.__new__(TVDeconvolution)
+    solver.gram = gram
+    corr = TVDeconvolution._mega2_corr(solver, x)
+    x1, za, zb = tv_pds_mega3_step(
+        x, z[0], z[1], atb, corr, B, Cj, Fj, Etj, Ebj, mega_r=R, interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(jnp.stack([za, zb])), np.asarray(z2), rtol=3e-5, atol=3e-6)
