@@ -77,6 +77,9 @@ class DistributedTVDeconv2D(IterativeSolver):
     # static ints (lead, L) live in _band_meta so slice bounds stay static
     _band_rows: tuple = None
     _band_cols: tuple = None
+    # channel-conv form of the LOCAL column-Gram pass (lane axis unsharded;
+    # kernels.band.make_chanconv) — no pad copy, MXU work ~ CHAN_TILE/128
+    _band_cols_chan: jax.Array = None
     lam: float = static_field(default=0.1)
     tau: float = static_field(default=0.1)
     sigma: float = static_field(default=0.1)
@@ -188,6 +191,13 @@ class DistributedTVDeconv2D(IterativeSolver):
             self._band_cols, lead_c, L_c = _jn(make_gram_band(vs[:, 0], W))
             self._band_meta = (lead_r, L_r, lead_c, L_c)
             self._use_band = True
+            from pycsou_tpu.kernels.band import CHAN_TILE, make_chanconv
+
+            if W % CHAN_TILE == 0:
+                v1 = np.asarray(vs[:, 0], np.float64)
+                Kc = make_chanconv(np.convolve(v1, v1[::-1]), v1.size - 1)
+                if Kc is not None:
+                    self._band_cols_chan = jnp.asarray(Kc)
 
         spec_x = NamedSharding(self.mesh, PartitionSpec(self.axis_name, None))
         self.y = jax.device_put(jnp.asarray(y, dtype), spec_x)
@@ -232,7 +242,12 @@ class DistributedTVDeconv2D(IterativeSolver):
             cb0, cb1, cEt, cEb = self._band_cols
             g_rows = ((rb0, rb1, lead_r), rEt, rEb, L_r)
             g_cols = ((cb0, cb1, lead_c), cEt, cEb, L_c)
-            grad = 2.0 * (sharded_sepgram_rank1(x, g_rows, g_cols, ax) - atb_loc)
+            grad = 2.0 * (
+                sharded_sepgram_rank1(
+                    x, g_rows, g_cols, ax, g_cols_chan=self._band_cols_chan
+                )
+                - atb_loc
+            )
         elif self._use_gram:
             # fused Gram: grad = 2 (A^H A x - A^H y); ONE local FFT roundtrip
             grad = 2.0 * (

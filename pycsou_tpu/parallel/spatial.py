@@ -244,7 +244,7 @@ def sharded_conv2d_gram(block: jax.Array, filt: jax.Array, axis_name: str, acorr
     return g
 
 
-def sharded_sepgram_rank1(block: jax.Array, g_rows, g_cols, axis_name: str) -> jax.Array:
+def sharded_sepgram_rank1(block: jax.Array, g_rows, g_cols, axis_name: str, g_cols_chan=None) -> jax.Array:
     """Row-sharded rank-1 separable Gram ``A^H A x`` — NO FFT anywhere.
 
     The multi-chip twin of ``ops.conv.SeparableConvGram2D._apply_fast2``:
@@ -258,12 +258,18 @@ def sharded_sepgram_rank1(block: jax.Array, g_rows, g_cols, axis_name: str) -> j
     taps, as ``(plan, E_top, E_bot, L)`` with jnp block arrays.  Requires the
     local block height >= max(K-1, L=2K-2) rows (validated by callers).
     """
-    from pycsou_tpu.kernels.band import gram_band_cols
+    from pycsou_tpu.kernels.band import gram_band_cols, gram_chanconv_cols
 
     # column direction: local and exact on every device (W unsharded); row
     # direction: one banded pass over the (K-1)-row halo-extended block with
     # the thin edge corrections masked onto the first/last device
-    y = gram_band_cols(block, g_cols)
+    if g_cols_chan is not None:
+        # channel-conv lane pass (no pad copy; kernels.band.make_chanconv)
+        _, Et, Eb, L = g_cols
+        E = None if Et is None else (Et, Eb)
+        y = gram_chanconv_cols(block, g_cols_chan, E, L)
+    else:
+        y = gram_band_cols(block, g_cols)
     return _gram_band_rows_halo(y, g_rows, axis_name, row_edges=True)
 
 
