@@ -230,10 +230,13 @@ class IterativeSolver(Module):
             }
         state.setdefault("it", jnp.asarray(0, dtype=jnp.int32))
         state.setdefault("metric", jnp.asarray(_INF, dtype=jnp.float32))
-        # a stride can overshoot max_iter by up to eff - 1 iterations
+        # a stride can overshoot max_iter by up to eff - 1 iterations; one
+        # stride of slack also covers a checkpoint-resumed solve whose
+        # restored `it` is not stride-aligned (a clipped .at[] write would
+        # silently corrupt the last history row otherwise)
         every = max(1, int(getattr(self, "metric_every", 1) or 1))
         eff = every * max(1, int(getattr(self, "iters_per_step", 1) or 1))
-        n_hist = -(-self.max_iter // eff) * eff
+        n_hist = (-(-self.max_iter // eff) + 1) * eff
         state.setdefault("history", jnp.full((n_hist,), jnp.nan, dtype=jnp.float32))
         n_vars = len(self.diagnostics_vars(state))
         if n_vars > 1:
