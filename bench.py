@@ -26,7 +26,7 @@ SHAPE = (4096, 4096)
 KSIZE = 15
 LAM = 0.05
 TPU_ITERS = 100
-TPU_REPS = 3
+TPU_REPS = 4
 NUMPY_ITERS = 3
 
 
@@ -99,7 +99,7 @@ def bench_tpu(h, y):
     # over x AND z (~1.6 ms at 4096^2); sampling them every 10 iterations
     # keeps the fused iteration bandwidth-bound (core/solver.py _advance)
     solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, max_iter=1000, metric_every=10)
-    log(f"tau=sigma={solver.tau:.4f} rho={solver.rho} beta={solver.beta:.4f} pallas={solver.use_pallas}")
+    log(f"tau=sigma={solver.tau:.4f} rho={solver.rho} beta={solver.beta:.4f} stencil={solver.stencil_mode} (x{solver.iters_per_step}/step)")
     try:
         ips, state = _time_solver(solver, "tuned")
     except Exception as e:
