@@ -173,6 +173,19 @@ class TVDeconvolution(IterativeSolver):
         else:
             self.stencil_mode = "element"
 
+    def with_shardings(self, **shardings) -> "TVDeconvolution":
+        """Generic GSPMD solve (core/solver.py): pallas_call does not
+        partition under sharding constraints — XLA would silently gather
+        the full arrays onto every device around each kernel — so the
+        sharded copy runs the pure-XLA stencil twin (GSPMD partitions it
+        fine).  For hand-optimised multi-chip TV use
+        ``parallel.solvers.DistributedTVDeconv2D`` (halo kernels)."""
+        out = super().with_shardings(**shardings)
+        return out.replace(
+            stencil_mode="xla", use_pallas=False, iters_per_step=1,
+            mega_B=None, mega_C=None, mega_F=None, mega_Et=None, mega_Eb=None,
+        )
+
     def _mega_eligible(self, shape) -> bool:
         """Rank-1 PSF with the 2-pass Gram plan, taps within the fused
         kernel's row reach, tile-aligned height, and a VMEM-feasible width

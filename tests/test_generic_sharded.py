@@ -149,3 +149,34 @@ def test_apgd_diagnostics_primary_var(rng):
     info = solver.solve()
     assert "x_temp" in info.diagnostics and "x" in info.diagnostics
     np.testing.assert_allclose(info.diagnostics["x_temp"], info.history, rtol=1e-6)
+
+
+def test_tv_solver_with_shardings_matches_single(rng):
+    """TVDeconvolution under the generic GSPMD path: sharded == unsharded,
+    and the sharded copy must drop to the XLA stencil twin (pallas_call
+    does not partition under sharding constraints)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pycsou_tpu.parallel import make_mesh
+    from pycsou_tpu.opt import TVDeconvolution
+
+    H, W = 32, 48
+    ax = np.arange(7) - 3
+    g1 = np.exp(-(ax**2) / 4.0)
+    filt = np.outer(g1, g1).astype(np.float32)
+    filt /= filt.sum()
+    y = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+
+    ref = TVDeconvolution((H, W), y, 0.1, filt=filt, max_iter=40).run_fixed(40)
+
+    mesh = make_mesh((jax.device_count(),), ("sp",))
+    sh = TVDeconvolution((H, W), y, 0.1, filt=filt, max_iter=40).with_shardings(
+        x=NamedSharding(mesh, P("sp", None)),
+        z0=NamedSharding(mesh, P("sp", None)),
+        z1=NamedSharding(mesh, P("sp", None)),
+    )
+    assert sh.stencil_mode == "xla" and sh.iters_per_step == 1
+    got = sh.run_fixed(40)
+    assert not got["x"].sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(got["x"]), np.asarray(ref["x"]), rtol=1e-4, atol=1e-5)
