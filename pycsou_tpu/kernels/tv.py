@@ -851,10 +851,10 @@ def make_mega3_corr_mats(g_rows_E, L_r: int):
     return Et_p, Eb_p
 
 
-def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref,
+def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
                      et_ref, eb_ref, xo, z0o, z1o,
                      s_x, s_a0, s_a1, s_z0, s_z1, s_w, s_wt,
-                     s_x1, s_z01, s_z11, s_w1, s_w1t, s_corr,
+                     s_x1, s_z01, s_z11, s_w1, s_w1t, s_corr, s_corr0,
                      *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
     i = pl.program_id(0)
     HG = MEGA_HG
@@ -866,6 +866,7 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
         s_z0[:8] = jnp.zeros((8, W), jnp.float32)
         s_wt[...] = jnp.zeros((HG, W), jnp.float32)
         s_corr[...] = jnp.zeros((2 * HG, W), jnp.float32)
+        s_corr0[...] = jnp.zeros((2 * HG, W), jnp.float32)
 
     @pl.when(i <= 1)
     def _init1():
@@ -883,13 +884,23 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
 
     cur_w = _lane_gram_tile(cur_x, c_mat, f_mat, W)
 
+    # iteration-t row-Gram edge corrections, from the first/last input
+    # tiles' lane Grams (written BEFORE their stage-1 uses at steps 1 / nT)
+    @pl.when(i == 0)
+    def _corr0_top():
+        s_corr0[:HG] = jnp.dot(et_ref[...], cur_w[:32], precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32).astype(dt)
+
+    @pl.when(i == nT - 1)
+    def _corr0_bot():
+        s_corr0[HG:] = jnp.dot(eb_ref[...], cur_w[R - 32 :], precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32).astype(dt)
+
     # ---- stage 1: iteration t+1 on tile j1 = i-1 (garbage at i==0 and
     # i==nT+1; every consumer of those results is overwritten or masked) ---
     j1 = i - 1
     row1 = j1 * R
     last_f1 = jnp.where(i >= nT, 0.0, 1.0).astype(dt)  # head tile j1+1 = i
     gsum1 = _mega_row_gram(
-        s_wt[...], s_w[...], (cur_w * last_f1)[:HG], b_ref[...], corr_ref[...],
+        s_wt[...], s_w[...], (cur_w * last_f1)[:HG], b_ref[...], s_corr0[...],
         j1, nT, R, W, dt,
     )
     aw1 = jnp.concatenate([s_a0[...], cur_a[:8]], axis=0)
@@ -967,12 +978,13 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
 @functools.partial(
     jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r")
 )
-def tv_pds_mega3_step(x, z0, z1, atb, corr, B, C, F, Et_p, Eb_p, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, mega_r: int = 32):
+def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, mega_r: int = 32):
     """TWO full TV PDS iterations in one fused sweep (see module comment).
 
     Inputs as :func:`tv_pds_mega2_step` plus the padded corr matrices from
-    :func:`make_mega3_corr_mats`; ``corr`` is the iteration-t correction
-    (from x), the iteration-t+1 correction is computed in-kernel.
+    :func:`make_mega3_corr_mats`; BOTH iterations' row-Gram edge
+    corrections are computed in-kernel (iteration t's from the first/last
+    input tiles' lane Grams, iteration t+1's from stage-1's).
     Returns the state after TWO iterations.  Requires ``mega_r == 32``
     (the in-kernel corr reads 32-row slices) and ``nT >= 2``.
     """
@@ -988,7 +1000,6 @@ def tv_pds_mega3_step(x, z0, z1, atb, corr, B, C, F, Et_p, Eb_p, *, tau: float, 
         raise ValueError(f"mega3 needs W % 128 == 0 and W >= 384, got {W}")
     nT = H // R
     in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
-    corr_spec = pl.BlockSpec((2 * MEGA_HG, W), lambda i: (0, 0))
     b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
     c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
     f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
@@ -1010,16 +1021,17 @@ def tv_pds_mega3_step(x, z0, z1, atb, corr, B, C, F, Et_p, Eb_p, *, tau: float, 
     xn, z0n, z1n = pl.pallas_call(
         kern,
         grid=(nT + 2,),
-        in_specs=[in_spec, in_spec, in_spec, in_spec, corr_spec, b_spec, c_spec, f_spec, e_spec, e_spec],
+        in_specs=[in_spec, in_spec, in_spec, in_spec, b_spec, c_spec, f_spec, e_spec, e_spec],
         out_specs=[out_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3,
         scratch_shapes=[
             tile(R), tile(R), tile(R), tile(R + 8), tile(R), tile(R), tile(MEGA_HG),  # stage-0
-            tile(R), tile(R + 8), tile(R), tile(R), tile(MEGA_HG), tile(2 * MEGA_HG),  # stage-1
+            tile(R), tile(R + 8), tile(R), tile(R), tile(MEGA_HG),  # stage-1
+            tile(2 * MEGA_HG), tile(2 * MEGA_HG),  # s_corr (stage-2), s_corr0 (stage-1)
         ],
         compiler_params=params,
         interpret=interpret,
-    )(x, atb, z0, z1, corr, B, C, F, Et_p, Eb_p)
+    )(x, atb, z0, z1, B, C, F, Et_p, Eb_p)
     return xn, z0n, z1n
 
 

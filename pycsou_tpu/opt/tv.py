@@ -234,9 +234,8 @@ class TVDeconvolution(IterativeSolver):
         x, z0, z1 = state["x"], state["z0"], state["z1"]
         kw = dict(tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam, nonneg=self.nonneg)
         if self.stencil_mode == "mega3":
-            corr = self._mega2_corr(x)
             x, z0, z1 = tv_pds_mega3_step(
-                x, z0, z1, self.atb, corr, self.mega_B, self.mega_C, self.mega_F,
+                x, z0, z1, self.atb, self.mega_B, self.mega_C, self.mega_F,
                 self.mega_Et, self.mega_Eb, mega_r=self.mega_r, **kw,
             )
             return {"x": x, "z0": z0, "z1": z1}

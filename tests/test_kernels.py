@@ -258,7 +258,6 @@ def test_mega3_double_step_matches_two_oracle_iterations(rng, shape, K):
         tv_pds_mega3_step,
     )
     from pycsou_tpu.ops.conv import Convolve2D
-    from pycsou_tpu.opt.tv import TVDeconvolution
 
     H, W = shape
     if K == 1:
@@ -286,11 +285,8 @@ def test_mega3_double_step_matches_two_oracle_iterations(rng, shape, K):
         g_ref = 2.0 * (gram.apply(x2) - atb)
         x2, z2 = tv_pds_stencil_step_xla(x2, z2, g_ref, **kw)
 
-    solver = TVDeconvolution.__new__(TVDeconvolution)
-    solver.gram = gram
-    corr = TVDeconvolution._mega2_corr(solver, x)
     x1, za, zb = tv_pds_mega3_step(
-        x, z[0], z[1], atb, corr, B, Cj, Fj, Etj, Ebj, mega_r=R, interpret=True, **kw
+        x, z[0], z[1], atb, B, Cj, Fj, Etj, Ebj, mega_r=R, interpret=True, **kw
     )
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=3e-5, atol=3e-6)
     np.testing.assert_allclose(np.asarray(jnp.stack([za, zb])), np.asarray(z2), rtol=3e-5, atol=3e-6)
