@@ -17,6 +17,8 @@ TV deconvolution on one chip; the multi-chip version is
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Optional
 
 import jax
@@ -99,15 +101,16 @@ class TVDeconvolution(IterativeSolver):
         self.nonneg = bool(nonneg)
         self.rho = float(rho)
 
-        if filt is not None:
-            A = Convolve2D(shape, filt)
-            self.gram = A.gram
-            self.atb = A.adjoint(self.y)
-            self.beta = 2.0 * A.lipschitz**2
-        else:
-            self.gram = None  # denoising: A = I, gram = I
-            self.atb = self.y
-            self.beta = 2.0
+        if filt is None:
+            # denoising (A = I) as the identity 1x1 convolution: bitwise the
+            # same math (gram = I, atb = y, beta = 2) but the rank-1 banded
+            # machinery then qualifies the fused mega engines — 4096^2 TV
+            # denoising runs the same ~1.7 ms/iter kernel as deconvolution
+            filt = np.ones((1, 1), np.float32)
+        A = Convolve2D(shape, filt)
+        self.gram = A.gram
+        self.atb = A.adjoint(self.y)
+        self.beta = 2.0 * A.lipschitz**2
 
         L_K = math.sqrt(8.0)
         if tau is None:
