@@ -309,7 +309,11 @@ class IterativeSolver(Module):
         return _run_fixed(self, state, n_iter)
 
     def iterates(self, n: int, stride: int = 1):
-        """Generator over iterates (reference solver.py:88)."""
+        """Generator over iterates (reference solver.py:88).  The stride is
+        rounded up to a whole number of steps (``iters_per_step`` > 1 for the
+        double-iteration fused engines), so every yield advances."""
+        ips = max(1, int(getattr(self, "iters_per_step", 1) or 1))
+        stride = -(-stride // ips) * ips
         state = self._wrap_state(self.initial_state())
         for _ in range(0, n, stride):
             state = _run_fixed(self, state, stride)
@@ -334,7 +338,10 @@ def _run_fixed(solver, state, n_iter: int):
         return state
     n_outer, rem = divmod(n_iter, eff)
     state, _ = jax.lax.scan(body, state, None, length=n_outer)
-    rem_steps = rem // ips  # sub-step remainder is dropped (ips > 1)
+    # a sub-step remainder rounds UP: with ips > 1 a step is indivisible, so
+    # run_fixed(n) performs ceil-to-step iterations (>= n, never silently
+    # fewer; ADVICE r2)
+    rem_steps = -(-rem // ips)
     if rem_steps:
         # remainder: rem_steps-1 raw steps + one measured step
         def inner(_, st):

@@ -479,7 +479,8 @@ class SeparableConvGram2D(LinearOperator):
         if jnp.issubdtype(conv.dtype, jnp.complexfloating):
             return None
         m0, m1 = conv.filt.shape
-        if m0 // 2 > TILE or (m0 - 1 - m0 // 2) > TILE or m1 // 2 > TILE or (m1 - 1 - m1 // 2) > TILE:
+        # the rank-r path's m-tap banded passes need m-1 <= TILE
+        if m0 - 1 > TILE or m1 - 1 > TILE:
             return None
         fac = lowrank_factors(np.asarray(conv.filt), tol=tol, max_rank=max_rank)
         if fac is None:
@@ -526,7 +527,17 @@ class SeparableConvGram2D(LinearOperator):
         H, W = conv.dim_shape
         self.g_rows_band = self.g_rows_E = self.g_cols_band = self.g_cols_E = None
         self.g_meta = None
-        if r == 1 and H >= 3 * m0 and W >= 3 * m1:
+        # the (2m-1)-tap autocorrelation bands need 2(m-1) <= TILE; wider
+        # rank-1 kernels stay on the 4-pass rank-r path above (m-1 <= TILE)
+        from pycsou_tpu.kernels.band import TILE as _TILE
+
+        if (
+            r == 1
+            and H >= 3 * m0
+            and W >= 3 * m1
+            and 2 * (m0 - 1) <= _TILE
+            and 2 * (m1 - 1) <= _TILE
+        ):
             from pycsou_tpu.kernels.band import make_gram_band
 
             (rb0, rb1, lead_r), Etr, Ebr, L_r = make_gram_band(us[:, 0], H)
@@ -656,7 +667,10 @@ class SeparableConvGramND(LinearOperator):
         if jnp.issubdtype(conv.dtype, jnp.complexfloating):
             return None
         filt = np.asarray(conv.filt)
-        if any(m - 1 > TILE for m in filt.shape):
+        # make_gram_band builds a (2m-1)-tap autocorrelation band, which
+        # needs 2(m-1) <= TILE (ADVICE r2: a 70-tap Gaussian must fall back
+        # to the FFT ConvGramND instead of raising)
+        if any(2 * (m - 1) > TILE for m in filt.shape):
             return None
         if any(n < 3 * m for n, m in zip(conv.dim_shape, filt.shape)):
             return None

@@ -131,11 +131,17 @@ class TVDeconvolution(IterativeSolver):
             )
         else:
             self.use_pallas = bool(use_pallas)
-        # stencil engine: the mega kernel additionally fuses the
-        # row-direction Gram into the sweep (378 vs 279 iters/s at 4096^2,
-        # docs/BENCH.md); the sweep kernel streams every array exactly once
-        # (measured 1.42 ms vs 2.82 ms Element-halo at 4096^2)
+        # stencil engine ladder (fastest first): mega3 (two fused iterations
+        # per pass) > mega2 (both Gram directions in-kernel) > mega (row-Gram
+        # in-kernel) > sweep (single-stream stencil) > element (halo blocks)
+        # > xla (pure-XLA twin; the CPU path).  stencil="auto" picks the
+        # fastest eligible engine; an explicit name is honored and raises if
+        # the shape/PSF doesn't qualify (ADVICE r2).
         from pycsou_tpu.kernels.tv import sweep_available
+
+        _STENCILS = ("auto", "mega3", "mega2", "mega", "sweep", "element", "xla")
+        if stencil not in _STENCILS:
+            raise ValueError(f"unknown stencil {stencil!r}; expected one of {_STENCILS}")
 
         self.mega_B = None
         self.mega_C = None
@@ -143,38 +149,62 @@ class TVDeconvolution(IterativeSolver):
         self.mega_r = MEGA_R
         self.mega_Et = None
         self.mega_Eb = None
-        if not self.use_pallas:
+        if stencil == "xla" or not self.use_pallas:
+            if stencil not in ("auto", "xla"):
+                raise ValueError(
+                    f"stencil={stencil!r} needs the Pallas engines, but "
+                    "use_pallas resolved False on this backend/shape"
+                )
+            self.use_pallas = False
             self.stencil_mode = "xla"
-        elif self._mega_eligible(shape):
-            if self._mega2_eligible(shape):
-                # both Gram directions in-kernel: no ColGram pass, no w array
-                H, W = shape
+        else:
+            H, W = shape
+            mega_ok = self._mega_eligible(shape)
+            mega2_ok = mega_ok and self._mega2_eligible(shape)
+            mega3_ok = False
+            mega_r2 = MEGA_R
+            if mega2_ok:
+                # 32-row tiles halve the sequential grid's per-step overhead
                 if H % 32 == 0 and (32 + 8) * W * 4 <= 820_000:
-                    self.mega_r = 32
+                    mega_r2 = 32
+                _, L_r, _, _ = self.gram.g_meta
+                mega3_ok = mega_r2 == 32 and H // 32 >= 2 and L_r <= 32
+            mode = stencil
+            if stencil == "auto":
+                # mega3: the raw kernel is ~neutral vs mega2 but the double
+                # step halves the per-iteration metric/launch overhead
+                # (508 -> 573 iters/s at 4096^2, docs/BENCH.md)
+                if mega3_ok:
+                    mode = "mega3"
+                elif mega2_ok:
+                    mode = "mega2"
+                elif mega_ok:
+                    mode = "mega"
+                elif sweep_available(*shape):
+                    mode = "sweep"
+                else:
+                    mode = "element"
+            _need = {"mega3": mega3_ok, "mega2": mega2_ok, "mega": mega_ok,
+                     "sweep": sweep_available(*shape)}
+            if not _need.get(mode, True):
+                raise ValueError(
+                    f"stencil={mode!r} is not eligible for shape {shape} with "
+                    "this PSF (see TVDeconvolution._mega_eligible/_mega2_eligible)"
+                )
+            if mode in ("mega2", "mega3"):
+                self.mega_r = mega_r2
                 C, F = make_mega2_lane_plan(self.gram.g_cols_taps, W)
                 self.mega_C = jnp.asarray(C)
                 self.mega_F = jnp.asarray(F)
+            if mode == "mega3":
                 _, L_r, _, _ = self.gram.g_meta
-                if stencil in ("auto", "mega3") and self.mega_r == 32 and H // 32 >= 2 and L_r <= 32:
-                    # two fused iterations per kernel pass.  The raw kernel
-                    # is per-step compute-bound (2.02 vs 2.07 ms/iter), but
-                    # end-to-end the double step halves the per-iteration
-                    # metric/launch overhead: 508 -> 573 iters/s at 4096^2
-                    # (docs/BENCH.md).  stencil="mega2" opts out.
-                    Et_p, Eb_p = make_mega3_corr_mats(self.gram.g_rows_E, L_r)
-                    self.mega_Et = jnp.asarray(Et_p)
-                    self.mega_Eb = jnp.asarray(Eb_p)
-                    self.stencil_mode = "mega3"
-                    self.iters_per_step = 2
-                else:
-                    self.stencil_mode = "mega2"
-            else:
-                self.stencil_mode = "mega"
-            self.mega_B = jnp.asarray(make_mega_band(self.gram.g_rows_acorr, r=self.mega_r))
-        elif sweep_available(*shape):
-            self.stencil_mode = "sweep"
-        else:
-            self.stencil_mode = "element"
+                Et_p, Eb_p = make_mega3_corr_mats(self.gram.g_rows_E, L_r)
+                self.mega_Et = jnp.asarray(Et_p)
+                self.mega_Eb = jnp.asarray(Eb_p)
+                self.iters_per_step = 2
+            if mode in ("mega", "mega2", "mega3"):
+                self.mega_B = jnp.asarray(make_mega_band(self.gram.g_rows_acorr, r=self.mega_r))
+            self.stencil_mode = mode
 
     def with_shardings(self, **shardings) -> "TVDeconvolution":
         """Generic GSPMD solve (core/solver.py): pallas_call does not

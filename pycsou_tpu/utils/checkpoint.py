@@ -75,15 +75,35 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 
 
 def load_latest_state(directory: str, template: Optional[Any] = None) -> Optional[Any]:
-    """Restore the most recent LOADABLE checkpoint, or None.
+    """Restore the most recent LOADABLE checkpoint, or None when the
+    directory holds no checkpoints at all.
 
     A process killed mid-save (preemption, SIGKILL) can leave its newest
     ``step_*`` directory partially written; resume must then fall back to
     the previous complete checkpoint rather than crash — this scans newest
-    to oldest and returns the first one that restores cleanly."""
-    for path in checkpoint_steps(directory):
+    to oldest, warning for each torn candidate it skips.  If EVERY candidate
+    fails (e.g. the solver was reconfigured so the state structure no longer
+    matches), that is a structural error, not a torn write — it raises
+    instead of silently restarting the solve from iteration 0 (ADVICE r2)."""
+    import warnings
+
+    paths = checkpoint_steps(directory)
+    errors = []
+    for path in paths:
         try:
-            return load_state(path, template)
-        except Exception:
-            continue
+            state = load_state(path, template)
+            if errors:
+                warnings.warn(
+                    f"skipped {len(errors)} unreadable newer checkpoint(s) "
+                    f"({errors[-1][0]}: {errors[-1][1]!r}); resumed from {path}"
+                )
+            return state
+        except Exception as e:  # torn write, version skew, ...
+            errors.append((path, e))
+    if errors:
+        raise RuntimeError(
+            f"all {len(errors)} checkpoint(s) in {directory} failed to load "
+            f"— structural mismatch with the current solver? newest error: "
+            f"{errors[0][0]}: {errors[0][1]!r}"
+        )
     return None
