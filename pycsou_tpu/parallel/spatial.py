@@ -40,6 +40,8 @@ __all__ = [
     "sharded_grad2d_2d",
     "sharded_grad2d_adjoint_2d",
     "sharded_sepgram_rank1_2d",
+    "sharded_sepconv2d_2d",
+    "sharded_sepconv2d_adjoint_2d",
     "pdot",
     "pnorm",
 ]
@@ -378,6 +380,51 @@ def _gram_band_cols_halo(x: jax.Array, g_cols, axis_name: str) -> jax.Array:
         out = out.at[:, :Km1].add(first * jnp.matmul(x[:, :L], E_top.T, precision=DEFAULT_PRECISION))
         out = out.at[:, -Km1:].add(last * jnp.matmul(x[:, -L:], E_bot.T, precision=DEFAULT_PRECISION))
     return out
+
+
+def _sep_halo_pass(y: jax.Array, plan, reach_lo: int, reach_hi: int, axis_name: str, rows: bool) -> jax.Array:
+    """One banded 'same' pass along a SHARDED axis: exchange ``reach_lo``
+    rows/cols from the previous neighbour and ``reach_hi`` from the next,
+    run the local banded matmul pass, crop.  Zero halos at the global edges
+    equal the zero-boundary band clipping, so the pass is globally exact."""
+    from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows
+
+    if rows:
+        parts = []
+        if reach_lo:
+            parts.append(halo_from_prev(y, reach_lo, axis_name))
+        parts.append(y)
+        if reach_hi:
+            parts.append(halo_from_next(y, reach_hi, axis_name))
+        ext = jnp.concatenate(parts, axis=0) if len(parts) > 1 else y
+        return band_conv_rows(ext, plan)[reach_lo : reach_lo + y.shape[0]]
+    parts = []
+    if reach_lo:
+        parts.append(halo_from_prev_cols(y, reach_lo, axis_name))
+    parts.append(y)
+    if reach_hi:
+        parts.append(halo_from_next_cols(y, reach_hi, axis_name))
+    ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else y
+    return band_conv_cols(ext, plan)[:, reach_lo : reach_lo + y.shape[1]]
+
+
+def sharded_sepconv2d_2d(block, rows_plan, cols_plan, ax_r: str, ax_c: str):
+    """Rank-1 separable 'same' 2-D convolution on a 2-D (rows x cols) mesh —
+    globally equal to ``ops.conv.Convolve2D.apply`` for ``filt = u v^T``.
+
+    ``rows_plan`` / ``cols_plan`` are ``(make_band_blocks(taps, offset),
+    K-1)`` pairs for the per-axis factors; halo widths derive from each
+    band's reach.  Zero FFTs; all traffic is nearest-neighbour ppermute."""
+    (rplan, rK1), (cplan, cK1) = rows_plan, cols_plan
+    y = _sep_halo_pass(block, cplan, cplan[2], cK1 - cplan[2], ax_c, rows=False)
+    return _sep_halo_pass(y, rplan, rplan[2], rK1 - rplan[2], ax_r, rows=True)
+
+
+def sharded_sepconv2d_adjoint_2d(block, rows_plan, cols_plan, ax_r: str, ax_c: str):
+    """Adjoint of :func:`sharded_sepconv2d_2d`: callers pass the FLIPPED-tap
+    complementary-offset plans (the banded Toeplitz transpose).  Used to
+    compute ``A^H y`` fully sharded at solver init (VERDICT r2 task 8)."""
+    return sharded_sepconv2d_2d(block, rows_plan, cols_plan, ax_r, ax_c)
 
 
 def sharded_sepgram_rank1_2d(block: jax.Array, g_rows, g_cols, ax_r: str, ax_c: str) -> jax.Array:

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["power_iteration", "lanczos_eigs", "smallest_eig_psd"]
+__all__ = ["power_iteration", "lanczos_eigs", "arnoldi_eigs", "smallest_eig_psd"]
 
 
 def _norm(x):
@@ -103,6 +103,70 @@ def _lanczos(op, v0, m: int):
 
     V, alphas, betas = jax.lax.fori_loop(0, m, body, (V, alphas, betas))
     return alphas, betas
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _arnoldi(op, v0, m: int):
+    """m-step Arnoldi for a (generally non-symmetric) endomorphic operator.
+
+    The Hessenberg recurrence with full (classical, twice-applied)
+    Gram-Schmidt runs entirely on device inside a ``fori_loop``; only the
+    small (m x m) upper-Hessenberg eigenproblem goes to the host.  This is
+    the non-symmetric sibling of :func:`_lanczos` and the on-device
+    replacement for the reference's ARPACK ``eigs`` on non-symmetric
+    operators (/root/reference/pycsou/core/linop.py:178-227).
+    """
+    shape = v0.shape
+    dtype = v0.dtype
+    v0 = v0 / jnp.maximum(_norm(v0), jnp.finfo(dtype).tiny)
+
+    V = jnp.zeros((m + 1,) + shape, dtype=dtype).at[0].set(v0)
+    Hm = jnp.zeros((m + 1, m), dtype=dtype)
+
+    def body(j, carry):
+        V, Hm = carry
+        w = op.apply(V[j])
+        mask = (jnp.arange(m + 1) <= j).astype(dtype)
+        # classical Gram-Schmidt applied twice ("CGS2"): as stable as
+        # modified GS in practice and batches into two einsum pairs
+        c1 = jnp.einsum("k...,...->k", jnp.conj(V), w) * mask
+        w = w - jnp.einsum("k,k...->...", c1, V)
+        c2 = jnp.einsum("k...,...->k", jnp.conj(V), w) * mask
+        w = w - jnp.einsum("k,k...->...", c2, V)
+        beta = _norm(w).astype(dtype)
+        v_next = w / jnp.maximum(jnp.abs(beta), jnp.finfo(jnp.float32).tiny)
+        V = V.at[j + 1].set(v_next)
+        col = c1 + c2 + beta * (jnp.arange(m + 1) == j + 1).astype(dtype)
+        Hm = Hm.at[:, j].set(col)
+        return (V, Hm)
+
+    V, Hm = jax.lax.fori_loop(0, m, body, (V, Hm))
+    return Hm
+
+
+def arnoldi_eigs(op, k: int = 1, which: str = "LM", maxiter: Optional[int] = None, key: int = 0):
+    """Extremal eigenvalues of a general (non-symmetric) endomorphic operator:
+    on-device Arnoldi + host eigendecomposition of the small Hessenberg
+    matrix.  Returns a complex array (non-symmetric real operators have
+    complex spectra).  When ``m == dim`` the Krylov space is complete and the
+    Ritz values are the exact eigenvalues (up to f32)."""
+    n = op.dim
+    m = int(min(n, maxiter if maxiter is not None else max(3 * k + 16, 32)))
+    kk = jax.random.PRNGKey(key)
+    v0 = _rand_like(kk, op.dim_shape, op.dtype)
+    Hm = np.asarray(_arnoldi(op, v0, m), dtype=np.complex128 if jnp.issubdtype(op.dtype, jnp.complexfloating) else np.float64)
+    evals = np.linalg.eigvals(Hm[:m, :m])
+    if which == "LM":
+        order = np.argsort(-np.abs(evals))
+    elif which == "SM":
+        order = np.argsort(np.abs(evals))
+    elif which == "LR":
+        order = np.argsort(-evals.real)
+    elif which == "SR":
+        order = np.argsort(evals.real)
+    else:
+        raise ValueError(f"unknown which={which!r}")
+    return jnp.asarray(evals[order[:k]].astype(np.complex64))
 
 
 from pycsou_tpu._module import Module, static_field

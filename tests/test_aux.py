@@ -136,7 +136,10 @@ def test_smallest_eig_psd_direct(rng):
     assert abs(sm - 0.01) / 0.01 < 0.05
 
 
-def test_nonsymmetric_eigenvals_warns(rng):
+def test_nonsymmetric_eigenvals_arnoldi(rng):
+    """Non-symmetric eigenvals run the on-device Arnoldi (VERDICT r2 task 7):
+    no scipy, no host round-trips, no warning; with a complete Krylov space
+    the Ritz values are the exact spectrum."""
     import warnings
 
     import jax.numpy as jnp
@@ -148,7 +151,12 @@ def test_nonsymmetric_eigenvals_warns(rng):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         ev = A.eigenvals(2, which="LM", symmetric=False)
-        assert any("host-side" in str(x.message) for x in w)
+        assert not any("host-side" in str(x.message) for x in w)
+    assert np.iscomplexobj(np.asarray(ev))
     want = np.linalg.eigvals(M)
     want = want[np.argsort(-np.abs(want))][:2]
     np.testing.assert_allclose(np.sort(np.abs(ev)), np.sort(np.abs(want)), rtol=1e-3)
+    # complex eigenvalue pairs of a real matrix come out conjugate-paired
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ev).real), np.sort(want.real), rtol=1e-3, atol=1e-4
+    )

@@ -311,6 +311,65 @@ def test_sharded_grad2d_2d_mesh(rng):
     np.testing.assert_allclose(np.asarray(fa(g)), np.asarray(G.adjoint(g)), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("kshape", [(5, 5), (6, 4)])
+def test_sharded_sepconv2d_2d_mesh(rng, kshape):
+    """Rank-1 separable conv apply/adjoint on a 2-D mesh == Convolve2D
+    (VERDICT r2 task 8: the fully-sharded A / A^H used at solver init),
+    including even-sized kernels (offset-convention parity)."""
+    from pycsou_tpu.kernels.band import make_band_blocks
+    from pycsou_tpu.parallel.spatial import (
+        sharded_sepconv2d_2d,
+        sharded_sepconv2d_adjoint_2d,
+    )
+
+    mesh2 = make_mesh((2, 4), ("sp0", "sp1"))
+    H, W = 32, 64
+    m0, m1 = kshape
+    u = _gauss_taps(m0) + 0.1 * rng.standard_normal(m0)
+    v = _gauss_taps(m1) + 0.1 * rng.standard_normal(m1)
+    h = jnp.asarray(np.outer(u, v), dtype=jnp.float32)
+    A = Convolve2D((H, W), h)
+    x = jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
+
+    rp = (make_band_blocks(u, m0 // 2), m0 - 1)
+    cp = (make_band_blocks(v, m1 // 2), m1 - 1)
+    f = smap(
+        mesh2,
+        lambda b: sharded_sepconv2d_2d(b, rp, cp, "sp0", "sp1"),
+        (P("sp0", "sp1"),),
+        P("sp0", "sp1"),
+    )
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(A(x)), rtol=1e-4, atol=1e-5)
+
+    rpa = (make_band_blocks(u[::-1], m0 - 1 - m0 // 2), m0 - 1)
+    cpa = (make_band_blocks(v[::-1], m1 - 1 - m1 // 2), m1 - 1)
+    fa = smap(
+        mesh2,
+        lambda b: sharded_sepconv2d_adjoint_2d(b, rpa, cpa, "sp0", "sp1"),
+        (P("sp0", "sp1"),),
+        P("sp0", "sp1"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fa(x)), np.asarray(A.adjoint(x)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_spatial2d_init_adjoint_is_sharded(rng):
+    """Spatial2DTVDeconv2D's A^H y at init equals the single-device adjoint
+    AND is materialised as (H/n0, W/n1) blocks per device."""
+    from pycsou_tpu.parallel import Spatial2DTVDeconv2D
+
+    mesh2 = make_mesh((2, 4), ("sp0", "sp1"))
+    H, W = 32, 64
+    h = jnp.asarray(np.outer(_gauss_taps(5), _gauss_taps(5)), dtype=jnp.float32)
+    y = jnp.asarray(rng.standard_normal((H, W)), dtype=jnp.float32)
+    dist = Spatial2DTVDeconv2D((H, W), h, y, 0.05, mesh=mesh2)
+    expected = Convolve2D((H, W), h).adjoint(y)
+    np.testing.assert_allclose(np.asarray(dist.atb), np.asarray(expected), rtol=1e-4, atol=1e-5)
+    shard_shapes = {s.data.shape for s in dist.atb.addressable_shards}
+    assert shard_shapes == {(H // 2, W // 4)}
+
+
 def test_spatial2d_tv_deconv_matches_single_device(rng):
     """2-D-mesh (2x4) TV deconvolution == generic single-device PDS, and the
     first-class solve() machinery (metric/history) works on the 2-D mesh."""

@@ -181,16 +181,47 @@ def test_apgd_requires_tau_when_beta_zero():
         APGD((5,))
 
 
-def test_eigenvals_nonsymmetric_scipy_fallback(rng):
+def test_eigenvals_nonsymmetric_arnoldi(rng, monkeypatch):
+    """On-device Arnoldi for non-symmetric spectra: correct Ritz values and
+    no scipy import anywhere on the path (VERDICT r2 task 7)."""
+    import builtins
+
     from pycsou_tpu.ops.basic import DenseOperator
 
     M = rng.standard_normal((10, 10)).astype(np.float32)
     op = DenseOperator(jnp.asarray(M))
+
+    real_import = builtins.__import__
+
+    def no_scipy(name, *args, **kwargs):
+        if name.startswith("scipy"):
+            raise AssertionError("eigenvals(symmetric=False) must not import scipy")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_scipy)
     ev = op.eigenvals(k=2, symmetric=False)
+    monkeypatch.setattr(builtins, "__import__", real_import)
     expected = np.linalg.eigvals(M)
     top2 = expected[np.argsort(-np.abs(expected))[:2]]
     np.testing.assert_allclose(
         np.sort(np.abs(np.asarray(ev))), np.sort(np.abs(top2)), rtol=1e-3
+    )
+
+
+def test_arnoldi_partial_krylov(rng):
+    """k dominant eigenvalues from a PARTIAL Krylov space (m < n) still
+    converge for a matrix with decisive spectral gaps."""
+    from pycsou_tpu.ops.basic import DenseOperator
+    from pycsou_tpu.utils.opnorm import arnoldi_eigs
+
+    n = 64
+    lam = np.concatenate([[9.0, -6.0, 4.0], rng.uniform(-0.5, 0.5, n - 3)])
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    M = (Q * lam) @ np.linalg.inv(Q)
+    op = DenseOperator(jnp.asarray(M, jnp.float32))
+    ev = np.asarray(arnoldi_eigs(op, k=3, which="LM", maxiter=28))
+    np.testing.assert_allclose(
+        np.sort(ev.real), np.sort(lam[:3]), rtol=2e-2, atol=1e-2
     )
 
 
