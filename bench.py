@@ -12,8 +12,9 @@ Prints ONE JSON line:
    "time_to_1e6_s": <seconds to 1e-6 relative improvement>,
    "matvec_gbps": <effective conv matvec GB/s (I/O floor)>}
 
-(time-to-1e-6 and matvec GB/s are BASELINE.md's named metrics — emitted by
-default; BENCH_FULL=1 additionally times the generic operator-algebra path.)
+(time-to-1e-6 and matvec GB/s are BASELINE.md's named metrics; the generic
+operator-algebra path is tracked as ``generic_ips`` — all emitted by default.
+BENCH_FULL=1 lengthens the generic timing run.)
 """
 import json
 import os
@@ -67,22 +68,22 @@ def pds_params(h):
 # --------------------------- TPU path ---------------------------------------
 
 
-def _time_solver(solver, label):
+def _time_solver(solver, label, iters=TPU_ITERS, reps=TPU_REPS):
     import jax
 
     t0 = time.perf_counter()
-    state = solver.run_fixed(TPU_ITERS)
+    state = solver.run_fixed(iters)
     jax.block_until_ready(state["x"])
     log(f"[{label}] compile+first chunk: {time.perf_counter() - t0:.1f}s")
     times = []
-    for _ in range(TPU_REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        state = solver.run_fixed(TPU_ITERS, state=state)
+        state = solver.run_fixed(iters, state=state)
         jax.block_until_ready(state["x"])
         times.append(time.perf_counter() - t0)
     best = min(times)
-    ips = TPU_ITERS / best
-    log(f"[{label}] {TPU_ITERS} iters in {best:.3f}s -> {ips:.2f} iters/s")
+    ips = iters / best
+    log(f"[{label}] {iters} iters in {best:.3f}s -> {ips:.2f} iters/s")
     return ips, state
 
 
@@ -94,11 +95,12 @@ def bench_tpu(h, y):
 
     log(f"devices: {jax.devices()}")
     yj = jnp.asarray(y)
-    # tuned flagship path: fused convolution Gram + fused Pallas stencil step
-    # metric_every=10: the stopping/diagnostic reductions are full passes
-    # over x AND z (~1.6 ms at 4096^2); sampling them every 10 iterations
-    # keeps the fused iteration bandwidth-bound (core/solver.py _advance)
-    solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, max_iter=1000, metric_every=10)
+    # tuned flagship path: fused convolution Gram + fused Pallas stencil step.
+    # metric_every=1 — the REFERENCE's per-iteration-diagnostics semantics
+    # (proxalgs.py:366-394): the mega engines emit the metric partial sums
+    # from the kernel epilogue (kernels/tv.py _stats_update), so the
+    # stopping/diagnostic reductions no longer cost HBM passes
+    solver = TVDeconvolution(SHAPE, yj, LAM, filt=h, nonneg=True, max_iter=1000, metric_every=1)
     log(f"tau=sigma={solver.tau:.4f} rho={solver.rho} beta={solver.beta:.4f} stencil={solver.stencil_mode} (x{solver.iters_per_step}/step)")
     try:
         ips, state = _time_solver(solver, "tuned")
@@ -138,14 +140,14 @@ def bench_tpu(h, y):
         log(f"matvec metric failed: {e!r}")
 
     try:
-        # stencil="mega2": the 1e-6 threshold is defined on the SINGLE-
-        # iteration relative improvement; the double-step engine (mega3)
-        # can only measure 2-iteration improvements, which overshoot the
-        # stopping point (~conservative by one halving of the threshold)
+        # default engine (mega3): its kernel-epilogue stats measure the
+        # SECOND iteration's improvement only, so the double-step engine
+        # has single-iteration stopping semantics (kernels/tv.py) and can
+        # drive convergence directly — no mega2 pin needed
         conv_solver = TVDeconvolution(
-            SHAPE, yj, LAM, filt=h, nonneg=True, stencil="mega2",
+            SHAPE, yj, LAM, filt=h, nonneg=True,
             max_iter=3000, min_iter=50, accuracy_threshold=1e-6, verbose=None,
-            metric_every=10,
+            metric_every=1,
         )
         # warm the solve-loop compile (same statics + state shapes as the
         # real solve; it_stop is traced) so time-to-tol measures solver
@@ -164,11 +166,9 @@ def bench_tpu(h, y):
     except Exception as e:
         log(f"time-to-tol metric failed: {e!r}")
 
-    if os.environ.get("BENCH_FULL") != "1":
-        log("(set BENCH_FULL=1 for the generic operator-algebra path timing)")
-        return ips, state, extras
-
-    # generic-operator-algebra path for reference (same math via PDS)
+    # generic operator-algebra path (the library's defining route: PDS over a
+    # composed SquaredL2Loss * Convolve2D + L21 o Gradient expression) —
+    # tracked in the default JSON every round (VERDICT r2 task 6)
     try:
         from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
         from pycsou_tpu.func.penalty import L21Norm
@@ -182,7 +182,13 @@ def bench_tpu(h, y):
             SHAPE, F=F, G=NonNegativeOrthant(SHAPE),
             H=LAM * L21Norm((2,) + SHAPE, axis=0), K=Gradient(SHAPE), max_iter=1000,
         )
-        _time_solver(generic, "generic")
+        log(f"generic gram route: {type(getattr(F, '_gram', None)).__name__}")
+        full = os.environ.get("BENCH_FULL") == "1"
+        gips, _ = _time_solver(
+            generic, "generic",
+            iters=TPU_ITERS if full else 50, reps=TPU_REPS if full else 2,
+        )
+        extras["generic_ips"] = round(gips, 1)
     except Exception as e:  # diagnostics only
         log(f"generic path failed: {e!r}")
     return ips, state, extras

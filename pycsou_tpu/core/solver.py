@@ -212,7 +212,10 @@ class IterativeSolver(Module):
         return tuple(
             k
             for k, v in state.items()
-            if k not in reserved and hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1
+            if k not in reserved
+            and not k.startswith("_")  # "_"-prefixed entries are solver-internal
+            and hasattr(v, "ndim")
+            and getattr(v, "ndim", 0) >= 1
         )
 
     def metrics(self, old: Dict[str, Any], new: Dict[str, Any]) -> Dict[str, jax.Array]:
@@ -320,8 +323,12 @@ class IterativeSolver(Module):
             yield self.postprocess(state)
 
     def postprocess(self, state: Dict[str, Any]) -> Dict[str, Any]:
-        """Map the final state to user-facing iterand dict (override freely)."""
-        return {k: v for k, v in state.items() if k not in ("history", "var_history", "obj_history")}
+        """Map the final state to user-facing iterand dict (override freely);
+        drops histories and "_"-prefixed solver-internal entries."""
+        hidden = ("history", "var_history", "obj_history")
+        return {
+            k: v for k, v in state.items() if k not in hidden and not k.startswith("_")
+        }
 
 
 @partial(jax.jit, static_argnums=(2,))

@@ -622,6 +622,32 @@ def _lane_gram_tile(x_tile, c_mat, f_mat, W: int):
 
 
 
+STATS_LANES = 6  # [||dx||^2, ||x_old||^2, ||dz0||^2, ||z0_old||^2, ||dz1||^2, ||z1_old||^2]
+
+
+def _stats_update(so_ref, pairs):
+    """Accumulate per-tile metric partial sums into the (8, 128) stats
+    output block (VERDICT r2 task 3: the stopping/diagnostic reductions are
+    full HBM passes over arrays the kernel already holds in VMEM — emitting
+    them as kernel-epilogue partial sums makes ``metric_every=1`` ~free).
+
+    ``pairs`` is ``[(new_tile, old_tile), ...]`` for (x, z0, z1); lane ``2k``
+    gets ``sum((new-old)^2)``, lane ``2k+1`` gets ``sum(old^2)``."""
+    vals = []
+    for new_t, old_t in pairs:
+        d = new_t - old_t
+        vals.append(jnp.sum(d * d))
+        vals.append(jnp.sum(old_t * old_t))
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    upd = jnp.zeros((8, 128), jnp.float32)
+    for k, v in enumerate(vals):
+        upd = upd + jnp.where(
+            jnp.logical_and(row == 0, lane == k), v.astype(jnp.float32), 0.0
+        )
+    so_ref[...] += upd
+
+
 def _lastcol_mask(nrows, W, dt):
     colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
     return jnp.where(colw == W - 1, 0.0, 1.0).astype(dt)
@@ -700,7 +726,7 @@ def _pds_stencil(xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, no
 
 
 def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref,
-                     xo, z0o, z1o, s_x, s_a, s_z0, s_z1, s_w, s_wt,
+                     xo, z0o, z1o, so, s_x, s_a, s_z0, s_z1, s_w, s_wt,
                      *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
     i = pl.program_id(0)
     HG = MEGA_HG
@@ -737,11 +763,15 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
         xo[...] = x_n
         z0o[...] = z0_n
         z1o[...] = z1_n
+        _stats_update(
+            so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])]
+        )
 
     @pl.when(i == 0)
     def _init():
         s_z0[:8] = jnp.zeros((8, W), cur_z0.dtype)
         s_wt[...] = jnp.zeros((MEGA_HG, W), cur_w.dtype)
+        so[...] = jnp.zeros((8, 128), jnp.float32)
 
     @pl.when(i > 0)
     def _tail():
@@ -775,6 +805,11 @@ def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float
     from the first/last rows of x by the caller); ``B`` from
     :func:`make_mega_band`.  Equivalent to
     ``tv_pds_stencil_step_xla(x, z, 2*(Gram(x) - atb), ...)``.
+
+    Returns ``(x_new, z0_new, z1_new, stats)`` where ``stats`` is a (8, 128)
+    block whose lanes ``[0, :6]`` hold the metric partial sums
+    (:func:`_stats_update`) — the stopping/diagnostic reductions at zero
+    extra HBM traffic (VERDICT r2 task 3).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -791,17 +826,19 @@ def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float
     c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
     f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
     out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
+    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
     kern = functools.partial(
         _tv_mega2_kernel, R=R, nT=nT, H=H, W=W,
         tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
-    xn, z0n, z1n = pl.pallas_call(
+    xn, z0n, z1n, stats = pl.pallas_call(
         kern,
         grid=(nT + 1,),
         in_specs=[in_spec, in_spec, in_spec, in_spec, corr_spec, b_spec, c_spec, f_spec],
-        out_specs=[out_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3,
+        out_specs=[out_spec] * 3 + [stats_spec],
+        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3
+        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((R, W), jnp.float32),
             pltpu.VMEM((R, W), jnp.float32),
@@ -813,7 +850,7 @@ def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float
         compiler_params=cp(dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(x, atb, z0, z1, corr, B, C, F)
-    return xn, z0n, z1n
+    return xn, z0n, z1n, stats
 
 
 # ---------------------------------------------------------------------------
@@ -852,7 +889,7 @@ def make_mega3_corr_mats(g_rows_E, L_r: int):
 
 
 def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
-                     et_ref, eb_ref, xo, z0o, z1o,
+                     et_ref, eb_ref, xo, z0o, z1o, so,
                      s_x, s_a0, s_a1, s_z0, s_z1, s_w, s_wt,
                      s_x1, s_z01, s_z11, s_w1, s_w1t, s_corr, s_corr0,
                      *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
@@ -867,6 +904,7 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
         s_wt[...] = jnp.zeros((HG, W), jnp.float32)
         s_corr[...] = jnp.zeros((2 * HG, W), jnp.float32)
         s_corr0[...] = jnp.zeros((2 * HG, W), jnp.float32)
+        so[...] = jnp.zeros((8, 128), jnp.float32)
 
     @pl.when(i <= 1)
     def _init1():
@@ -945,6 +983,17 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
     z0o[...] = z02
     z1o[...] = z12
 
+    # metric partial sums of the SECOND (final) iteration only — the stage-2
+    # "old" windows are iteration t+1's tiles, so the stats measure a
+    # single-iteration improvement: mega3 gets the reference's per-iteration
+    # stopping semantics despite stepping two iterations at a time
+    # (VERDICT r2 task 4)
+    @pl.when(jnp.logical_and(i >= 2, i < nT + 2))
+    def _stats():
+        _stats_update(
+            so, [(x2, xw2[:R]), (z02, z0w2[:R]), (z12, z1w2[:R])]
+        )
+
     # ---- ring updates (tails capture OLD ring contents, then carry) ------
     @pl.when(i > 0)
     def _tail0():
@@ -985,8 +1034,10 @@ def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma:
     :func:`make_mega3_corr_mats`; BOTH iterations' row-Gram edge
     corrections are computed in-kernel (iteration t's from the first/last
     input tiles' lane Grams, iteration t+1's from stage-1's).
-    Returns the state after TWO iterations.  Requires ``mega_r == 32``
-    (the in-kernel corr reads 32-row slices) and ``nT >= 2``.
+    Returns ``(x, z0, z1, stats)`` — the state after TWO iterations plus the
+    (8, 128) metric partial-sum block measuring the SECOND iteration's
+    improvement only (single-iteration stopping semantics).  Requires
+    ``mega_r == 32`` (the in-kernel corr reads 32-row slices) and ``nT >= 2``.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1005,6 +1056,7 @@ def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma:
     f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
     e_spec = pl.BlockSpec((MEGA_HG, 32), lambda i: (0, 0))
     out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 2, 0), 0))
+    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
     kern = functools.partial(
         _tv_mega3_kernel, R=R, nT=nT, H=H, W=W,
         tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
@@ -1018,12 +1070,13 @@ def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma:
         params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
     except TypeError:  # pragma: no cover - older pallas without the knob
         params = cp(dimension_semantics=("arbitrary",))
-    xn, z0n, z1n = pl.pallas_call(
+    xn, z0n, z1n, stats = pl.pallas_call(
         kern,
         grid=(nT + 2,),
         in_specs=[in_spec, in_spec, in_spec, in_spec, b_spec, c_spec, f_spec, e_spec, e_spec],
-        out_specs=[out_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3,
+        out_specs=[out_spec] * 3 + [stats_spec],
+        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3
+        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
         scratch_shapes=[
             tile(R), tile(R), tile(R), tile(R + 8), tile(R), tile(R), tile(MEGA_HG),  # stage-0
             tile(R), tile(R + 8), tile(R), tile(R), tile(MEGA_HG),  # stage-1
@@ -1032,7 +1085,7 @@ def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma:
         compiler_params=params,
         interpret=interpret,
     )(x, atb, z0, z1, B, C, F, Et_p, Eb_p)
-    return xn, z0n, z1n
+    return xn, z0n, z1n, stats
 
 
 def tv_pds_stencil_step_xla(x, z, g, *, tau, sigma, rho, lam, nonneg=True):
