@@ -200,9 +200,15 @@ def _pick_sweep_rows(H: int, W: int) -> int:
     return 0
 
 
-def _tv_sweep_kernel(x_ref, g_ref, z0_ref, z1_ref, xo, z0o, z1o, s_x, s_g, s_z0, s_z1,
-                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
+def _tv_sweep_kernel(off_ref, x_ref, g_ref, z0_ref, z1_ref, xo, z0o, z1o, so,
+                     s_x, s_g, s_z0, s_z1,
+                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg, core_lo, core_hi):
+    """Single-chip AND shard-aware fused stencil sweep.  ``off_ref`` (SMEM,
+    (1,) i32) = GLOBAL row of local row 0 (0 single-chip); ``H`` the GLOBAL
+    height; ``core_lo``/``core_hi`` the inclusive output-tile range whose
+    stats are accumulated (shards exclude their halo tiles)."""
     i = pl.program_id(0)
+    off = off_ref[0]
 
     cur_x = x_ref[...]
     cur_g = g_ref[...]
@@ -212,9 +218,7 @@ def _tv_sweep_kernel(x_ref, g_ref, z0_ref, z1_ref, xo, z0o, z1o, s_x, s_g, s_z0,
     @pl.when(i > 0)
     def _compute():
         j = i - 1
-        row0 = j * R
-        dt = cur_x.dtype
-        Rw = R + 8
+        row0 = j * R + off  # GLOBAL row of the output tile's first row
 
         # rows [row0, row0 + R + 8): previous tile from scratch + the first 8
         # rows of the current tile (only row R is mathematically used; the
@@ -224,47 +228,25 @@ def _tv_sweep_kernel(x_ref, g_ref, z0_ref, z1_ref, xo, z0o, z1o, s_x, s_g, s_z0,
         z0w = jnp.concatenate([s_z0[8:], cur_z0[:8]], axis=0)
         z0up = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)  # rows - 1
         z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
+        x_n, z0_n, z1_n = _pds_stencil(
+            xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg
+        )
+        xo[...] = x_n
+        z0o[...] = z0_n
+        z1o[...] = z1_n
 
-        def lastcol_mask(nrows):
-            colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
-            return jnp.where(colw == W - 1, 0.0, 1.0).astype(dt)
-
-        def firstcol_mask(nrows):
-            colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1)
-            return jnp.where(colw == 0, 0.0, 1.0).astype(dt)
-
-        z0w = z0w * _row_mask_last_zero(H, row0, Rw, W, dt)
-        z0up = z0up * _row_mask_last_zero(H, row0 - 1, Rw, W, dt)
-        z1w = z1w * lastcol_mask(Rw)
-
-        z1_left = _roll_lanes(z1w, 1) * firstcol_mask(Rw)
-        div = (z0up - z0w) + (z1_left - z1w)
-
-        x_t = xw - tau * gw - tau * div
-        if nonneg:
-            x_t = jnp.maximum(x_t, 0.0)
-
-        u = 2.0 * x_t - xw
-        du_r = (u[1 : 1 + R] - u[:R]) * _row_mask_last_zero(H, row0, R, W, dt)
-        uc = u[:R]
-        lc_R = lastcol_mask(R)
-        u_right = _roll_lanes(uc, -1) * lc_R
-        du_c = (u_right - uc) * lc_R
-
-        v0 = z0w[:R] + sigma * du_r
-        v1 = z1w[:R] + sigma * du_c
-        mag = jnp.sqrt(v0 * v0 + v1 * v1)
-        scale = lam / jnp.maximum(mag, lam)
-
-        xo[...] = rho * x_t[:R] + (1.0 - rho) * xw[:R]
-        z0o[...] = rho * (v0 * scale) + (1.0 - rho) * z0w[:R]
-        z1o[...] = rho * (v1 * scale) + (1.0 - rho) * z1w[:R]
+        @pl.when(jnp.logical_and(j >= core_lo, j <= core_hi))
+        def _stats():
+            _stats_update(
+                so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])]
+            )
 
     # scratch carry: z0 additionally keeps an 8-row tail of the previous tile
     # (the divergence needs z0[row - 1]); zero it at the global top boundary
     @pl.when(i == 0)
     def _init():
         s_z0[:8] = jnp.zeros((8, W), cur_z0.dtype)
+        so[...] = jnp.zeros((8, 128), jnp.float32)
 
     @pl.when(i > 0)
     def _tail():
@@ -278,6 +260,45 @@ def _tv_sweep_kernel(x_ref, g_ref, z0_ref, z1_ref, xo, z0o, z1o, s_x, s_g, s_z0,
         s_z1[...] = cur_z1
 
 
+def _sweep_call(x, g, z0, z1, off, *, R, H_global, core_lo, core_hi,
+                tau, sigma, rho, lam, nonneg, interpret, vma=None):
+    """Shared pallas_call for the single-chip and shard-aware sweep paths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    Hl, W = x.shape
+    nT = Hl // R
+    off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
+    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    kern = functools.partial(
+        _tv_sweep_kernel, R=R, nT=nT, H=int(H_global), W=W,
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
+        core_lo=int(core_lo), core_hi=int(core_hi),
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    try:
+        params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # pragma: no cover - older pallas without the knob
+        params = cp(dimension_semantics=("arbitrary",))
+    sds = functools.partial(jax.ShapeDtypeStruct, **({"vma": vma} if vma is not None else {}))
+    return pl.pallas_call(
+        kern,
+        grid=(nT + 1,),
+        in_specs=[off_spec] + [in_spec] * 4,
+        out_specs=[out_spec] * 3 + [stats_spec],
+        out_shape=[sds((Hl, W), x.dtype)] * 3 + [sds((8, 128), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R + 8, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(off, x, g, z0, z1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
 )
@@ -288,36 +309,39 @@ def tv_pds_stencil_step_sweep(x, z, g, *, tau: float, sigma: float, rho: float, 
     Requires ``H`` divisible by 8.  Callers should prefer this whenever
     ``sweep_available()``; the Element-halo kernel and the XLA twin remain
     as fallbacks."""
-    from jax.experimental.pallas import tpu as pltpu
-
     H, W = x.shape
     R = _pick_sweep_rows(H, W)
     if R == 0:
         raise ValueError(f"no sweep tiling for H={H}, W={W}")
-    nT = H // R
-    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
-    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
-    kern = functools.partial(
-        _tv_sweep_kernel, R=R, nT=nT, H=H, W=W,
-        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
+    xn, z0n, z1n, _ = _sweep_call(
+        x, g, z[0], z[1], jnp.zeros((1,), jnp.int32),
+        R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
+        tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
     )
-    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
-    xn, z0n, z1n = pl.pallas_call(
-        kern,
-        grid=(nT + 1,),
-        in_specs=[in_spec] * 4,
-        out_specs=[out_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((R + 8, W), jnp.float32),
-            pltpu.VMEM((R, W), jnp.float32),
-        ],
-        compiler_params=cp(dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(x, g, z[0], z[1])
     return xn, jnp.stack([z0n, z1n], axis=0)
+
+
+def tv_pds_sweep_shard_step(x_ext, g_ext, z0_ext, z1_ext, off, *, H_global: int,
+                            R: int, tau: float, sigma: float, rho: float, lam: float,
+                            nonneg: bool = True, interpret: bool = False, vma=None):
+    """Shard-local fused stencil sweep for a row-sharded image (called
+    INSIDE ``shard_map``).  Inputs are the device's (h_loc + 2R, W)
+    halo-extended blocks — including ``g_ext``, the data-term gradient
+    computed by the caller's sharded Gram and halo-exchanged alongside the
+    iterates (works for ANY Gram mode, unlike the fully-fused
+    :func:`tv_pds_mega2_shard_step`).  ``off`` = (1,) i32 global row of ext
+    row 0.  Returns ext-shaped (x, z0, z1) — slice ``[R:-R]`` — plus the
+    core-only (8, 128) stats block."""
+    h_ext, W = x_ext.shape
+    nT = h_ext // R
+    if h_ext % R or nT < 3:
+        raise ValueError(f"shard block of {h_ext} rows needs >= 3 tiles of {R}")
+    return _sweep_call(
+        x_ext, g_ext, z0_ext, z1_ext, off,
+        R=R, H_global=H_global, core_lo=1, core_hi=nT - 2,
+        tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
+        vma=vma,
+    )
 
 
 def sweep_available(H: int, W: int) -> bool:
@@ -658,12 +682,14 @@ def _firstcol_mask(nrows, W, dt):
     return jnp.where(colw == 0, 0.0, 1.0).astype(dt)
 
 
-def _mega_row_gram(w_tail, w_body, w_head, b_mat, corr, j, nT, R, W, dt):
+def _mega_row_gram(w_tail, w_body, w_head, b_mat, corr, first_f, lastj_f, R, W, dt):
     """(R+8, W) row-band pass over window rows [row0-HG, row0+R+HG) plus the
     masked first/last-tile edge corrections.
 
     ``w_tail`` (HG, W) = w rows [row0-HG, row0); ``w_body`` (R, W) = tile j;
     ``w_head`` (HG, W) = rows [row0+R, ...), already zero-masked past H.
+    ``first_f``/``lastj_f`` are 0/1 scalars marking the GLOBAL first/last
+    tile (shard-aware callers derive them from the global row offset).
     The matmul runs in two halves so no intermediate exceeds max(R, 2*HG)
     rows (a single (R+2*HG, W) concat trips the Mosaic tiler at R=32)."""
     HG = MEGA_HG
@@ -674,8 +700,6 @@ def _mega_row_gram(w_tail, w_body, w_head, b_mat, corr, j, nT, R, W, dt):
         jnp.dot(b_mat[:, :R], half1, precision=HIP, preferred_element_type=jnp.float32)
         + jnp.dot(b_mat[:, R:], half2, precision=HIP, preferred_element_type=jnp.float32)
     ).astype(dt)
-    first_f = jnp.where(j == 0, 1.0, 0.0).astype(dt)
-    lastj_f = jnp.where(j == nT - 1, 1.0, 0.0).astype(dt)
     # top correction: global rows [0, HG); bottom: global rows [H-HG, H) =
     # the LAST HG rows of the last tile = gsum rows [R-HG, R)
     gsum = gsum + first_f * jnp.concatenate(
@@ -725,11 +749,19 @@ def _pds_stencil(xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, no
     return x_new, z0_new, z1_new
 
 
-def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref,
+def _tv_mega2_kernel(off_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref,
                      xo, z0o, z1o, so, s_x, s_a, s_z0, s_z1, s_w, s_wt,
-                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
+                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg, core_lo, core_hi):
+    """Single-chip AND shard-aware mega2 step.  ``off_ref`` (SMEM, (1,) i32)
+    holds the GLOBAL row index of local row 0 (0 single-chip; shard callers
+    pass ``device_row0 - R`` for an R-row halo-extended block).  ``H`` is the
+    GLOBAL height — every boundary mask and edge-correction flag is computed
+    from global rows, so halo tiles of a shard see interior (no-op) masks.
+    ``core_lo``/``core_hi``: inclusive output-tile range whose stats are
+    accumulated (shards exclude their halo tiles)."""
     i = pl.program_id(0)
     HG = MEGA_HG
+    off = off_ref[0]
 
     cur_x = x_ref[...]
     cur_a = a_ref[...]
@@ -742,13 +774,15 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
     @pl.when(i > 0)
     def _compute():
         j = i - 1
-        row0 = j * R
+        row0 = j * R + off  # GLOBAL row of the output tile's first row
         dt = cur_x.dtype
 
-        last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows >= H are zero
+        last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows past the block
+        first_f = jnp.where(row0 == 0, 1.0, 0.0).astype(dt)
+        lastj_f = jnp.where(row0 == H - R, 1.0, 0.0).astype(dt)
         gsum = _mega_row_gram(
             s_wt[...], s_w[...], (cur_w * last_f)[:HG], b_ref[...], corr_ref[...],
-            j, nT, R, W, dt,
+            first_f, lastj_f, R, W, dt,
         )
         aw = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
         gw = gsum - 2.0 * aw  # = 2*(RowGram(ColGram(x)) - atb) on the window
@@ -763,9 +797,12 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
         xo[...] = x_n
         z0o[...] = z0_n
         z1o[...] = z1_n
-        _stats_update(
-            so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])]
-        )
+
+        @pl.when(jnp.logical_and(j >= core_lo, j <= core_hi))
+        def _stats():
+            _stats_update(
+                so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])]
+            )
 
     @pl.when(i == 0)
     def _init():
@@ -785,6 +822,60 @@ def _tv_mega2_kernel(x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref
         s_z0[8:] = cur_z0
         s_z1[...] = cur_z1
         s_w[...] = cur_w
+
+
+def _mega2_call(x, atb, z0, z1, corr, B, C, F, off, *, R, H_global, core_lo, core_hi,
+                tau, sigma, rho, lam, nonneg, interpret, vma=None):
+    """Shared pallas_call for the single-chip and shard-aware mega2 paths.
+    ``x``&co are the (possibly halo-extended) LOCAL block; ``off`` the (1,)
+    i32 global row of local row 0; ``H_global`` the global image height."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    Hl, W = x.shape
+    if Hl % R:
+        raise ValueError(f"local height {Hl} must be divisible by {R}")
+    if W < 384 or W % 128:
+        raise ValueError(f"mega2 needs W % 128 == 0 and W >= 384, got {W}")
+    nT = Hl // R
+    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    corr_spec = pl.BlockSpec((2 * MEGA_HG, W), lambda i: (0, 0))
+    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
+    c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
+    f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
+    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
+    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    kern = functools.partial(
+        _tv_mega2_kernel, R=R, nT=nT, H=int(H_global), W=W,
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
+        core_lo=int(core_lo), core_hi=int(core_hi),
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    # the R=32 working set + stats block slightly exceeds the 16MB scoped-
+    # vmem default at W=4096; raise it (v5e has 128MB VMEM per core)
+    try:
+        params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # pragma: no cover - older pallas without the knob
+        params = cp(dimension_semantics=("arbitrary",))
+    sds = functools.partial(jax.ShapeDtypeStruct, **({"vma": vma} if vma is not None else {}))
+    xn, z0n, z1n, stats = pl.pallas_call(
+        kern,
+        grid=(nT + 1,),
+        in_specs=[off_spec, in_spec, in_spec, in_spec, in_spec, corr_spec, b_spec, c_spec, f_spec],
+        out_specs=[out_spec] * 3 + [stats_spec],
+        out_shape=[sds((Hl, W), x.dtype)] * 3 + [sds((8, 128), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R + 8, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((MEGA_HG, W), jnp.float32),
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(off, x, atb, z0, z1, corr, B, C, F)
+    return xn, z0n, z1n, stats
 
 
 @functools.partial(
@@ -811,46 +902,48 @@ def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float
     (:func:`_stats_update`) — the stopping/diagnostic reductions at zero
     extra HBM traffic (VERDICT r2 task 3).
     """
-    from jax.experimental.pallas import tpu as pltpu
-
     H, W = x.shape
     R = MEGA_R if mega_r is None else int(mega_r)
-    if H % R:
-        raise ValueError(f"H={H} must be divisible by {R}")
-    if W < 384 or W % 128:
-        raise ValueError(f"mega2 needs W % 128 == 0 and W >= 384, got {W}")
-    nT = H // R
-    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
-    corr_spec = pl.BlockSpec((2 * MEGA_HG, W), lambda i: (0, 0))
-    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
-    c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
-    f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
-    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
-    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
-    kern = functools.partial(
-        _tv_mega2_kernel, R=R, nT=nT, H=H, W=W,
-        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
+    return _mega2_call(
+        x, atb, z0, z1, corr, B, C, F, jnp.zeros((1,), jnp.int32),
+        R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
+        tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
     )
-    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
-    xn, z0n, z1n, stats = pl.pallas_call(
-        kern,
-        grid=(nT + 1,),
-        in_specs=[in_spec, in_spec, in_spec, in_spec, corr_spec, b_spec, c_spec, f_spec],
-        out_specs=[out_spec] * 3 + [stats_spec],
-        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3
-        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((R + 8, W), jnp.float32),
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((MEGA_HG, W), jnp.float32),
-        ],
-        compiler_params=cp(dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(x, atb, z0, z1, corr, B, C, F)
-    return xn, z0n, z1n, stats
+
+
+def tv_pds_mega2_shard_step(x_ext, z0_ext, z1_ext, atb_ext, corr, B, C, F, off, *,
+                            H_global: int, tau: float, sigma: float, rho: float,
+                            lam: float, nonneg: bool = True, interpret: bool = False,
+                            mega_r: int = None, vma=None):
+    """Shard-local mega2 step for a row-sharded image (called INSIDE
+    ``shard_map``; the distributed realisation of the reference's hot loop,
+    /root/reference/pycsou/opt/proxalgs.py:343-355).
+
+    Every input is the device's (h_loc + 2R, W) halo-EXTENDED block: R rows
+    from the previous device on top, R from the next below (``ppermute``
+    zeros at the global edges — exactly the Gram's zero boundary condition).
+    ``off`` is the (1,) i32 GLOBAL row of ext row 0 (= device_row0 - R), so
+    all boundary masks, the dual invariants and the first/last-tile edge
+    corrections land on GLOBAL rows; ``corr`` is computed per-device from
+    its own local edge rows (only the flags gate its application, so
+    mid-mesh devices' values are never read).
+
+    Returns ext-shaped (x, z0, z1) — callers slice ``[R:-R]`` — plus the
+    (8, 128) stats block accumulated over CORE output tiles only (psum it
+    across the mesh for the global metric).  ``vma``: pass
+    ``frozenset({axis_name})`` when tracing under ``shard_map`` with vma
+    checking enabled."""
+    h_ext, W = x_ext.shape
+    R = MEGA_R if mega_r is None else int(mega_r)
+    nT = h_ext // R
+    if nT < 3:
+        raise ValueError(f"shard block of {h_ext} rows needs >= 3 tiles of {R}")
+    return _mega2_call(
+        x_ext, atb_ext, z0_ext, z1_ext, corr, B, C, F, off,
+        R=R, H_global=H_global, core_lo=1, core_hi=nT - 2,
+        tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
+        vma=vma,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -939,7 +1032,9 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
     last_f1 = jnp.where(i >= nT, 0.0, 1.0).astype(dt)  # head tile j1+1 = i
     gsum1 = _mega_row_gram(
         s_wt[...], s_w[...], (cur_w * last_f1)[:HG], b_ref[...], s_corr0[...],
-        j1, nT, R, W, dt,
+        jnp.where(j1 == 0, 1.0, 0.0).astype(dt),
+        jnp.where(j1 == nT - 1, 1.0, 0.0).astype(dt),
+        R, W, dt,
     )
     aw1 = jnp.concatenate([s_a0[...], cur_a[:8]], axis=0)
     gw1 = gsum1 - 2.0 * aw1
@@ -968,7 +1063,9 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
     last_f2 = jnp.where(i >= nT + 1, 0.0, 1.0).astype(dt)  # head tile j2+1 = i-1
     gsum2 = _mega_row_gram(
         s_w1t[...], s_w1[...], (w1 * last_f2)[:HG], b_ref[...], s_corr[...],
-        j2, nT, R, W, dt,
+        jnp.where(j2 == 0, 1.0, 0.0).astype(dt),
+        jnp.where(j2 == nT - 1, 1.0, 0.0).astype(dt),
+        R, W, dt,
     )
     aw2 = jnp.concatenate([s_a1[...], s_a0[:8]], axis=0)
     gw2 = gsum2 - 2.0 * aw2

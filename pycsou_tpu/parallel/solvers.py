@@ -92,6 +92,17 @@ class DistributedTVDeconv2D(IterativeSolver):
     _use_gram: bool = static_field(default=True)
     _use_band: bool = static_field(default=False)
     _band_meta: tuple = static_field(default=None)  # (lead_r, L_r, lead_c, L_c)
+    # per-shard fused Pallas engines (VERDICT r2 task 1): "megasp" = both
+    # Gram directions fused in-kernel per shard (rank-1 PSF), "sweepsp" =
+    # sharded Gram + fused stencil sweep (any PSF), "" = pure-XLA chain
+    _sp_engine: str = static_field(default="")
+    _sp_r: int = static_field(default=0)  # tile rows == halo rows
+    _pallas_interpret: bool = static_field(default=False)
+    # mega2 plan arrays (pytree children; None on the XLA path)
+    _mega_B: jax.Array = None
+    _mega_C: jax.Array = None
+    _mega_F: jax.Array = None
+    _atb_ext: jax.Array = None  # halo-extended A^H y (megasp only)
 
     def __init__(
         self,
@@ -109,6 +120,7 @@ class DistributedTVDeconv2D(IterativeSolver):
         min_iter: int = 10,
         accuracy_threshold: float = 1e-6,
         verbose: Optional[int] = None,
+        use_pallas: str = "auto",
     ):
         super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
         H, W = shape
@@ -213,6 +225,102 @@ class DistributedTVDeconv2D(IterativeSolver):
         )(self.y)
         self.atb = atb
 
+        # ---- per-shard fused Pallas engine selection (VERDICT r2 task 1):
+        # the single-chip mega2/sweep kernels run INSIDE shard_map with
+        # R-row (= one tile) ppermute halos and shard-aware global masks, so
+        # multi-chip per-shard compute matches the single-chip flagship.
+        self._mega_B = self._mega_C = self._mega_F = self._atb_ext = None
+        self._sp_engine, self._sp_r = "", 0
+        self._pallas_interpret = use_pallas == "interpret"
+        pallas_on = (
+            use_pallas == "interpret"
+            or bool(use_pallas is True)
+            or (use_pallas == "auto" and jax.default_backend() not in ("cpu",))
+        )
+        if pallas_on and not jnp.issubdtype(self.filt.dtype, jnp.complexfloating):
+            from pycsou_tpu.kernels.tv import MEGA_HG, make_mega2_lane_plan, make_mega_band
+
+            mega_r = sweep_r = 0
+            if self._use_band and W % 128 == 0 and W >= 384:
+                u1 = np.asarray(fac[0][:, 0], np.float64)
+                v1 = np.asarray(fac[1][:, 0], np.float64)
+                K1r, K1c = u1.size - 1, v1.size - 1
+                if K1r <= MEGA_HG - 1 and 2 * K1c <= 128:
+                    for r in (32, 16):
+                        if h_local % r == 0 and h_local >= r and (r + 8) * W * 4 <= 820_000:
+                            mega_r = r
+                            break
+            if mega_r:
+                self._sp_engine, self._sp_r = "megasp", mega_r
+                self._mega_B = jnp.asarray(make_mega_band(np.convolve(u1, u1[::-1]), r=mega_r))
+                Cm, Fm = make_mega2_lane_plan(v1, W)
+                self._mega_C = jnp.asarray(Cm)
+                self._mega_F = jnp.asarray(Fm)
+                self._atb_ext = self._make_ext(self.atb, mega_r)
+            else:
+                for r in (32, 16, 8):
+                    if h_local % r == 0 and h_local >= r and (r + 8) * W * 4 <= 820_000:
+                        sweep_r = r
+                        break
+                if sweep_r:
+                    self._sp_engine, self._sp_r = "sweepsp", sweep_r
+
+    # -- halo-extension helpers (per-shard Pallas engines) -------------------
+    def _ext_local(self, a, R: int):
+        """(h_loc + 2R, W) halo-extended local block: R rows from the
+        previous device on top, R from the next below; ``ppermute`` zeros at
+        the global edges — exactly the Gram's zero boundary condition."""
+        ax = self.axis_name
+        n = self.mesh.devices.size
+        top = jax.lax.ppermute(a[-R:], ax, [(i, i + 1) for i in range(n - 1)])
+        bot = jax.lax.ppermute(a[:R], ax, [(i + 1, i) for i in range(n - 1)])
+        return jnp.concatenate([top, a, bot], axis=0)
+
+    def _make_ext(self, arr, R: int):
+        """Halo-extend a row-sharded GLOBAL array once (init-time; e.g. the
+        iteration-constant A^H y)."""
+        P = PartitionSpec
+        ax = self.axis_name
+        return jax.jit(
+            jax.shard_map(
+                lambda a: self._ext_local(a, R),
+                mesh=self.mesh,
+                in_specs=P(ax, None),
+                out_specs=P(ax, None),
+                check_vma=False,
+            )
+        )(arr)
+
+    def _corr_local(self, x_loc):
+        """x2-scaled row-Gram edge corrections from the device's own local
+        edge rows (only devices holding the global first/last tiles ever
+        have theirs APPLIED — the kernel's global-row flags gate it)."""
+        from pycsou_tpu.kernels.band import gram_band_cols, gram_chanconv_cols
+        from pycsou_tpu.kernels.tv import MEGA_HG
+
+        lead_r, L_r, lead_c, L_c = self._band_meta
+        cb0, cb1, cEt, cEb = self._band_cols
+        rEt, rEb = self._band_rows[2], self._band_rows[3]
+        W = x_loc.shape[1]
+        if rEt is None:  # K == 1 row factor: no 'same'-crop corrections
+            return jnp.zeros((2 * MEGA_HG, W), x_loc.dtype)
+        Ec = None if cEt is None else (cEt, cEb)
+        if self._band_cols_chan is not None:
+            w_top = gram_chanconv_cols(x_loc[:L_r], self._band_cols_chan, Ec, L_c)
+            w_bot = gram_chanconv_cols(x_loc[-L_r:], self._band_cols_chan, Ec, L_c)
+        else:
+            gp = ((cb0, cb1, lead_c), cEt, cEb, L_c)
+            w_top = gram_band_cols(x_loc[:L_r], gp)
+            w_bot = gram_band_cols(x_loc[-L_r:], gp)
+        prec = jax.lax.Precision.HIGHEST
+        corr = jnp.zeros((2 * MEGA_HG, W), x_loc.dtype)
+        if rEt is not None:
+            K1 = rEt.shape[0]
+            top = 2.0 * jnp.matmul(rEt, w_top, precision=prec)
+            bot = 2.0 * jnp.matmul(rEb, w_bot, precision=prec)
+            corr = corr.at[:K1].set(top).at[2 * MEGA_HG - K1 :].set(bot)
+        return corr
+
     # legacy attribute API (round-1 callers)
     @property
     def x0(self):
@@ -220,7 +328,10 @@ class DistributedTVDeconv2D(IterativeSolver):
 
     @property
     def z0(self):
-        return self.initial_state()["z"]
+        init = self.initial_state()
+        if "z" in init:
+            return init["z"]
+        return jnp.stack([init["z0"], init["z1"]], axis=0)
 
     # -- sharding specs ------------------------------------------------------
     def _spec_x(self):
@@ -274,16 +385,117 @@ class DistributedTVDeconv2D(IterativeSolver):
         z_new = rho * z_temp + (1 - rho) * z
         return x_new, z_new
 
+    # -- per-shard fused Pallas iterations (VERDICT r2 task 1) ---------------
+    def _local_step_megasp(self, x, z0, z1, atb_ext):
+        """One full PDS iteration with BOTH Gram directions fused in-kernel
+        per shard: R-row halo exchange of (x, z0, z1), then the shard-aware
+        mega2 kernel (kernels/tv.py tv_pds_mega2_shard_step)."""
+        from pycsou_tpu.kernels.tv import tv_pds_mega2_shard_step
+
+        ax = self.axis_name
+        R = self._sp_r
+        H, W = self.shape
+        h_loc = H // self.mesh.devices.size
+        off = (jax.lax.axis_index(ax) * h_loc - R).astype(jnp.int32).reshape(1)
+        xe = self._ext_local(x, R)
+        z0e = self._ext_local(z0, R)
+        z1e = self._ext_local(z1, R)
+        corr = self._corr_local(x)
+        xn, z0n, z1n, st = tv_pds_mega2_shard_step(
+            xe, z0e, z1e, atb_ext, corr, self._mega_B, self._mega_C, self._mega_F,
+            off, H_global=H, mega_r=R, interpret=self._pallas_interpret,
+            tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
+            nonneg=self.nonneg,
+        )
+        st = jax.lax.psum(st[0, :6], ax)
+        return xn[R:-R], z0n[R:-R], z1n[R:-R], st
+
+    def _local_step_sweepsp(self, x, z0, z1, atb_loc, y_loc):
+        """Sharded Gram (banded / FFT / forward+adjoint — ANY mode) for the
+        data-term gradient, then the fused stencil sweep kernel per shard
+        with R-row halos of (x, g, z0, z1)."""
+        from pycsou_tpu.kernels.tv import tv_pds_sweep_shard_step
+
+        ax = self.axis_name
+        R = self._sp_r
+        H, W = self.shape
+        h_loc = H // self.mesh.devices.size
+        if self._use_band:
+            lead_r, L_r, lead_c, L_c = self._band_meta
+            rb0, rb1, rEt, rEb = self._band_rows
+            cb0, cb1, cEt, cEb = self._band_cols
+            g_rows = ((rb0, rb1, lead_r), rEt, rEb, L_r)
+            g_cols = ((cb0, cb1, lead_c), cEt, cEb, L_c)
+            grad = 2.0 * (
+                sharded_sepgram_rank1(x, g_rows, g_cols, ax, g_cols_chan=self._band_cols_chan)
+                - atb_loc
+            )
+        elif self._use_gram:
+            grad = 2.0 * (
+                sharded_conv2d_gram(x, self.filt, ax, acorr_hat=_join(self._acorr_hat)) - atb_loc
+            )
+        else:
+            r = sharded_conv2d(x, self.filt, ax, h_hat=_join(self._h_hat_fwd)) - y_loc
+            grad = 2.0 * sharded_conv2d_adjoint(r, self.filt, ax, h_hat=_join(self._h_hat_adj))
+        off = (jax.lax.axis_index(ax) * h_loc - R).astype(jnp.int32).reshape(1)
+        xe = self._ext_local(x, R)
+        ge = self._ext_local(grad, R)
+        z0e = self._ext_local(z0, R)
+        z1e = self._ext_local(z1, R)
+        xn, z0n, z1n, st = tv_pds_sweep_shard_step(
+            xe, ge, z0e, z1e, off, H_global=H, R=R,
+            interpret=self._pallas_interpret,
+            tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
+            nonneg=self.nonneg,
+        )
+        st = jax.lax.psum(st[0, :6], ax)
+        return xn[R:-R], z0n[R:-R], z1n[R:-R], st
+
     # -- IterativeSolver protocol -------------------------------------------
     def initial_state(self):
         H, W = self.shape
         x0 = jax.device_put(jnp.zeros((H, W), jnp.float32), NamedSharding(self.mesh, self._spec_x()))
+        if self._sp_engine:
+            # duals as SEPARATE arrays (kernel I/O efficiency, see opt/tv.py)
+            # + the kernel-epilogue metric partial sums
+            zs = NamedSharding(self.mesh, self._spec_x())
+            return {
+                "x": x0,
+                "z0": jax.device_put(jnp.zeros((H, W), jnp.float32), zs),
+                "z1": jax.device_put(jnp.zeros((H, W), jnp.float32), zs),
+                "_stats": jnp.zeros((6,), jnp.float32),
+            }
         z0 = jax.device_put(jnp.zeros((2, H, W), jnp.float32), NamedSharding(self.mesh, self._spec_z()))
         return {"x": x0, "z": z0}
 
     def step(self, state):
         P = PartitionSpec
         ax = self.axis_name
+        if self._sp_engine == "megasp":
+            smapped = jax.shard_map(
+                self._local_step_megasp,
+                mesh=self.mesh,
+                in_specs=(self._spec_x(),) * 3 + (self._spec_x(),),
+                out_specs=(self._spec_x(),) * 3 + (P(),),
+                check_vma=False,
+            )
+            x, z0, z1, st = smapped(state["x"], state["z0"], state["z1"], self._atb_ext)
+            return {"x": x, "z0": z0, "z1": z1, "_stats": st}
+        if self._sp_engine == "sweepsp":
+            third = self.atb if (self._use_band or self._use_gram) else self.y
+            smapped = jax.shard_map(
+                lambda x, z0, z1, t: self._local_step_sweepsp(
+                    x, z0, z1,
+                    t if (self._use_band or self._use_gram) else None,
+                    None if (self._use_band or self._use_gram) else t,
+                ),
+                mesh=self.mesh,
+                in_specs=(self._spec_x(),) * 4,
+                out_specs=(self._spec_x(),) * 3 + (P(),),
+                check_vma=False,
+            )
+            x, z0, z1, st = smapped(state["x"], state["z0"], state["z1"], third)
+            return {"x": x, "z0": z0, "z1": z1, "_stats": st}
         if self._use_gram:
             smapped = jax.shard_map(
                 lambda x, z, atb: self._local_step(x, z, atb),
@@ -302,15 +514,45 @@ class DistributedTVDeconv2D(IterativeSolver):
             x, z = smapped(state["x"], state["z"], self.y)
         return {"x": x, "z": z}
 
+    # -- kernel-epilogue metrics (zero extra HBM passes + one tiny psum) -----
+    def metric(self, old, new):
+        if self._sp_engine and "_stats" in new:
+            from pycsou_tpu.opt.tv import TVDeconvolution
+
+            st = new["_stats"]
+            return TVDeconvolution._rel_from_stats(st[0], st[1])
+        return super().metric(old, new)
+
+    def metrics(self, old, new):
+        if self._sp_engine and "_stats" in new:
+            from pycsou_tpu.opt.tv import TVDeconvolution
+
+            st = new["_stats"]
+            return {
+                "x": TVDeconvolution._rel_from_stats(st[0], st[1]),
+                "z0": TVDeconvolution._rel_from_stats(st[2], st[3]),
+                "z1": TVDeconvolution._rel_from_stats(st[4], st[5]),
+            }
+        return super().metrics(old, new)
+
     # -- legacy fixed-iteration API (benchmarks) ------------------------------
     def run(self, n_iters: int, x=None, z=None):
         """Run ``n_iters`` fused iterations; returns (x, z) still sharded."""
+        init = self.initial_state()
+        if self._sp_engine:
+            state = dict(init)
+            if x is not None:
+                state["x"] = x
+            if z is not None:
+                state["z0"], state["z1"] = z[0], z[1]
+            state = self.run_fixed(n_iters, state=self._wrap_state(state))
+            return state["x"], jnp.stack([state["z0"], state["z1"]], axis=0)
         state = None
         if x is not None or z is not None:
             state = self._wrap_state(
                 {
-                    "x": x if x is not None else self.initial_state()["x"],
-                    "z": z if z is not None else self.initial_state()["z"],
+                    "x": x if x is not None else init["x"],
+                    "z": z if z is not None else init["z"],
                 }
             )
         state = self.run_fixed(n_iters, state=state)

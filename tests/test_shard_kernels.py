@@ -1,0 +1,141 @@
+"""Pallas kernels inside shard_map (VERDICT r2 task 1): interpret-mode
+equality of the per-shard fused engines against the XLA shard path and the
+single-device oracle, on the virtual CPU mesh, for multiple mesh sizes and
+all three Gram modes (banded rank-1, FFT fused, forward+adjoint).
+
+The distributed realisation of the reference's hot loop
+(/root/reference/pycsou/opt/proxalgs.py:343-355)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pycsou_tpu.ops.conv import Convolve2D
+from pycsou_tpu.parallel.solvers import DistributedTVDeconv2D
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+
+
+def _gauss(K, s=2.0):
+    ax = np.arange(K) - K // 2
+    g = np.exp(-(ax**2) / (2 * s * s))
+    return g / g.sum()
+
+
+def _mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+
+
+def _problem(rng, H, W, filt):
+    y = rng.standard_normal((H, W)).astype(np.float32)
+    return jnp.asarray(y)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_megasp_matches_xla_shard_path(rng, n_dev):
+    """Fully-fused per-shard mega2 kernel (banded rank-1 mode) == the XLA
+    banded shard path, iterates and duals, across mesh sizes."""
+    H, W = 256, 384
+    filt = np.outer(_gauss(7), _gauss(7)).astype(np.float32)
+    y = _problem(rng, H, W, filt)
+    mesh = _mesh(n_dev)
+    ref = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas=False)
+    assert ref._use_band and ref._sp_engine == ""
+    s = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas="interpret")
+    assert s._sp_engine == "megasp"
+    x1, z1 = ref.run(6)
+    x2, z2 = s.run(6)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=3e-5, atol=3e-6)
+
+
+def test_megasp_matches_single_device_oracle(rng):
+    """megasp iterates == the single-device TVDeconvolution flagship (same
+    math end to end, two completely different engines)."""
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    H, W = 256, 384
+    filt = np.outer(_gauss(7), _gauss(7)).astype(np.float32)
+    y = _problem(rng, H, W, filt)
+    s = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=_mesh(4), use_pallas="interpret")
+    assert s._sp_engine == "megasp"
+    oracle = TVDeconvolution(
+        (H, W), y, 0.05, filt=filt, nonneg=True, use_pallas=False,
+        tau=s.tau, rho=s.rho, max_iter=50,
+    )
+    x2, _ = s.run(6)
+    st = oracle.run_fixed(6)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(st["x"]), rtol=3e-5, atol=3e-6)
+
+
+def test_sweepsp_fft_gram_matches_xla_shard_path(rng):
+    """Non-separable PSF -> sweepsp engine over the sharded FFT Gram."""
+    H, W = 256, 128
+    filt = np.outer(_gauss(7), _gauss(7)).astype(np.float32)
+    filt[0, -1] += 0.03  # break rank-1
+    y = _problem(rng, H, W, filt)
+    mesh = _mesh(4)
+    ref = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas=False)
+    assert not ref._use_band and ref._use_gram
+    s = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas="interpret")
+    assert s._sp_engine == "sweepsp"
+    x1, z1 = ref.run(6)
+    x2, z2 = s.run(6)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=3e-5, atol=3e-6)
+
+
+def test_sweepsp_forward_adjoint_mode(rng):
+    """Blocks thinner than the kernel (no Gram strips) -> forward+adjoint
+    gradient, still through the fused per-shard stencil sweep."""
+    H, W = 128, 128
+    K = 17
+    filt = np.outer(_gauss(K, 4.0), _gauss(K, 4.0)).astype(np.float32)
+    y = _problem(rng, H, W, filt)
+    mesh = _mesh(8)  # h_loc = 16 < 17 taps
+    ref = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas=False)
+    assert not ref._use_gram and not ref._use_band
+    s = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas="interpret")
+    assert s._sp_engine == "sweepsp" and not s._use_gram
+    x1, z1 = ref.run(5)
+    x2, z2 = s.run(5)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=3e-5, atol=3e-6)
+
+
+def test_megasp_solve_stats_metric_matches_xla_history(rng):
+    """solve() driven by the kernel-epilogue stats (psum'd partial sums)
+    reproduces the XLA path's per-iteration metric history."""
+    H, W = 256, 384
+    filt = np.outer(_gauss(7), _gauss(7)).astype(np.float32)
+    y = _problem(rng, H, W, filt)
+    mesh = _mesh(4)
+    kw = dict(max_iter=30, min_iter=5, accuracy_threshold=1e-9)
+    s = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas="interpret", **kw)
+    r = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas=False, **kw)
+    im, ix = s.solve(), r.solve()
+    np.testing.assert_allclose(im.history, ix.history, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(im["x"]), np.asarray(ix["x"]), rtol=3e-5, atol=3e-6)
+    # per-variable diagnostics present and finite
+    assert set(im.diagnostics) == {"x", "z0", "z1"}
+    assert np.isfinite(im.diagnostics["z0"][1:]).all()
+
+
+def test_shard_kernel_stats_match_full_reductions(rng):
+    """The psum of the per-shard core-tile partial sums == full-array
+    reductions of the global iterate deltas."""
+    H, W = 256, 384
+    filt = np.outer(_gauss(7), _gauss(7)).astype(np.float32)
+    y = _problem(rng, H, W, filt)
+    s = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=_mesh(4), use_pallas="interpret")
+    st0 = s._wrap_state(s.initial_state())
+    st1 = s.step(st0)
+    st2 = s.step(st1)
+    stats = np.asarray(st2["_stats"])
+    want = [
+        float(jnp.sum((st2["x"] - st1["x"]) ** 2)), float(jnp.sum(st1["x"] ** 2)),
+        float(jnp.sum((st2["z0"] - st1["z0"]) ** 2)), float(jnp.sum(st1["z0"] ** 2)),
+        float(jnp.sum((st2["z1"] - st1["z1"]) ** 2)), float(jnp.sum(st1["z1"] ** 2)),
+    ]
+    np.testing.assert_allclose(stats, want, rtol=1e-4)
