@@ -59,6 +59,7 @@ class DifferentiableFunctional(Functional, DifferentiableMap):
         return jax.grad(self.apply)(jnp.asarray(x))
 
     def gradient(self, x) -> jax.Array:
+        """Alias for :meth:`jacobianT` (gradient array at ``x``)."""
         return self.jacobianT(x)
 
 
@@ -83,6 +84,8 @@ class ProximableFunctional(Functional):
     """
 
     def prox(self, x: jax.Array, tau) -> jax.Array:
+        """Proximity operator ``argmin_u f(u) + ||u - x||^2 / (2 tau)``
+        (pure/jittable; reference functional.py:150)."""
         raise NotImplementedError
 
     def fenchel_prox(self, z: jax.Array, sigma) -> jax.Array:
@@ -162,10 +165,12 @@ class ProxFuncPostComp(ProximableFunctional):
 
     # gradient passthrough when the base functional is differentiable
     def gradient(self, x):
+        """Chain rule: ``alpha * grad f(x)`` (wrapped func differentiable)."""
         return self.scale * self.func.gradient(x)
 
     @property
     def diff_lipschitz(self):
+        """beta of the wrapped differentiable functional, scaled by the rule."""
         return abs(self.scale) * getattr(self.func, "diff_lipschitz", _INF)
 
 
@@ -195,10 +200,12 @@ class ProxFuncAffineSum(ProximableFunctional):
         return self.func.prox(x - tau * a, tau)
 
     def gradient(self, x):
+        """``grad f(x) + a`` (affine part adds its Riesz representer)."""
         return self.func.gradient(x) + self.linear_part.asvector()
 
     @property
     def diff_lipschitz(self):
+        """beta of the wrapped differentiable functional, scaled by the rule."""
         return getattr(self.func, "diff_lipschitz", _INF)
 
 
@@ -243,10 +250,12 @@ class ProxFuncPreComp(ProximableFunctional):
         return jnp.where(s == 0, x, p)
 
     def gradient(self, x):
+        """Chain rule through the affine precomposition."""
         return self.scale * self.func.gradient(self.scale * x + self.shift)
 
     @property
     def diff_lipschitz(self):
+        """beta of the wrapped functional through the precomposition scale."""
         scl = getattr(self, "_max_scale", None)
         if scl is None:
             return _INF
@@ -277,10 +286,12 @@ class ProxFuncPreCompUnitOp(ProximableFunctional):
         return self.unitary.adjoint(self.func.prox(self.unitary.apply(x), tau))
 
     def gradient(self, x):
+        """Chain rule ``U^H grad f(U x)`` through the unitary map."""
         return self.unitary.adjoint(self.func.gradient(self.unitary.apply(x)))
 
     @property
     def diff_lipschitz(self):
+        """beta of the wrapped differentiable functional, scaled by the rule."""
         return getattr(self.func, "diff_lipschitz", _INF)
 
 

@@ -70,14 +70,18 @@ class LinearOperator(DifferentiableMap):
 
     # reference aliases (linop.py:68, pylops-compatible)
     def matvec(self, x):
+        """pylops-compatible alias for :meth:`apply` (reference linop.py:68)."""
         return self.apply(jnp.asarray(x))
 
     def rmatvec(self, y):
+        """pylops-compatible alias for :meth:`adjoint` (reference linop.py:72)."""
         return self.adjoint(y)
 
     # -- Lipschitz convention ---------------------------------------------
     @property
     def lipschitz(self) -> float:
+        """Spectral-norm bound; setting it also sets ``diff_lipschitz``
+        (a linear map's gradient is itself)."""
         return self._lipschitz
 
     @lipschitz.setter
@@ -104,6 +108,7 @@ class LinearOperator(DifferentiableMap):
         return AdjointOperator(self)
 
     def transpose(self):
+        """Method form of :attr:`T` (reference linop.py:149)."""
         return self.T
 
     @property
@@ -136,6 +141,7 @@ class LinearOperator(DifferentiableMap):
 
     # alias used throughout our own library
     def estimate_lipschitz(self, **kwargs) -> float:
+        """Alias for :meth:`compute_lipschitz_cst` (power iteration)."""
         return self.compute_lipschitz_cst(**kwargs)
 
     def eigenvals(self, k: int = 1, which: str = "LM", maxiter: Optional[int] = None, symmetric: bool = True):
@@ -262,6 +268,7 @@ class SelfAdjointMixin:
     """Mixin for operators with ``A^H = A``."""
 
     def adjoint(self, y):
+        """Self-adjoint: ``A^H y = A y``."""
         return self.apply(jnp.asarray(y))
 
 
@@ -271,24 +278,29 @@ class UnitaryMixin:
 
     @property
     def gram(self):
+        """``A^H A = I`` for a unitary operator."""
         from pycsou_tpu.ops.basic import IdentityOperator
 
         return IdentityOperator(self.dim_shape, dtype=self.dtype)
 
     @property
     def cogram(self):
+        """``A A^H = I`` for a unitary operator."""
         from pycsou_tpu.ops.basic import IdentityOperator
 
         return IdentityOperator(self.codim_shape, dtype=self.dtype)
 
     def opnorm(self, **kwargs) -> float:
+        """A unitary operator has spectral norm exactly 1."""
         return 1.0
 
     def pinv(self, y, **kwargs):
+        """``A^+ = A^H`` for a unitary operator (exact, no CG)."""
         return self.adjoint(y)
 
     @property
     def PinvOp(self):
+        """The adjoint operator (= exact pseudo-inverse, unitary case)."""
         return AdjointOperator(self)
 
 

@@ -62,6 +62,8 @@ class Map(Module):
 
     # -- core protocol -----------------------------------------------------
     def apply(self, x: jax.Array) -> jax.Array:
+        """Evaluate the map at ``x`` (pure and jittable; shape
+        ``dim_shape`` -> ``codim_shape``).  Reference map.py:119."""
         raise NotImplementedError
 
     def __call__(self, x):
@@ -70,10 +72,12 @@ class Map(Module):
     # -- shapes ------------------------------------------------------------
     @property
     def dim(self) -> int:
+        """Flattened input dimension (product of ``dim_shape``)."""
         return size_of(self.dim_shape)
 
     @property
     def codim(self) -> int:
+        """Flattened output dimension (product of ``codim_shape``)."""
         return size_of(self.codim_shape)
 
     @property
@@ -84,21 +88,25 @@ class Map(Module):
     # -- flags -------------------------------------------------------------
     @property
     def is_linear(self) -> bool:
+        """True iff this map is a :class:`LinearOperator`."""
         from pycsou_tpu.core.linop import LinearOperator
 
         return isinstance(self, LinearOperator)
 
     @property
     def is_differentiable(self) -> bool:
+        """True iff this map exposes ``jacobianT``/``gradient``."""
         return isinstance(self, DifferentiableMap)
 
     @property
     def is_functional(self) -> bool:
+        """True iff the map is scalar-valued (``codim_shape == ()``)."""
         return self.codim_shape == ()
 
     # -- Lipschitz bookkeeping --------------------------------------------
     @property
     def lipschitz(self) -> float:
+        """Known Lipschitz constant (``inf`` when unknown; settable)."""
         return self._lipschitz
 
     @lipschitz.setter
@@ -108,6 +116,7 @@ class Map(Module):
     # reference-compatible alias (pycsou/core/map.py:441)
     @property
     def lipschitz_cst(self) -> float:
+        """Reference-compatible alias for :attr:`lipschitz` (map.py:441)."""
         return self._lipschitz
 
     @lipschitz_cst.setter
@@ -217,6 +226,7 @@ class DifferentiableMap(Map):
 
     @property
     def diff_lipschitz(self) -> float:
+        """Lipschitz constant of the GRADIENT (``beta``; settable)."""
         return self._diff_lipschitz
 
     @diff_lipschitz.setter
@@ -226,6 +236,7 @@ class DifferentiableMap(Map):
     # reference-compatible alias (pycsou/core/map.py:457)
     @property
     def diff_lipschitz_cst(self) -> float:
+        """Reference-compatible alias for :attr:`diff_lipschitz` (map.py:457)."""
         return self._diff_lipschitz
 
     @diff_lipschitz_cst.setter
@@ -251,6 +262,8 @@ class DifferentiableMap(Map):
         return self._lipschitz
 
     def compute_diff_lipschitz_cst(self, **kwargs) -> float:
+        """Return (and cache) the gradient's Lipschitz constant
+        (reference map.py:468)."""
         return self._diff_lipschitz
 
 

@@ -194,9 +194,11 @@ class IterativeSolver(Module):
 
     # -- to implement ------------------------------------------------------
     def initial_state(self) -> Dict[str, Any]:
+        """Dict pytree of iteration variables at iteration 0."""
         raise NotImplementedError
 
     def step(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        """ONE pure/jittable iteration: state dict -> new state dict."""
         raise NotImplementedError
 
     def metric(self, old: Dict[str, Any], new: Dict[str, Any]) -> jax.Array:
@@ -302,6 +304,7 @@ class IterativeSolver(Module):
 
     # reference-compatible alias (solver.py:55)
     def iterate(self) -> SolveInfo:
+        """Reference-compatible alias for :meth:`solve` (solver.py:55)."""
         return self.solve()
 
     def run_fixed(self, n_iter: int, state: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:

@@ -114,6 +114,8 @@ class LpNorm(ProximableFunctional):
     Subclasses provide ``dual_ball_projection``."""
 
     def dual_ball_projection(self, x):
+        """Projection onto the unit ball of the DUAL norm (drives
+        ``prox`` via Moreau decomposition)."""
         raise NotImplementedError
 
     def prox(self, x, tau):

@@ -66,6 +66,7 @@ class L2Norm(LpNorm):
         return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
 
     def dual_ball_projection(self, x):
+        """l2 is self-dual: project onto the unit l2 ball."""
         return proj_l2_ball(x, 1.0)
 
     def prox(self, x, tau):
@@ -112,6 +113,7 @@ class L1Norm(LpNorm):
         return jnp.sum(jnp.abs(x))
 
     def dual_ball_projection(self, x):
+        """Dual of l1 is l-infinity: elementwise clip to [-1, 1]."""
         return proj_linfty_ball(x, 1.0)
 
     def prox(self, x, tau):
@@ -119,6 +121,7 @@ class L1Norm(LpNorm):
 
     # reference-compatible alias (penalty.py:243)
     def soft(self, x, tau):
+        """Elementwise soft-thresholding (the l1 prox; reference penalty.py:119)."""
         return soft(x, tau)
 
 
@@ -201,6 +204,7 @@ class LInftyNorm(LpNorm):
         return jnp.max(jnp.abs(x))
 
     def dual_ball_projection(self, x):
+        """Dual of l-infinity is l1: sort-based unit l1-ball projection."""
         return proj_l1_ball(x, 1.0)
 
 

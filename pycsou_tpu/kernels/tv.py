@@ -200,20 +200,40 @@ def _pick_sweep_rows(H: int, W: int) -> int:
     return 0
 
 
-def _tv_sweep_kernel(off_ref, x_ref, g_ref, z0_ref, z1_ref, xo, z0o, z1o, so,
-                     s_x, s_g, s_z0, s_z1,
-                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg, core_lo, core_hi):
+def _tv_sweep_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
+                     core_lo, core_hi, shard):
     """Single-chip AND shard-aware fused stencil sweep.  ``off_ref`` (SMEM,
     (1,) i32) = GLOBAL row of local row 0 (0 single-chip); ``H`` the GLOBAL
-    height; ``core_lo``/``core_hi`` the inclusive output-tile range whose
-    stats are accumulated (shards exclude their halo tiles)."""
+    height; ``core_lo``/``core_hi`` the inclusive output-tile range that is
+    written / stats-accumulated.  With ``shard=True`` the neighbour halos
+    arrive as EIGHT (R, W) inputs (x/g/z0/z1 top+bottom, selected in-VMEM)
+    and the outputs are core-shaped (see :func:`_tv_mega2_kernel`)."""
     i = pl.program_id(0)
     off = off_ref[0]
+    if shard:
+        (x_ref, g_ref, z0_ref, z1_ref, xt_r, xb_r, gt_r, gb_r,
+         z0t_r, z0b_r, z1t_r, z1b_r,
+         xo, z0o, z1o, so, s_x, s_g, s_z0, s_z1) = refs
+    else:
+        (x_ref, g_ref, z0_ref, z1_ref,
+         xo, z0o, z1o, so, s_x, s_g, s_z0, s_z1) = refs
 
     cur_x = x_ref[...]
     cur_g = g_ref[...]
     cur_z0 = z0_ref[...]
     cur_z1 = z1_ref[...]
+    if shard:
+        t = jnp.minimum(i, nT - 1)  # ext tile being read
+        first_t = t == 0
+        last_t = t == nT - 1
+
+        def _sel(body, top_r, bot_r):
+            return jnp.where(first_t, top_r[...], jnp.where(last_t, bot_r[...], body))
+
+        cur_x = _sel(cur_x, xt_r, xb_r)
+        cur_g = _sel(cur_g, gt_r, gb_r)
+        cur_z0 = _sel(cur_z0, z0t_r, z0b_r)
+        cur_z1 = _sel(cur_z1, z1t_r, z1b_r)
 
     @pl.when(i > 0)
     def _compute():
@@ -231,11 +251,15 @@ def _tv_sweep_kernel(off_ref, x_ref, g_ref, z0_ref, z1_ref, xo, z0o, z1o, so,
         x_n, z0_n, z1_n = _pds_stencil(
             xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg
         )
-        xo[...] = x_n
-        z0o[...] = z0_n
-        z1o[...] = z1_n
+        in_core = jnp.logical_and(j >= core_lo, j <= core_hi)
 
-        @pl.when(jnp.logical_and(j >= core_lo, j <= core_hi))
+        @pl.when(in_core if shard else i > 0)
+        def _write():
+            xo[...] = x_n
+            z0o[...] = z0_n
+            z1o[...] = z1_n
+
+        @pl.when(in_core)
         def _stats():
             _stats_update(
                 so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])]
@@ -261,20 +285,31 @@ def _tv_sweep_kernel(off_ref, x_ref, g_ref, z0_ref, z1_ref, xo, z0o, z1o, so,
 
 
 def _sweep_call(x, g, z0, z1, off, *, R, H_global, core_lo, core_hi,
-                tau, sigma, rho, lam, nonneg, interpret, vma=None):
-    """Shared pallas_call for the single-chip and shard-aware sweep paths."""
+                tau, sigma, rho, lam, nonneg, interpret, vma=None, halos=None):
+    """Shared pallas_call for the single-chip and shard-aware sweep paths.
+    Shard mode (``halos = (xt, xb, gt, gb, z0t, z0b, z1t, z1b)``): inputs
+    are core blocks, halo stitching happens in-VMEM, outputs core-shaped."""
     from jax.experimental.pallas import tpu as pltpu
 
+    shard = halos is not None
     Hl, W = x.shape
-    nT = Hl // R
+    nTc = Hl // R
+    nT = nTc + 2 if shard else nTc
     off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
-    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
+    if shard:
+        in_spec = pl.BlockSpec(
+            (R, W), lambda i: (jnp.clip(jnp.minimum(i, nT - 1) - 1, 0, nTc - 1), 0)
+        )
+        halo_spec = pl.BlockSpec((R, W), lambda i: (0, 0))
+        out_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 2, 0, nTc - 1), 0))
+    else:
+        in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+        out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
     stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
     kern = functools.partial(
         _tv_sweep_kernel, R=R, nT=nT, H=int(H_global), W=W,
         tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
-        core_lo=int(core_lo), core_hi=int(core_hi),
+        core_lo=int(core_lo), core_hi=int(core_hi), shard=shard,
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     try:
@@ -282,10 +317,15 @@ def _sweep_call(x, g, z0, z1, off, *, R, H_global, core_lo, core_hi,
     except TypeError:  # pragma: no cover - older pallas without the knob
         params = cp(dimension_semantics=("arbitrary",))
     sds = functools.partial(jax.ShapeDtypeStruct, **({"vma": vma} if vma is not None else {}))
+    in_specs = [off_spec] + [in_spec] * 4
+    inputs = [off, x, g, z0, z1]
+    if shard:
+        in_specs += [halo_spec] * 8
+        inputs += list(halos)
     return pl.pallas_call(
         kern,
         grid=(nT + 1,),
-        in_specs=[off_spec] + [in_spec] * 4,
+        in_specs=in_specs,
         out_specs=[out_spec] * 3 + [stats_spec],
         out_shape=[sds((Hl, W), x.dtype)] * 3 + [sds((8, 128), jnp.float32)],
         scratch_shapes=[
@@ -294,9 +334,14 @@ def _sweep_call(x, g, z0, z1, off, *, R, H_global, core_lo, core_hi,
             pltpu.VMEM((R + 8, W), jnp.float32),
             pltpu.VMEM((R, W), jnp.float32),
         ],
+        # write x/z0/z1 in place: output tile j = i-1 (i-2 shard) is written
+        # strictly after its input was consumed (scratch-carried), so the
+        # sweep may alias — this removes the XLA while-carry copies
+        # (measured 3 x ~205 us per step at 4096^2, ~18% of end-to-end)
+        input_output_aliases={1: 0, 3: 1, 4: 2},
         compiler_params=params,
         interpret=interpret,
-    )(off, x, g, z0, z1)
+    )(*inputs)
 
 
 @functools.partial(
@@ -321,26 +366,27 @@ def tv_pds_stencil_step_sweep(x, z, g, *, tau: float, sigma: float, rho: float, 
     return xn, jnp.stack([z0n, z1n], axis=0)
 
 
-def tv_pds_sweep_shard_step(x_ext, g_ext, z0_ext, z1_ext, off, *, H_global: int,
+def tv_pds_sweep_shard_step(x, g, z0, z1, halos, off, *, H_global: int,
                             R: int, tau: float, sigma: float, rho: float, lam: float,
                             nonneg: bool = True, interpret: bool = False, vma=None):
     """Shard-local fused stencil sweep for a row-sharded image (called
-    INSIDE ``shard_map``).  Inputs are the device's (h_loc + 2R, W)
-    halo-extended blocks — including ``g_ext``, the data-term gradient
-    computed by the caller's sharded Gram and halo-exchanged alongside the
-    iterates (works for ANY Gram mode, unlike the fully-fused
-    :func:`tv_pds_mega2_shard_step`).  ``off`` = (1,) i32 global row of ext
-    row 0.  Returns ext-shaped (x, z0, z1) — slice ``[R:-R]`` — plus the
-    core-only (8, 128) stats block."""
-    h_ext, W = x_ext.shape
-    nT = h_ext // R
-    if h_ext % R or nT < 3:
-        raise ValueError(f"shard block of {h_ext} rows needs >= 3 tiles of {R}")
+    INSIDE ``shard_map``).  Inputs are the device's CORE (h_loc, W) blocks
+    — including ``g``, the data-term gradient computed by the caller's
+    sharded Gram (works for ANY Gram mode, unlike the fully-fused
+    :func:`tv_pds_mega2_shard_step`) — plus ``halos = (xt, xb, gt, gb,
+    z0t, z0b, z1t, z1b)``, the (R, W) neighbour-row blocks from
+    ``ppermute``, stitched in-VMEM by the kernel.  ``off`` = (1,) i32
+    global row of ext row 0 (= device_row0 - R).  Returns core-shaped
+    (x, z0, z1) plus the core-only (8, 128) stats block."""
+    h_loc, W = x.shape
+    nT = h_loc // R + 2
+    if h_loc % R or nT < 3:
+        raise ValueError(f"shard block of {h_loc} rows needs >= 1 tile of {R}")
     return _sweep_call(
-        x_ext, g_ext, z0_ext, z1_ext, off,
+        x, g, z0, z1, off,
         R=R, H_global=H_global, core_lo=1, core_hi=nT - 2,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
-        vma=vma,
+        vma=vma, halos=halos,
     )
 
 
@@ -749,24 +795,46 @@ def _pds_stencil(xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, no
     return x_new, z0_new, z1_new
 
 
-def _tv_mega2_kernel(off_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref,
-                     xo, z0o, z1o, so, s_x, s_a, s_z0, s_z1, s_w, s_wt,
-                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg, core_lo, core_hi):
+def _tv_mega2_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
+                     core_lo, core_hi, shard):
     """Single-chip AND shard-aware mega2 step.  ``off_ref`` (SMEM, (1,) i32)
     holds the GLOBAL row index of local row 0 (0 single-chip; shard callers
-    pass ``device_row0 - R`` for an R-row halo-extended block).  ``H`` is the
-    GLOBAL height — every boundary mask and edge-correction flag is computed
-    from global rows, so halo tiles of a shard see interior (no-op) masks.
-    ``core_lo``/``core_hi``: inclusive output-tile range whose stats are
-    accumulated (shards exclude their halo tiles)."""
+    pass ``device_row0 - R``).  ``H`` is the GLOBAL height — every boundary
+    mask and edge-correction flag is computed from global rows, so halo
+    tiles of a shard see interior (no-op) masks.  ``core_lo``/``core_hi``:
+    inclusive output-tile range that is written / stats-accumulated.
+
+    With ``shard=True`` the neighbour halos arrive as SIX separate (R, W)
+    inputs (selected in-VMEM at the first/last ext tile) and the outputs are
+    CORE-shaped — the caller never materialises halo-extended iterate
+    arrays, saving ~9 full-array HBM streams per iteration vs concatenating
+    outside the kernel.  ``nT`` counts EXT tiles (body tiles + 2)."""
     i = pl.program_id(0)
     HG = MEGA_HG
     off = off_ref[0]
+    if shard:
+        (x_ref, a_ref, z0_ref, z1_ref, xt_r, xb_r, z0t_r, z0b_r, z1t_r, z1b_r,
+         corr_ref, b_ref, c_ref, f_ref,
+         xo, z0o, z1o, so, s_x, s_a, s_z0, s_z1, s_w, s_wt) = refs
+    else:
+        (x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_ref, f_ref,
+         xo, z0o, z1o, so, s_x, s_a, s_z0, s_z1, s_w, s_wt) = refs
 
     cur_x = x_ref[...]
     cur_a = a_ref[...]
     cur_z0 = z0_ref[...]
     cur_z1 = z1_ref[...]
+    if shard:
+        t = jnp.minimum(i, nT - 1)  # ext tile being read
+        first_t = t == 0
+        last_t = t == nT - 1
+
+        def _sel(body, top_r, bot_r):
+            return jnp.where(first_t, top_r[...], jnp.where(last_t, bot_r[...], body))
+
+        cur_x = _sel(cur_x, xt_r, xb_r)
+        cur_z0 = _sel(cur_z0, z0t_r, z0b_r)
+        cur_z1 = _sel(cur_z1, z1t_r, z1b_r)
 
     # in-kernel lane Gram of the tile the sweep is already streaming
     cur_w = _lane_gram_tile(cur_x, c_ref[...], f_ref[...], W)
@@ -794,11 +862,18 @@ def _tv_mega2_kernel(off_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_r
         x_n, z0_n, z1_n = _pds_stencil(
             xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg
         )
-        xo[...] = x_n
-        z0o[...] = z0_n
-        z1o[...] = z1_n
+        in_core = jnp.logical_and(j >= core_lo, j <= core_hi)
 
-        @pl.when(jnp.logical_and(j >= core_lo, j <= core_hi))
+        @pl.when(in_core if shard else i > 0)
+        def _write():
+            # shard mode: halo output tiles are SKIPPED — their out-block
+            # index clamps onto a core block that is written at an adjacent
+            # step, and an unwritten revisit preserves the real content
+            xo[...] = x_n
+            z0o[...] = z0_n
+            z1o[...] = z1_n
+
+        @pl.when(in_core)
         def _stats():
             _stats_update(
                 so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])]
@@ -825,30 +900,46 @@ def _tv_mega2_kernel(off_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref, c_r
 
 
 def _mega2_call(x, atb, z0, z1, corr, B, C, F, off, *, R, H_global, core_lo, core_hi,
-                tau, sigma, rho, lam, nonneg, interpret, vma=None):
+                tau, sigma, rho, lam, nonneg, interpret, vma=None, halos=None):
     """Shared pallas_call for the single-chip and shard-aware mega2 paths.
-    ``x``&co are the (possibly halo-extended) LOCAL block; ``off`` the (1,)
-    i32 global row of local row 0; ``H_global`` the global image height."""
+
+    Single-chip (``halos=None``): ``x``&co are the full (H, W) arrays.
+    Shard mode (``halos = (xt, xb, z0t, z0b, z1t, z1b)``, each (R, W)):
+    ``x``/``z0``/``z1`` are the device's CORE (h_loc, W) blocks, ``atb`` the
+    halo-EXTENDED (h_loc + 2R, W) block (iteration-constant, extended once
+    at init), and the outputs are core-shaped — halo stitching happens
+    in-VMEM, so no halo-extended iterate array ever touches HBM.  ``off``:
+    (1,) i32 global row of (ext) row 0; ``H_global``: global image height."""
     from jax.experimental.pallas import tpu as pltpu
 
+    shard = halos is not None
     Hl, W = x.shape
     if Hl % R:
         raise ValueError(f"local height {Hl} must be divisible by {R}")
     if W < 384 or W % 128:
         raise ValueError(f"mega2 needs W % 128 == 0 and W >= 384, got {W}")
-    nT = Hl // R
-    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    nTc = Hl // R  # body tiles
+    nT = nTc + 2 if shard else nTc  # ext tiles the sweep walks
     off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if shard:
+        body_spec = pl.BlockSpec(
+            (R, W), lambda i: (jnp.clip(jnp.minimum(i, nT - 1) - 1, 0, nTc - 1), 0)
+        )
+        a_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))  # ext atb
+        halo_spec = pl.BlockSpec((R, W), lambda i: (0, 0))
+        out_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 2, 0, nTc - 1), 0))
+    else:
+        body_spec = a_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+        out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
     corr_spec = pl.BlockSpec((2 * MEGA_HG, W), lambda i: (0, 0))
     b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
     c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
     f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
-    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
     stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
     kern = functools.partial(
         _tv_mega2_kernel, R=R, nT=nT, H=int(H_global), W=W,
         tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
-        core_lo=int(core_lo), core_hi=int(core_hi),
+        core_lo=int(core_lo), core_hi=int(core_hi), shard=shard,
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     # the R=32 working set + stats block slightly exceeds the 16MB scoped-
@@ -858,12 +949,21 @@ def _mega2_call(x, atb, z0, z1, corr, B, C, F, off, *, R, H_global, core_lo, cor
     except TypeError:  # pragma: no cover - older pallas without the knob
         params = cp(dimension_semantics=("arbitrary",))
     sds = functools.partial(jax.ShapeDtypeStruct, **({"vma": vma} if vma is not None else {}))
+    in_specs = [off_spec, body_spec, a_spec, body_spec, body_spec]
+    inputs = [off, x, atb, z0, z1]
+    if shard:
+        in_specs += [halo_spec] * 6
+        inputs += list(halos)
+    in_specs += [corr_spec, b_spec, c_spec, f_spec]
+    inputs += [corr, B, C, F]
     xn, z0n, z1n, stats = pl.pallas_call(
         kern,
         grid=(nT + 1,),
-        in_specs=[off_spec, in_spec, in_spec, in_spec, in_spec, corr_spec, b_spec, c_spec, f_spec],
+        in_specs=in_specs,
         out_specs=[out_spec] * 3 + [stats_spec],
         out_shape=[sds((Hl, W), x.dtype)] * 3 + [sds((8, 128), jnp.float32)],
+        # in-place x/z0/z1 (see _sweep_call): kills the while-carry copies
+        input_output_aliases={1: 0, 3: 1, 4: 2},
         scratch_shapes=[
             pltpu.VMEM((R, W), jnp.float32),
             pltpu.VMEM((R, W), jnp.float32),
@@ -874,7 +974,7 @@ def _mega2_call(x, atb, z0, z1, corr, B, C, F, off, *, R, H_global, core_lo, cor
         ],
         compiler_params=params,
         interpret=interpret,
-    )(off, x, atb, z0, z1, corr, B, C, F)
+    )(*inputs)
     return xn, z0n, z1n, stats
 
 
@@ -911,7 +1011,7 @@ def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float
     )
 
 
-def tv_pds_mega2_shard_step(x_ext, z0_ext, z1_ext, atb_ext, corr, B, C, F, off, *,
+def tv_pds_mega2_shard_step(x, z0, z1, atb_ext, halos, corr, B, C, F, off, *,
                             H_global: int, tau: float, sigma: float, rho: float,
                             lam: float, nonneg: bool = True, interpret: bool = False,
                             mega_r: int = None, vma=None):
@@ -919,30 +1019,35 @@ def tv_pds_mega2_shard_step(x_ext, z0_ext, z1_ext, atb_ext, corr, B, C, F, off, 
     ``shard_map``; the distributed realisation of the reference's hot loop,
     /root/reference/pycsou/opt/proxalgs.py:343-355).
 
-    Every input is the device's (h_loc + 2R, W) halo-EXTENDED block: R rows
-    from the previous device on top, R from the next below (``ppermute``
-    zeros at the global edges — exactly the Gram's zero boundary condition).
+    ``x``/``z0``/``z1`` are the device's CORE (h_loc, W) blocks and
+    ``halos = (xt, xb, z0t, z0b, z1t, z1b)`` the six (R, W) neighbour-row
+    blocks from ``ppermute`` (zeros at the global edges — exactly the
+    Gram's zero boundary condition).  The kernel stitches them in-VMEM and
+    writes core-shaped outputs, so no halo-extended iterate array ever
+    touches HBM (~9 full-array streams/iteration cheaper than
+    concatenate-outside).  ``atb_ext`` is the (h_loc + 2R, W) halo-extended
+    A^H y, extended ONCE at solver init (iteration-constant).
+
     ``off`` is the (1,) i32 GLOBAL row of ext row 0 (= device_row0 - R), so
     all boundary masks, the dual invariants and the first/last-tile edge
     corrections land on GLOBAL rows; ``corr`` is computed per-device from
     its own local edge rows (only the flags gate its application, so
     mid-mesh devices' values are never read).
 
-    Returns ext-shaped (x, z0, z1) — callers slice ``[R:-R]`` — plus the
-    (8, 128) stats block accumulated over CORE output tiles only (psum it
-    across the mesh for the global metric).  ``vma``: pass
-    ``frozenset({axis_name})`` when tracing under ``shard_map`` with vma
-    checking enabled."""
-    h_ext, W = x_ext.shape
+    Returns core-shaped (x, z0, z1) plus the (8, 128) stats block
+    accumulated over core output tiles only (psum it across the mesh for
+    the global metric).  ``vma``: pass ``frozenset({axis_name})`` when
+    tracing under ``shard_map`` with vma checking enabled."""
+    h_loc, W = x.shape
     R = MEGA_R if mega_r is None else int(mega_r)
-    nT = h_ext // R
+    nT = h_loc // R + 2
     if nT < 3:
-        raise ValueError(f"shard block of {h_ext} rows needs >= 3 tiles of {R}")
+        raise ValueError(f"shard block of {h_loc} rows needs >= 1 tile of {R}")
     return _mega2_call(
-        x_ext, atb_ext, z0_ext, z1_ext, corr, B, C, F, off,
+        x, atb_ext, z0, z1, corr, B, C, F, off,
         R=R, H_global=H_global, core_lo=1, core_hi=nT - 2,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
-        vma=vma,
+        vma=vma, halos=halos,
     )
 
 
@@ -1174,6 +1279,11 @@ def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma:
         out_specs=[out_spec] * 3 + [stats_spec],
         out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3
         + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        # in-place x/z0/z1: output tile i-2 is written strictly after its
+        # input tiles were consumed into the VMEM rings, so the double-step
+        # sweep may alias — kills the XLA while-carry copies (xprof: 3 x
+        # ~205 us per double-step at 4096^2, ~18% of end-to-end)
+        input_output_aliases={0: 0, 2: 1, 3: 2},
         scratch_shapes=[
             tile(R), tile(R), tile(R), tile(R + 8), tile(R), tile(R), tile(MEGA_HG),  # stage-0
             tile(R), tile(R + 8), tile(R), tile(R), tile(MEGA_HG),  # stage-1

@@ -65,6 +65,7 @@ class Wendland:
 
     @property
     def support(self) -> float:
+        """Compact support radius (the Wendland cutoff ``epsilon``)."""
         return self.epsilon
 
     def __call__(self, r):

@@ -122,6 +122,8 @@ class Convolve1D(LinearOperator):
 
     @property
     def h_hat(self):
+        """Frequency-domain transfer function, stored as re/im pairs
+        (complex d2h is unimplemented on some TPU runtimes)."""
         return jax.lax.complex(self.h_hat_re, self.h_hat_im)
 
     def apply(self, x):
@@ -289,6 +291,8 @@ class Convolve2D(LinearOperator):
 
     @property
     def h_hat(self):
+        """Frequency-domain transfer function, stored as re/im pairs
+        (complex d2h is unimplemented on some TPU runtimes)."""
         return jax.lax.complex(self.h_hat_re, self.h_hat_im)
 
     def apply(self, x):
@@ -744,6 +748,8 @@ class ConvolveND(LinearOperator):
 
     @property
     def h_hat(self):
+        """Frequency-domain transfer function, stored as re/im pairs
+        (complex d2h is unimplemented on some TPU runtimes)."""
         return jax.lax.complex(self.h_hat_re, self.h_hat_im)
 
     def apply(self, x):
@@ -814,6 +820,8 @@ class CircularConvolve(LinearOperator):
 
     @property
     def h_hat(self):
+        """Frequency-domain transfer function, stored as re/im pairs
+        (complex d2h is unimplemented on some TPU runtimes)."""
         return jax.lax.complex(self.h_hat_re, self.h_hat_im)
 
     def _axes(self):

@@ -71,6 +71,7 @@ class Masking(LinearOperator):
 
     @property
     def mask(self):
+        """The boolean keep-mask this operator samples with."""
         return self._mask
 
     def apply(self, x):

@@ -158,6 +158,8 @@ class PrimalDualSplitting(IterativeSolver):
 
     # -- auto-tuning (reference proxalgs.py:246-316) -----------------------
     def set_step_sizes(self):
+        """(tau, sigma) from the reference's closed-form optimality rules
+        (proxalgs.py:246-316): beta/||K||-balanced when F is smooth."""
         if self.beta > 0:
             if not self._has_H:
                 return 2.0 / self.beta, 0.0
@@ -170,6 +172,7 @@ class PrimalDualSplitting(IterativeSolver):
         return 1.0 / L, 1.0 / L
 
     def set_momentum_term(self):
+        """Over-relaxation rho (reference proxalgs.py:312: 0.9 smooth, 1 else)."""
         return 0.9 if self.beta > 0 else 1.0
 
     # -- iteration ---------------------------------------------------------
@@ -191,6 +194,7 @@ class PrimalDualSplitting(IterativeSolver):
         return {"x": x, "z": z}
 
     def objective(self, x):
+        """Primal objective ``F(x) + G(x) + H(K x)`` (pure/jittable)."""
         val = self.F.apply(x) + self.G.apply(x)
         if self._has_H:
             val = val + self.H.apply(self.K.apply(x))
@@ -291,6 +295,7 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
         return {"x": x, "x_temp": x_temp, "t": t, "n": n + 1}
 
     def objective(self, x):
+        """Objective ``F(x) + G(x)`` (pure/jittable)."""
         return self.F.apply(x) + self.G.apply(x)
 
 

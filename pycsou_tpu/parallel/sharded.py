@@ -62,14 +62,17 @@ class ShardedDenseOperator(DenseOperator):
 
     @property
     def mesh(self):
+        """The jax device mesh this operator's blocks live on."""
         return getattr(self, "_mesh", None)
 
     @property
     def row_axis(self):
+        """Mesh axis name the OUTPUT (row) dimension is sharded over."""
         return self._row_axis
 
     @property
     def col_axis(self):
+        """Mesh axis name the INPUT (column) dimension is sharded over."""
         return self._col_axis
 
     def apply(self, x):

@@ -324,10 +324,12 @@ class DistributedTVDeconv2D(IterativeSolver):
     # legacy attribute API (round-1 callers)
     @property
     def x0(self):
+        """Initial (zero) primal iterand, sharded over the mesh."""
         return self.initial_state()["x"]
 
     @property
     def z0(self):
+        """Initial (zero) stacked dual iterand, sharded over the mesh."""
         init = self.initial_state()
         if "z" in init:
             return init["z"]
@@ -386,10 +388,22 @@ class DistributedTVDeconv2D(IterativeSolver):
         return x_new, z_new
 
     # -- per-shard fused Pallas iterations (VERDICT r2 task 1) ---------------
+    def _halos_local(self, a, R: int):
+        """(top, bottom) (R, W) neighbour-row blocks: R rows from the
+        previous device and R from the next (``ppermute`` zeros at the
+        global edges — exactly the Gram's zero boundary condition)."""
+        ax = self.axis_name
+        n = self.mesh.devices.size
+        top = jax.lax.ppermute(a[-R:], ax, [(i, i + 1) for i in range(n - 1)])
+        bot = jax.lax.ppermute(a[:R], ax, [(i + 1, i) for i in range(n - 1)])
+        return top, bot
+
     def _local_step_megasp(self, x, z0, z1, atb_ext):
         """One full PDS iteration with BOTH Gram directions fused in-kernel
-        per shard: R-row halo exchange of (x, z0, z1), then the shard-aware
-        mega2 kernel (kernels/tv.py tv_pds_mega2_shard_step)."""
+        per shard: R-row halo blocks of (x, z0, z1) ride ``ppermute`` and
+        are stitched in-VMEM by the shard-aware mega2 kernel
+        (kernels/tv.py tv_pds_mega2_shard_step) — no halo-extended iterate
+        array ever touches HBM."""
         from pycsou_tpu.kernels.tv import tv_pds_mega2_shard_step
 
         ax = self.axis_name
@@ -397,18 +411,19 @@ class DistributedTVDeconv2D(IterativeSolver):
         H, W = self.shape
         h_loc = H // self.mesh.devices.size
         off = (jax.lax.axis_index(ax) * h_loc - R).astype(jnp.int32).reshape(1)
-        xe = self._ext_local(x, R)
-        z0e = self._ext_local(z0, R)
-        z1e = self._ext_local(z1, R)
+        xt, xb = self._halos_local(x, R)
+        z0t, z0b = self._halos_local(z0, R)
+        z1t, z1b = self._halos_local(z1, R)
         corr = self._corr_local(x)
         xn, z0n, z1n, st = tv_pds_mega2_shard_step(
-            xe, z0e, z1e, atb_ext, corr, self._mega_B, self._mega_C, self._mega_F,
+            x, z0, z1, atb_ext, (xt, xb, z0t, z0b, z1t, z1b), corr,
+            self._mega_B, self._mega_C, self._mega_F,
             off, H_global=H, mega_r=R, interpret=self._pallas_interpret,
             tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
             nonneg=self.nonneg,
         )
         st = jax.lax.psum(st[0, :6], ax)
-        return xn[R:-R], z0n[R:-R], z1n[R:-R], st
+        return xn, z0n, z1n, st
 
     def _local_step_sweepsp(self, x, z0, z1, atb_loc, y_loc):
         """Sharded Gram (banded / FFT / forward+adjoint — ANY mode) for the
@@ -438,18 +453,18 @@ class DistributedTVDeconv2D(IterativeSolver):
             r = sharded_conv2d(x, self.filt, ax, h_hat=_join(self._h_hat_fwd)) - y_loc
             grad = 2.0 * sharded_conv2d_adjoint(r, self.filt, ax, h_hat=_join(self._h_hat_adj))
         off = (jax.lax.axis_index(ax) * h_loc - R).astype(jnp.int32).reshape(1)
-        xe = self._ext_local(x, R)
-        ge = self._ext_local(grad, R)
-        z0e = self._ext_local(z0, R)
-        z1e = self._ext_local(z1, R)
+        xt, xb = self._halos_local(x, R)
+        gt, gb = self._halos_local(grad, R)
+        z0t, z0b = self._halos_local(z0, R)
+        z1t, z1b = self._halos_local(z1, R)
         xn, z0n, z1n, st = tv_pds_sweep_shard_step(
-            xe, ge, z0e, z1e, off, H_global=H, R=R,
-            interpret=self._pallas_interpret,
+            x, grad, z0, z1, (xt, xb, gt, gb, z0t, z0b, z1t, z1b), off,
+            H_global=H, R=R, interpret=self._pallas_interpret,
             tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
             nonneg=self.nonneg,
         )
         st = jax.lax.psum(st[0, :6], ax)
-        return xn[R:-R], z0n[R:-R], z1n[R:-R], st
+        return xn, z0n, z1n, st
 
     # -- IterativeSolver protocol -------------------------------------------
     def initial_state(self):

@@ -110,6 +110,7 @@ class P2Algorithm:
         self._add = jax.jit(p2_add)
 
     def add_sample(self, sample):
+        """Fold one (vector) sample into the running P^2 quantile state."""
         x = jnp.atleast_1d(jnp.asarray(sample, jnp.float32))
         if self._state is None:
             self._state = p2_init(self.pvalue, x.shape)
@@ -117,6 +118,7 @@ class P2Algorithm:
 
     @property
     def q(self):
+        """Current quantile estimate(s) (NaN until 5 samples arrive)."""
         if self._state is None:
             raise ValueError("no samples added yet")
         return np.asarray(p2_quantile(self._state))
