@@ -104,7 +104,18 @@ def L2Ball(dim_shape, radius: float) -> IndicatorFunctional:
 
 
 class L1Norm(LpNorm):
-    """``||x||_1`` (reference penalty.py:194): prox = soft threshold."""
+    """``||x||_1`` (reference penalty.py:194): prox = soft threshold.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import L1Norm
+        >>> f = L1Norm((3,))
+        >>> float(f(jnp.array([1.0, -2.0, 0.5])))
+        3.5
+        >>> f.prox(jnp.array([1.0, -2.0, 0.5]), tau=1.0).tolist()
+        [0.0, -1.0, 0.0]
+    """
 
     def __init__(self, dim_shape):
         super().__init__(dim_shape, lipschitz=math.sqrt(size_of(as_shape(dim_shape))))

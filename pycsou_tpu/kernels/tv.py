@@ -663,6 +663,38 @@ def make_mega2_lane_plan(col_taps, W: int):
     return C, F
 
 
+# MXU precision mode of the in-kernel lane-Gram band matmuls.  Mosaic only
+# lowers DEFAULT (1-pass bf16) and HIGHEST (6-pass f32) dots, so the middle
+# ground is hand-rolled: "bf16x3" splits each operand into a bf16 hi/lo pair
+# and takes the three significant cross products at DEFAULT — ~f32 accuracy
+# (drops only the lo x lo term, ~2^-32 relative) at HALF the MXU passes of
+# HIGHEST.  Measured at 4096^2 (docs/BENCH.md): HIGHEST 724 iters/s, DEFAULT
+# 963 (but 3e-3 rel error after 400 iters — too coarse), bf16x3 keeps
+# per-step exactness within the suite's 3e-5 tolerance.
+LANE_GRAM_PRECISION = "bf16x3"
+
+
+def _split_bf16(a):
+    """hi/lo bf16 decomposition: ``a = hi + lo`` with both parts bf16-exact
+    (so DEFAULT-precision MXU passes introduce no further operand error)."""
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (a - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, lo
+
+
+def _dot_bf16x3(a_pair, b_pair):
+    """3-pass bf16x3 matmul with f32 accumulation: ``a @ b`` up to the
+    dropped lo x lo term."""
+    DEF = jax.lax.Precision.DEFAULT
+    ah, al = a_pair
+    bh, bl = b_pair
+    return (
+        jnp.dot(ah, bh, precision=DEF, preferred_element_type=jnp.float32)
+        + jnp.dot(ah, bl, precision=DEF, preferred_element_type=jnp.float32)
+        + jnp.dot(al, bh, precision=DEF, preferred_element_type=jnp.float32)
+    )
+
+
 def _lane_gram_tile(x_tile, c_mat, f_mat, W: int):
     """Exact lane-direction conv Gram of one (R, W) tile, entirely in VMEM:
     block-tridiagonal 128-chunk MXU matmuls on the lane-split view + the
@@ -671,19 +703,34 @@ def _lane_gram_tile(x_tile, c_mat, f_mat, W: int):
     R = x_tile.shape[0]
     tile = 128
     nC = W // tile
-    HIP = jax.lax.Precision.HIGHEST
     xv = jnp.reshape(x_tile, (R * nC, tile))
     fidx = jax.lax.broadcasted_iota(jnp.int32, (R * nC, tile), 0)
     m_first = jnp.where(fidx % nC == 0, 0.0, 1.0).astype(dt)
     m_last = jnp.where(fidx % nC == nC - 1, 0.0, 1.0).astype(dt)
-    # chunk c+-1 = flat row shift, masked at chunk-group (image-row) edges
-    xm = pltpu.roll(xv, 1, axis=0) * m_first
-    xp = pltpu.roll(xv, R * nC - 1, axis=0) * m_last
-    out = (
-        jnp.dot(xm, c_mat[:tile], precision=HIP, preferred_element_type=jnp.float32)
-        + jnp.dot(xv, c_mat[tile : 2 * tile], precision=HIP, preferred_element_type=jnp.float32)
-        + jnp.dot(xp, c_mat[2 * tile :], precision=HIP, preferred_element_type=jnp.float32)
-    ).astype(dt)
+    HIP = jax.lax.Precision.HIGHEST
+    if LANE_GRAM_PRECISION == "bf16x3":
+        xh, xl = _split_bf16(xv)
+        # chunk c+-1 = flat row shift, masked at chunk-group (row) edges;
+        # 0/1 masks and rolls are exact on the bf16 halves
+        xm = (pltpu.roll(xh, 1, axis=0) * m_first, pltpu.roll(xl, 1, axis=0) * m_first)
+        xp = (
+            pltpu.roll(xh, R * nC - 1, axis=0) * m_last,
+            pltpu.roll(xl, R * nC - 1, axis=0) * m_last,
+        )
+        c1 = _split_bf16(c_mat[:tile])
+        c2 = _split_bf16(c_mat[tile : 2 * tile])
+        c3 = _split_bf16(c_mat[2 * tile :])
+        out = (
+            _dot_bf16x3(xm, c1) + _dot_bf16x3((xh, xl), c2) + _dot_bf16x3(xp, c3)
+        ).astype(dt)
+    else:
+        xm = pltpu.roll(xv, 1, axis=0) * m_first
+        xp = pltpu.roll(xv, R * nC - 1, axis=0) * m_last
+        out = (
+            jnp.dot(xm, c_mat[:tile], precision=HIP, preferred_element_type=jnp.float32)
+            + jnp.dot(xv, c_mat[tile : 2 * tile], precision=HIP, preferred_element_type=jnp.float32)
+            + jnp.dot(xp, c_mat[2 * tile :], precision=HIP, preferred_element_type=jnp.float32)
+        ).astype(dt)
     acc = jnp.reshape(out, (R, W))
     xcat = jnp.concatenate([x_tile[:, :128], x_tile[:, W - 128 :]], axis=1)
     fix = jnp.dot(xcat, f_mat, precision=HIP, preferred_element_type=jnp.float32).astype(dt)
@@ -741,11 +788,17 @@ def _mega_row_gram(w_tail, w_body, w_head, b_mat, corr, first_f, lastj_f, R, W, 
     HG = MEGA_HG
     half1 = w_tail if R == HG else jnp.concatenate([w_tail, w_body[: R - HG]], axis=0)
     half2 = jnp.concatenate([w_body[R - HG :], w_head], axis=0)  # (2*HG, W)
-    HIP = jax.lax.Precision.HIGHEST
-    gsum = (
-        jnp.dot(b_mat[:, :R], half1, precision=HIP, preferred_element_type=jnp.float32)
-        + jnp.dot(b_mat[:, R:], half2, precision=HIP, preferred_element_type=jnp.float32)
-    ).astype(dt)
+    if LANE_GRAM_PRECISION == "bf16x3":
+        gsum = (
+            _dot_bf16x3(_split_bf16(b_mat[:, :R]), _split_bf16(half1))
+            + _dot_bf16x3(_split_bf16(b_mat[:, R:]), _split_bf16(half2))
+        ).astype(dt)
+    else:
+        HIP = jax.lax.Precision.HIGHEST
+        gsum = (
+            jnp.dot(b_mat[:, :R], half1, precision=HIP, preferred_element_type=jnp.float32)
+            + jnp.dot(b_mat[:, R:], half2, precision=HIP, preferred_element_type=jnp.float32)
+        ).astype(dt)
     # top correction: global rows [0, HG); bottom: global rows [H-HG, H) =
     # the LAST HG rows of the last tile = gsum rows [R-HG, R)
     gsum = gsum + first_f * jnp.concatenate(

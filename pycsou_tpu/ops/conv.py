@@ -199,6 +199,19 @@ class Convolve2D(LinearOperator):
       passes (kernels/band.py), no FFT;
     * ``'direct'`` — ``lax.conv`` for tiny full-rank kernels;
     * ``'fft'`` — zero-padded rFFT with cached transfer function.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.conv import Convolve2D
+        >>> A = Convolve2D((8, 16), jnp.ones((3, 3)) / 9.0)
+        >>> x = jnp.zeros((8, 16)).at[4, 8].set(9.0)
+        >>> y = A(x)                       # 'same'-mode blur
+        >>> float(y[4, 8]), float(y[3, 7])
+        (1.0, 1.0)
+        >>> g = A.gram(x)                  # fused A^H A, exact
+        >>> bool(jnp.allclose(g, A.adjoint(A(x)), atol=1e-5))
+        True
     """
 
     filt: jax.Array = None

@@ -65,6 +65,26 @@ class PrimalDualSplitting(IterativeSolver):
     ``tau = sigma = (1/||K||^2)(-beta/4 + sqrt(beta^2/16 + ||K||^2))``;
     for beta = 0, ``tau = sigma = 1/||K||``.  Momentum rho = 0.9 (beta > 0)
     else 1 (proxalgs.py:303-316).
+
+    Example — LASSO ``min ||Ax - y||^2 + 0.1 ||x||_1``::
+
+        >>> import jax, jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DenseOperator
+        >>> from pycsou_tpu.func import SquaredL2Loss
+        >>> from pycsou_tpu.func.penalty import L1Norm
+        >>> from pycsou_tpu.opt import PDS
+        >>> A = DenseOperator(jnp.eye(4) * 2.0)
+        >>> _ = A.compute_lipschitz_cst()   # power iteration sets A.lipschitz
+        >>> y = jnp.array([2.0, 0.0, -4.0, 0.0])
+        >>> solver = PDS((4,), F=SquaredL2Loss((4,), data=y) * A,
+        ...              G=L1Norm((4,)), max_iter=200)
+        >>> info = solver.solve()
+        >>> bool(info.converged)
+        True
+        >>> # analytic solution: x_i = (4 y_i -/+ 1) / 8, soft-thresholded
+        >>> bool(jnp.allclose(info["x"], jnp.array([0.875, 0.0, -1.875, 0.0]),
+        ...                   atol=5e-3))
+        True
     """
 
     F: DifferentiableMap = None

@@ -47,7 +47,22 @@ __all__ = ["TVDeconvolution"]
 
 class TVDeconvolution(IterativeSolver):
     """``min_x ||A x - y||^2 + lam ||grad x||_{2,1} (+ i_{x>=0})`` with
-    Condat-Vu PDS; ``A`` is a 2-D convolution (or identity for denoising)."""
+    Condat-Vu PDS; ``A`` is a 2-D convolution (or identity for denoising).
+
+    Example — denoise a piecewise-constant image::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.opt.tv import TVDeconvolution
+        >>> x_true = jnp.zeros((16, 16)).at[4:12, 4:12].set(1.0)
+        >>> ij = jnp.arange(16)[:, None] + jnp.arange(16)[None, :]
+        >>> y = x_true + 0.2 * (-1.0) ** ij      # checkerboard "noise"
+        >>> solver = TVDeconvolution((16, 16), y, lam=0.3, nonneg=True,
+        ...                          max_iter=300)
+        >>> info = solver.solve()
+        >>> bool(jnp.linalg.norm(info["x"] - x_true)
+        ...      < 0.5 * jnp.linalg.norm(y - x_true))
+        True
+    """
 
     y: jax.Array = None
     gram: object = None

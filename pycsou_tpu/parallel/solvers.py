@@ -62,6 +62,20 @@ class DistributedTVDeconv2D(IterativeSolver):
     F = SquaredL2Loss o Convolve2D, H = lam * L21Norm(axis=0), K = Gradient,
     G = NonNegativeOrthant (reference update rule proxalgs.py:343-355);
     auto step sizes from the same formulas (proxalgs.py:246-316).
+
+    Example — deconvolve on whatever mesh the host exposes::
+
+        >>> import jax, jax.numpy as jnp
+        >>> from pycsou_tpu.parallel import DistributedTVDeconv2D, make_mesh
+        >>> H = 8 * jax.device_count()
+        >>> h = jnp.ones((3, 3)) / 9.0
+        >>> y = jnp.zeros((H, 16)).at[H // 2, 8].set(1.0)
+        >>> solver = DistributedTVDeconv2D((H, 16), h, y, lam=0.01,
+        ...                                max_iter=50, min_iter=5,
+        ...                                accuracy_threshold=1e-4)
+        >>> info = solver.solve()   # state stays sharded over the mesh
+        >>> info["x"].shape == (H, 16) and info.n_iter > 0
+        True
     """
 
     y: jax.Array = None
