@@ -226,9 +226,17 @@ class Convolve2D(LinearOperator):
     # the width is not tile-aligned or the band reach exceeds the window
     band_col_chan: tuple = None
     band_col_adj_chan: tuple = None
+    # fused one-pass sweep matvec plans (kernels/conv2d.py): rank-1 kernels
+    # on TPU run forward/adjoint as ONE pallas sweep (2 HBM streams instead
+    # of the two-pass banded path's ~6 incl. pad/carry copies)
+    mv_B: jax.Array = None
+    mv_C: jax.Array = None
+    mv_Ba: jax.Array = None
+    mv_Ca: jax.Array = None
     method: str = static_field(default="fft")
     band_leads: tuple = static_field(default=None)
     band_rank: int = static_field(default=0)
+    mv_r: int = static_field(default=0)
 
     def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32):
         dim_shape = as_shape(dim_shape)
@@ -259,6 +267,8 @@ class Convolve2D(LinearOperator):
         self.band_col_chan = self.band_col_adj_chan = None
         self.band_leads = None
         self.band_rank = 0
+        self.mv_B = self.mv_C = self.mv_Ba = self.mv_Ca = None
+        self.mv_r = 0
         if method == "band":
             from pycsou_tpu.kernels.band import make_band_blocks
 
@@ -290,6 +300,18 @@ class Convolve2D(LinearOperator):
                 if all(c is not None for c in cf + cb):
                     self.band_col_chan = tuple(jnp.asarray(c) for c in cf)
                     self.band_col_adj_chan = tuple(jnp.asarray(c) for c in cb)
+            # one-pass fused sweep matvec (TPU only; the plan is shape-gated)
+            if r == 1 and jax.default_backend() not in ("cpu",):
+                from pycsou_tpu.kernels.conv2d import make_sepconv_plan
+
+                us_np = np.asarray(us)
+                pf = make_sepconv_plan(us_np[:, 0], vs_np[:, 0], o0, o1, dim_shape)
+                pa = make_sepconv_plan(
+                    us_np[::-1, 0], vs_np[::-1, 0], m0 - 1 - o0, m1 - 1 - o1, dim_shape
+                )
+                if pf is not None and pa is not None:
+                    self.mv_B, self.mv_C, self.mv_r = pf
+                    self.mv_Ba, self.mv_Ca, _ = pa
 
     @staticmethod
     def _band_factors(filt):
@@ -312,6 +334,10 @@ class Convolve2D(LinearOperator):
         (n0, n1), (m0, m1) = self.dim_shape, self.filt.shape
         o0, o1 = m0 // 2, m1 // 2
         if self.method == "band":
+            if self.mv_r:
+                from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
+
+                return sepconv2d_sweep(x, self.mv_B, self.mv_C, r=self.mv_r)
             from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows, chanconv_cols
 
             l_r, l_c = self.band_leads[0], self.band_leads[1]
@@ -341,6 +367,10 @@ class Convolve2D(LinearOperator):
 
     def adjoint(self, y):
         if self.method == "band":
+            if self.mv_r:
+                from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
+
+                return sepconv2d_sweep(jnp.asarray(y), self.mv_Ba, self.mv_Ca, r=self.mv_r)
             from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows, chanconv_cols
 
             y = jnp.asarray(y)

@@ -309,3 +309,44 @@ def test_mega3_double_step_matches_two_oracle_iterations(rng, shape, K):
         float(jnp.sum((z2[1] - zm[1]) ** 2)), float(jnp.sum(zm[1] ** 2)),
     ]
     np.testing.assert_allclose(np.asarray(stats[0, :6]), want, rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,K0,K1", [((64, 384), 9, 13), ((48, 384), 8, 7), ((64, 512), 15, 15)])
+def test_sepconv_sweep_matches_fft(rng, shape, K0, K1):
+    """Fused one-pass rank-1 'same' conv sweep (kernels/conv2d.py) == the FFT
+    oracle, forward AND adjoint (interpret mode; bf16x3 tolerance)."""
+    from pycsou_tpu.kernels.conv2d import make_sepconv_plan, sepconv2d_sweep
+    from pycsou_tpu.ops.conv import Convolve2D
+
+    H, W = shape
+    u = rng.standard_normal(K0)
+    v = rng.standard_normal(K1)
+    filt = np.outer(u, v).astype(np.float32)
+    o0, o1 = K0 // 2, K1 // 2
+    pf = make_sepconv_plan(u, v, o0, o1, (H, W))
+    pa = make_sepconv_plan(u[::-1], v[::-1], K0 - 1 - o0, K1 - 1 - o1, (H, W))
+    assert pf is not None and pa is not None
+    B, C, r = pf
+    Ba, Ca, ra = pa
+    x = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    A = Convolve2D((H, W), filt, method="fft")
+    scale = float(np.abs(filt).sum())
+    y1 = sepconv2d_sweep(x, B, C, r=r, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(A.apply(x)), rtol=1e-4, atol=3e-5 * scale
+    )
+    y2 = sepconv2d_sweep(x, Ba, Ca, r=ra, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y2), np.asarray(A.adjoint(x)), rtol=1e-4, atol=3e-5 * scale
+    )
+
+
+def test_sepconv_plan_gates():
+    """Shapes/reaches outside the sweep window return None (band fallback)."""
+    from pycsou_tpu.kernels.conv2d import make_sepconv_plan
+
+    u = np.ones(5)
+    assert make_sepconv_plan(u, u, 2, 2, (64, 256)) is None  # W < 384
+    assert make_sepconv_plan(u, u, 2, 2, (63, 384)) is None  # H % 8
+    assert make_sepconv_plan(np.ones(41), u, 20, 2, (64, 384)) is None  # row reach
+    assert make_sepconv_plan(u, u, 2, 2, (64, 384)) is not None
