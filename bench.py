@@ -69,21 +69,39 @@ def pds_params(h):
 
 
 def _time_solver(solver, label, iters=TPU_ITERS, reps=TPU_REPS):
+    """Asymptotic iters/s via the SLOPE between a short and a long chunk.
+
+    Every dispatch on this axon-tunnelled runtime pays a ~25-30 ms constant
+    host<->device roundtrip (measured: a lone jnp.sum d2h costs that much),
+    which a single-chunk timing smears over its iterations.  Timing
+    run_fixed(N_s) and run_fixed(N_l) and taking (t_l - t_s)/(N_l - N_s)
+    cancels the constant and reports the true per-iteration rate that long
+    production solves actually see."""
     import jax
 
+    long_iters = 5 * iters
     t0 = time.perf_counter()
     state = solver.run_fixed(iters)
     jax.block_until_ready(state["x"])
     log(f"[{label}] compile+first chunk: {time.perf_counter() - t0:.1f}s")
-    times = []
+    t0 = time.perf_counter()
+    state = solver.run_fixed(long_iters, state=state)
+    jax.block_until_ready(state["x"])
+    log(f"[{label}] compile long chunk: {time.perf_counter() - t0:.1f}s")
+    best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         state = solver.run_fixed(iters, state=state)
         jax.block_until_ready(state["x"])
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    ips = iters / best
-    log(f"[{label}] {iters} iters in {best:.3f}s -> {ips:.2f} iters/s")
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state = solver.run_fixed(long_iters, state=state)
+        jax.block_until_ready(state["x"])
+        t_l = time.perf_counter() - t0
+        best = min(best, (t_l - t_s) / (long_iters - iters))
+        log(f"[{label}] short {t_s*1e3:.1f} ms / long {t_l*1e3:.1f} ms")
+    ips = 1.0 / best
+    log(f"[{label}] slope {best*1e3:.3f} ms/iter -> {ips:.2f} iters/s")
     return ips, state
 
 
@@ -118,22 +136,35 @@ def bench_tpu(h, y):
         import jax as _jax
         import jax.numpy as _jnp
 
-        @_jax.jit
-        def matvec_chain(A2, v):
-            def body(i, v):
-                w = A2.apply(v)
-                return w / _jnp.maximum(_jnp.max(_jnp.abs(w)), 1e-20)
+        # pure apply chains: the normalized PSF has unit DC gain, so raw
+        # blur chains neither overflow nor converge to a repeated dispatch;
+        # the scalar sum readback (d2h) is the only reliable fence on this
+        # runtime, and the 100-vs-500 SLOPE cancels its ~25 ms roundtrip
+        def _chain(n):
+            @_jax.jit
+            def chain(v):
+                out = _jax.lax.fori_loop(0, n, lambda i, v: A2.apply(v), v)
+                return out, _jnp.sum(out * out)
 
-            return _jax.lax.fori_loop(0, 20, body, v)
+            return chain
 
-        v0 = state["x"]
-        out = matvec_chain(A2, v0)
-        _jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = matvec_chain(A2, out)
-        _jax.block_until_ready(out)
-        per_mv = (time.perf_counter() - t0) / 20
-        nbytes = 2 * v0.size * 4  # input read + output write (traffic floor)
+        c_s, c_l = _chain(100), _chain(500)
+        out, s = c_s(state["x"])
+        float(s)
+        out, s = c_l(out)
+        float(s)
+        per_mv = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out, s = c_s(out)
+            float(s)
+            t_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out, s = c_l(out)
+            float(s)
+            t_l = time.perf_counter() - t0
+            per_mv = min(per_mv, (t_l - t_s) / 400)
+        nbytes = 2 * out.size * 4  # input read + output write (traffic floor)
         extras["matvec_gbps"] = round(nbytes / per_mv / 1e9, 1)
         log(f"conv matvec: {per_mv*1e3:.2f} ms -> {nbytes/per_mv/1e9:.1f} GB/s effective (I/O floor)")
     except Exception as e:

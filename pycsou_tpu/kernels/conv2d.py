@@ -81,10 +81,20 @@ def make_row_band_mat(taps, offset, r: int):
     return B
 
 
+def _presplit(a):
+    """Stack the bf16 hi/lo decomposition on a leading axis (host-side), so
+    the kernel never spends VPU cycles splitting its CONSTANT operands."""
+    a = np.asarray(a, np.float32)
+    hi = a.astype(jnp.bfloat16).astype(np.float32)
+    lo = (a - hi).astype(jnp.bfloat16).astype(np.float32)
+    return jnp.asarray(np.stack([hi, lo]))
+
+
 def make_sepconv_plan(u_taps, v_taps, offset_r: int, offset_c: int, shape):
     """(B, C, R) kernel plan for ``y = C(v) R(u) x`` on ``shape`` (or None
     when the shape/reach doesn't qualify).  ``offset_*``: the 'same' crop
-    offsets (``K//2`` forward; ``K-1-K//2`` for the adjoint/correlation)."""
+    offsets (``K//2`` forward; ``K-1-K//2`` for the adjoint/correlation).
+    B and C carry their bf16 hi/lo splits on a leading axis of 2."""
     H, W = shape
     u = np.asarray(u_taps, np.float64)
     v = np.asarray(v_taps, np.float64)
@@ -101,11 +111,13 @@ def make_sepconv_plan(u_taps, v_taps, offset_r: int, offset_c: int, shape):
         return None
     B = make_row_band_mat(u, offset_r, r)
     C = make_lane_band_mats(v, offset_c)
-    return jnp.asarray(B), jnp.asarray(C), r
+    return _presplit(B), _presplit(C), r
 
 
-def _lane_conv_tile(x_tile, c_mat, W: int):
-    """Raw 'same' lane conv of one (R, W) tile in VMEM (bf16x3 matmuls)."""
+def _lane_conv_tile(x_tile, c_pair, W: int):
+    """Raw 'same' lane conv of one (R, W) tile in VMEM (bf16x3 matmuls;
+    ``c_pair`` = pre-split (hi, lo) of the (384, 128) [C_-1; C_0; C_+1]
+    stack)."""
     dt = x_tile.dtype
     R = x_tile.shape[0]
     tile = 128
@@ -120,9 +132,10 @@ def _lane_conv_tile(x_tile, c_mat, W: int):
         pltpu.roll(xh, R * nC - 1, axis=0) * m_last,
         pltpu.roll(xl, R * nC - 1, axis=0) * m_last,
     )
-    c1 = _split_bf16(c_mat[:tile])
-    c2 = _split_bf16(c_mat[tile : 2 * tile])
-    c3 = _split_bf16(c_mat[2 * tile :])
+    ch, cl = c_pair
+    c1 = (ch[:tile], cl[:tile])
+    c2 = (ch[tile : 2 * tile], cl[tile : 2 * tile])
+    c3 = (ch[2 * tile :], cl[2 * tile :])
     out = (
         _dot_bf16x3(xm, c1) + _dot_bf16x3((xh, xl), c2) + _dot_bf16x3(xp, c3)
     ).astype(dt)
@@ -132,22 +145,20 @@ def _lane_conv_tile(x_tile, c_mat, W: int):
 def _sepconv_kernel(x_ref, b_ref, c_ref, yo, s_w, s_wt, *, R, nT, W):
     i = pl.program_id(0)
 
-    cur_w = _lane_conv_tile(x_ref[...], c_ref[...], W)
+    cm = c_ref[...]
+    cur_w = _lane_conv_tile(x_ref[...], (cm[0], cm[1]), W)
 
     @pl.when(i > 0)
     def _compute():
         dt = cur_w.dtype
         last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows past H are zero
         head = (cur_w * last_f)[:HG]
-        half1 = s_wt[...] if R == HG else jnp.concatenate(
-            [s_wt[...], s_w[: R - HG]], axis=0
-        )
-        half2 = jnp.concatenate([s_w[R - HG :], head], axis=0)  # (2*HG, W)
-        b_mat = b_ref[...]
-        y = (
-            _dot_bf16x3(_split_bf16(b_mat[:, :R]), _split_bf16(half1))
-            + _dot_bf16x3(_split_bf16(b_mat[:, R:]), _split_bf16(half2))
-        ).astype(dt)
+        # single (R+8, R+2HG) @ (R+2HG, W) dot on the stitched VMEM window
+        # (measured ~9% faster than two split dots: one MXU launch, and the
+        # sublane concat of 8-aligned pieces is free)
+        win = jnp.concatenate([s_wt[...], s_w[...], head], axis=0)
+        bm = b_ref[...]
+        y = _dot_bf16x3((bm[0], bm[1]), _split_bf16(win)).astype(dt)
         yo[...] = y[:R]
 
     @pl.when(i == 0)
@@ -169,8 +180,8 @@ def sepconv2d_sweep(x, B, C, *, r: int, interpret: bool = False):
     H, W = x.shape
     nT = H // r
     in_spec = pl.BlockSpec((r, W), lambda i: (jnp.minimum(i, nT - 1), 0))
-    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
-    c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
+    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0, 0))
+    c_spec = pl.BlockSpec((2, 384, 128), lambda i: (0, 0, 0))
     out_spec = pl.BlockSpec((r, W), lambda i: (jnp.maximum(i - 1, 0), 0))
     kern = functools.partial(_sepconv_kernel, R=r, nT=nT, W=W)
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
