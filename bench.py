@@ -222,6 +222,36 @@ def bench_tpu(h, y):
         extras["generic_ips"] = round(gips, 1)
     except Exception as e:  # diagnostics only
         log(f"generic path failed: {e!r}")
+
+    # non-Gaussian PSFs (VERDICT r2 task 5): rank-2 rides the fused sweep
+    # engines (gradient = two chained pallas sweeps feeding the stencil
+    # sweep); a full-rank PSF falls back to the FFT wrap Gram.  rank2_ips is
+    # default-on; the full-rank row runs under BENCH_FULL=1.
+    try:
+        def _aniso(k=KSIZE):
+            ax = np.arange(k) - k // 2
+            g = lambda s: np.exp(-(ax**2) / (2 * s**2))
+            h2 = np.outer(g(2.0), g(2.0)) + 0.35 * np.outer(g(0.8), g(4.0))
+            return (h2 / h2.sum()).astype(np.float32)
+
+        h2 = _aniso()
+        s2 = TVDeconvolution(SHAPE, yj, LAM, filt=h2, nonneg=True, max_iter=1000, metric_every=1)
+        log(f"rank-2 PSF stencil={s2.stencil_mode}")
+        r2ips, _ = _time_solver(s2, "rank2", iters=50, reps=2)
+        extras["rank2_ips"] = round(r2ips, 1)
+    except Exception as e:
+        log(f"rank-2 path failed: {e!r}")
+    if os.environ.get("BENCH_FULL") == "1":
+        try:
+            rng_f = np.random.default_rng(7)
+            hf = np.abs(rng_f.standard_normal((KSIZE, KSIZE))).astype(np.float32)
+            hf /= hf.sum()  # full-rank PSF: FFT wrap-Gram fallback
+            sf = TVDeconvolution(SHAPE, yj, LAM, filt=hf, nonneg=True, max_iter=1000, metric_every=1)
+            log(f"full-rank PSF stencil={sf.stencil_mode}")
+            fips, _ = _time_solver(sf, "fullrank", iters=50, reps=2)
+            extras["fullrank_ips"] = round(fips, 1)
+        except Exception as e:
+            log(f"full-rank path failed: {e!r}")
     return ips, state, extras
 
 

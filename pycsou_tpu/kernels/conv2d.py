@@ -1,20 +1,27 @@
-"""Fused rank-1 separable 2-D convolution sweep (Pallas TPU kernel).
+"""Fused low-rank separable 2-D convolution sweep (Pallas TPU kernel).
 
 The banded XLA matvec path (kernels/band.py) runs the row and lane passes
 as two separate computations: read x, write t, read t, write y — plus pad
 copies for the banded matmuls and loop-carry copies, measured ~2.6 ms at
 4096^2 (51 GB/s effective; xprof attribution in docs/BENCH.md).  This
-kernel computes ``y = C(v) R(u) x`` ('same' conv with a rank-1 kernel
-``u v^T``, reference linop/conv.py:167-295) in ONE sweep over row tiles:
+kernel computes ``y = sum_i C(v_i) R(u_i) x`` ('same' conv with a low-rank
+kernel ``sum_i u_i v_i^T``, rank <= 4; reference linop/conv.py:167-295) in
+ONE sweep over row tiles:
 
-* the lane pass runs per-tile in VMEM as block-tridiagonal 128-chunk MXU
+* the lane passes run per-tile in VMEM as block-tridiagonal 128-chunk MXU
   matmuls (the raw 'same' conv IS its clipped Toeplitz band under zero
-  boundaries — no edge corrections, unlike the Gram);
-* the row pass consumes the streamed lane results from a VMEM ring with an
-  HG-row tail/head window (the same software pipeline as kernels/tv.py).
+  boundaries — no edge corrections, unlike the Gram), one per rank factor
+  off a single shared bf16 split of the tile;
+* the row passes consume the streamed lane results from per-rank VMEM
+  rings with an HG-row tail/head window (the same software pipeline as
+  kernels/tv.py), and their dots accumulate into the single output tile.
 
-x is read from HBM exactly once and y written exactly once — the two-pass
-path's intermediate array, pad copies and carries disappear.
+x is read from HBM exactly once and y written exactly once regardless of
+rank — the two-pass path's 2r intermediate arrays, pad copies and carries
+disappear.  Composing the forward sweep with the flipped-tap adjoint sweep
+gives an EXACT 4-stream Gram for any rank <= 4 PSF (the product of exact
+operators needs none of the crop-edge corrections the banded autocorrelation
+Gram has to apply).
 """
 from __future__ import annotations
 
@@ -91,35 +98,46 @@ def _presplit(a):
 
 
 def make_sepconv_plan(u_taps, v_taps, offset_r: int, offset_c: int, shape):
-    """(B, C, R) kernel plan for ``y = C(v) R(u) x`` on ``shape`` (or None
-    when the shape/reach doesn't qualify).  ``offset_*``: the 'same' crop
-    offsets (``K//2`` forward; ``K-1-K//2`` for the adjoint/correlation).
-    B and C carry their bf16 hi/lo splits on a leading axis of 2."""
+    """(B, C, R) kernel plan for ``y = sum_i C(v_i) R(u_i) x`` on ``shape``
+    (or None when the shape/reach/rank doesn't qualify).  ``u_taps``/
+    ``v_taps``: (K,) rank-1 taps or (K, rank) stacked factors, rank <= 4.
+    ``offset_*``: the 'same' crop offsets (``K//2`` forward; ``K-1-K//2``
+    for the adjoint/correlation).  B is (rank, 2, R+8, R+2HG) and C is
+    (rank, 2, 384, 128) — per-rank row/lane matrices with their bf16 hi/lo
+    splits on the second axis."""
     H, W = shape
     u = np.asarray(u_taps, np.float64)
     v = np.asarray(v_taps, np.float64)
+    if u.ndim == 1:
+        u = u[:, None]
+    if v.ndim == 1:
+        v = v[:, None]
+    rank = u.shape[1]
+    if rank != v.shape[1] or rank > 4:
+        return None
     if W % 128 or W < 384 or H % 8:
         return None
-    if max(offset_r, u.size - 1 - offset_r) > HG - 1:
+    if max(offset_r, u.shape[0] - 1 - offset_r) > HG - 1:
         return None
-    if max(offset_c, v.size - 1 - offset_c) > 128:
+    if max(offset_c, v.shape[0] - 1 - offset_c) > 128:
         return None
     r = 32 if (H % 32 == 0 and (32 + 8) * W * 4 <= 820_000) else (
         16 if (H % 16 == 0 and (16 + 8) * W * 4 <= 820_000) else 0
     )
     if r == 0 or H // r < 1:
         return None
-    B = make_row_band_mat(u, offset_r, r)
-    C = make_lane_band_mats(v, offset_c)
-    return _presplit(B), _presplit(C), r
+    B = np.stack([np.asarray(_presplit(make_row_band_mat(u[:, i], offset_r, r))) for i in range(rank)])
+    C = np.stack([np.asarray(_presplit(make_lane_band_mats(v[:, i], offset_c))) for i in range(rank)])
+    return jnp.asarray(B), jnp.asarray(C), r
 
 
-def _lane_conv_tile(x_tile, c_pair, W: int):
-    """Raw 'same' lane conv of one (R, W) tile in VMEM (bf16x3 matmuls;
-    ``c_pair`` = pre-split (hi, lo) of the (384, 128) [C_-1; C_0; C_+1]
-    stack)."""
+def _sepconv_kernel(x_ref, b_ref, c_ref, yo, s_w, s_wt, *, R, nT, W, RANK):
+    i = pl.program_id(0)
+
+    # shared bf16 split + neighbour-chunk rolls of the input tile — computed
+    # once, consumed by every rank factor's lane pass
+    x_tile = x_ref[...]
     dt = x_tile.dtype
-    R = x_tile.shape[0]
     tile = 128
     nC = W // tile
     xv = jnp.reshape(x_tile, (R * nC, tile))
@@ -132,58 +150,61 @@ def _lane_conv_tile(x_tile, c_pair, W: int):
         pltpu.roll(xh, R * nC - 1, axis=0) * m_last,
         pltpu.roll(xl, R * nC - 1, axis=0) * m_last,
     )
-    ch, cl = c_pair
-    c1 = (ch[:tile], cl[:tile])
-    c2 = (ch[tile : 2 * tile], cl[tile : 2 * tile])
-    c3 = (ch[2 * tile :], cl[2 * tile :])
-    out = (
-        _dot_bf16x3(xm, c1) + _dot_bf16x3((xh, xl), c2) + _dot_bf16x3(xp, c3)
-    ).astype(dt)
-    return jnp.reshape(out, (R, W))
-
-
-def _sepconv_kernel(x_ref, b_ref, c_ref, yo, s_w, s_wt, *, R, nT, W):
-    i = pl.program_id(0)
-
-    cm = c_ref[...]
-    cur_w = _lane_conv_tile(x_ref[...], (cm[0], cm[1]), W)
+    cur = []
+    for k in range(RANK):
+        ch = c_ref[k, 0]
+        cl = c_ref[k, 1]
+        c1 = (ch[:tile], cl[:tile])
+        c2 = (ch[tile : 2 * tile], cl[tile : 2 * tile])
+        c3 = (ch[2 * tile :], cl[2 * tile :])
+        ok = (
+            _dot_bf16x3(xm, c1) + _dot_bf16x3((xh, xl), c2) + _dot_bf16x3(xp, c3)
+        ).astype(dt)
+        cur.append(jnp.reshape(ok, (R, W)))
 
     @pl.when(i > 0)
     def _compute():
-        dt = cur_w.dtype
         last_f = jnp.where(i == nT, 0.0, 1.0).astype(dt)  # rows past H are zero
-        head = (cur_w * last_f)[:HG]
-        # single (R+8, R+2HG) @ (R+2HG, W) dot on the stitched VMEM window
-        # (measured ~9% faster than two split dots: one MXU launch, and the
-        # sublane concat of 8-aligned pieces is free)
-        win = jnp.concatenate([s_wt[...], s_w[...], head], axis=0)
-        bm = b_ref[...]
-        y = _dot_bf16x3((bm[0], bm[1]), _split_bf16(win)).astype(dt)
-        yo[...] = y[:R]
+        acc = None
+        for k in range(RANK):
+            head = (cur[k] * last_f)[:HG]
+            # single (R+8, R+2HG) @ (R+2HG, W) dot on the stitched VMEM window
+            # (measured ~9% faster than two split dots: one MXU launch, and
+            # the sublane concat of 8-aligned pieces is free)
+            win = jnp.concatenate(
+                [s_wt[k * HG : (k + 1) * HG], s_w[k * R : (k + 1) * R], head],
+                axis=0,
+            )
+            y = _dot_bf16x3((b_ref[k, 0], b_ref[k, 1]), _split_bf16(win))
+            acc = y if acc is None else acc + y
+        yo[...] = acc[:R].astype(dt)
 
     @pl.when(i == 0)
     def _init():
-        s_wt[...] = jnp.zeros((HG, W), jnp.float32)
+        s_wt[...] = jnp.zeros((RANK * HG, W), jnp.float32)
 
     @pl.when(i > 0)
     def _tail():
-        s_wt[...] = s_w[R - HG :]
+        for k in range(RANK):
+            s_wt[k * HG : (k + 1) * HG] = s_w[(k + 1) * R - HG : (k + 1) * R]
 
     @pl.when(i < nT)
     def _carry():
-        s_w[...] = cur_w
+        for k in range(RANK):
+            s_w[k * R : (k + 1) * R] = cur[k]
 
 
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))
 def sepconv2d_sweep(x, B, C, *, r: int, interpret: bool = False):
-    """One-pass fused rank-1 'same' 2-D convolution: 2 HBM streams total."""
+    """One-pass fused rank<=4 'same' 2-D convolution: 2 HBM streams total."""
     H, W = x.shape
+    rank = B.shape[0]
     nT = H // r
     in_spec = pl.BlockSpec((r, W), lambda i: (jnp.minimum(i, nT - 1), 0))
-    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0, 0))
-    c_spec = pl.BlockSpec((2, 384, 128), lambda i: (0, 0, 0))
+    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0, 0, 0))
+    c_spec = pl.BlockSpec(tuple(C.shape), lambda i: (0, 0, 0, 0))
     out_spec = pl.BlockSpec((r, W), lambda i: (jnp.maximum(i - 1, 0), 0))
-    kern = functools.partial(_sepconv_kernel, R=r, nT=nT, W=W)
+    kern = functools.partial(_sepconv_kernel, R=r, nT=nT, W=W, RANK=rank)
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     try:
         params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
@@ -196,8 +217,8 @@ def sepconv2d_sweep(x, B, C, *, r: int, interpret: bool = False):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((H, W), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((r, W), jnp.float32),
-            pltpu.VMEM((HG, W), jnp.float32),
+            pltpu.VMEM((rank * r, W), jnp.float32),
+            pltpu.VMEM((rank * HG, W), jnp.float32),
         ],
         compiler_params=params,
         interpret=interpret,

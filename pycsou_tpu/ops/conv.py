@@ -226,9 +226,9 @@ class Convolve2D(LinearOperator):
     # the width is not tile-aligned or the band reach exceeds the window
     band_col_chan: tuple = None
     band_col_adj_chan: tuple = None
-    # fused one-pass sweep matvec plans (kernels/conv2d.py): rank-1 kernels
-    # on TPU run forward/adjoint as ONE pallas sweep (2 HBM streams instead
-    # of the two-pass banded path's ~6 incl. pad/carry copies)
+    # fused one-pass sweep matvec plans (kernels/conv2d.py): rank <= 4
+    # kernels on TPU run forward/adjoint as ONE pallas sweep (2 HBM streams
+    # instead of the 2r-pass banded path's ~6r incl. pad/carry copies)
     mv_B: jax.Array = None
     mv_C: jax.Array = None
     mv_Ba: jax.Array = None
@@ -300,14 +300,15 @@ class Convolve2D(LinearOperator):
                 if all(c is not None for c in cf + cb):
                     self.band_col_chan = tuple(jnp.asarray(c) for c in cf)
                     self.band_col_adj_chan = tuple(jnp.asarray(c) for c in cb)
-            # one-pass fused sweep matvec (TPU only; the plan is shape-gated)
-            if r == 1 and jax.default_backend() not in ("cpu",):
+            # one-pass fused sweep matvec (TPU only; the plan is
+            # shape/rank-gated — any rank <= 4 accumulates in-kernel)
+            if jax.default_backend() not in ("cpu",):
                 from pycsou_tpu.kernels.conv2d import make_sepconv_plan
 
                 us_np = np.asarray(us)
-                pf = make_sepconv_plan(us_np[:, 0], vs_np[:, 0], o0, o1, dim_shape)
+                pf = make_sepconv_plan(us_np, vs_np, o0, o1, dim_shape)
                 pa = make_sepconv_plan(
-                    us_np[::-1, 0], vs_np[::-1, 0], m0 - 1 - o0, m1 - 1 - o1, dim_shape
+                    us_np[::-1], vs_np[::-1], m0 - 1 - o0, m1 - 1 - o1, dim_shape
                 )
                 if pf is not None and pa is not None:
                     self.mv_B, self.mv_C, self.mv_r = pf
@@ -518,6 +519,16 @@ class SeparableConvGram2D(LinearOperator):
     # raw rank-1 factor taps (host floats; mega2 lane-plan builder input)
     g_rows_taps: tuple = static_field(default=None)
     g_cols_taps: tuple = static_field(default=None)
+    # fused two-sweep Gram (kernels/conv2d.py): on TPU, A^H A runs as
+    # adjoint-sweep o forward-sweep — 4 clean HBM streams for ANY rank <= 4,
+    # vs the banded path's 4r passes with pad/carry intermediates.  Exact:
+    # the sweeps are exact 'same' convolutions, so their composition needs
+    # none of the crop-edge corrections the autocorrelation band applies.
+    sw_Bf: jax.Array = None
+    sw_Cf: jax.Array = None
+    sw_Ba: jax.Array = None
+    sw_Ca: jax.Array = None
+    sw_r: int = static_field(default=0)
 
     @staticmethod
     def build(conv: "Convolve2D", tol: float = 1e-6, max_rank: int = 4):
@@ -606,6 +617,23 @@ class SeparableConvGram2D(LinearOperator):
                 if Kc is not None:
                     self.g_cols_chan = jnp.asarray(Kc)
 
+        # fused two-sweep Gram plans (TPU only; shape/rank-gated).  Rank >= 2
+        # routes apply() through them; rank 1 keeps the 2-pass acorr path
+        # (fewer streams) but the plans let callers compare.
+        self.sw_Bf = self.sw_Cf = self.sw_Ba = self.sw_Ca = None
+        self.sw_r = 0
+        if jax.default_backend() not in ("cpu",):
+            from pycsou_tpu.kernels.conv2d import make_sepconv_plan
+
+            us_np, vs_np = np.asarray(us), np.asarray(vs)
+            pf = make_sepconv_plan(us_np, vs_np, o0, o1, conv.dim_shape)
+            pa = make_sepconv_plan(
+                us_np[::-1], vs_np[::-1], m0 - 1 - o0, m1 - 1 - o1, conv.dim_shape
+            )
+            if pf is not None and pa is not None:
+                self.sw_Bf, self.sw_Cf, self.sw_r = pf
+                self.sw_Ba, self.sw_Ca, _ = pa
+
     def _apply_fast2(self, x):
         """Rank-1 2-pass Gram: RowGram then ColGram, each one banded pass."""
         from pycsou_tpu.kernels.band import DEFAULT_PRECISION, band_conv_cols, band_conv_rows
@@ -635,6 +663,12 @@ class SeparableConvGram2D(LinearOperator):
 
         if self.g_meta is not None:
             return self._apply_fast2(x)
+        if self.sw_r:
+            # adjoint-sweep o forward-sweep: 4 HBM streams, any rank <= 4
+            from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
+
+            t = sepconv2d_sweep(jnp.asarray(x), self.sw_Bf, self.sw_Cf, r=self.sw_r)
+            return sepconv2d_sweep(t, self.sw_Ba, self.sw_Ca, r=self.sw_r)
         from pycsou_tpu.kernels.band import chanconv_cols
 
         r = self.rank
