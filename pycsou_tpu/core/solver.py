@@ -180,8 +180,15 @@ class IterativeSolver(Module):
         composed operator expression works — XLA's SPMD partitioner inserts
         the psum/halo collectives that the hand-written solvers in
         ``parallel/solvers.py`` spell out manually.
+
+        Every operator in the solver tree is replaced by its GSPMD-safe twin
+        (``_module.strip_pallas``): ``pallas_call`` does not partition under
+        sharding constraints, so fused-sweep matvec/Gram plans are dropped in
+        the sharded copy (the banded XLA passes partition fine).
         """
-        return self.replace(state_shardings=dict(shardings))
+        from pycsou_tpu._module import strip_pallas
+
+        return strip_pallas(self).replace(state_shardings=dict(shardings))
 
     def _constrain(self, state):
         sh = getattr(self, "state_shardings", None)

@@ -314,6 +314,13 @@ class Convolve2D(LinearOperator):
                     self.mv_B, self.mv_C, self.mv_r = pf
                     self.mv_Ba, self.mv_Ca, _ = pa
 
+    def _without_pallas(self) -> "Convolve2D":
+        """GSPMD-safe twin: drop the fused-sweep matvec plans so apply/
+        adjoint stay on the banded XLA passes (``_module.strip_pallas``)."""
+        if not self.mv_r:
+            return self
+        return self.replace(mv_B=None, mv_C=None, mv_Ba=None, mv_Ca=None, mv_r=0)
+
     @staticmethod
     def _band_factors(filt):
         from pycsou_tpu.kernels.band import TILE
@@ -617,12 +624,16 @@ class SeparableConvGram2D(LinearOperator):
                 if Kc is not None:
                     self.g_cols_chan = jnp.asarray(Kc)
 
-        # fused two-sweep Gram plans (TPU only; shape/rank-gated).  Rank >= 2
-        # routes apply() through them; rank 1 keeps the 2-pass acorr path
-        # (fewer streams) but the plans let callers compare.
+        # fused two-sweep Gram plans (TPU only; shape/rank-gated).  apply()
+        # prefers them for EVERY rank: measured 0.79 ms vs the rank-1 2-pass
+        # acorr band's 1.43 ms at 4096^2 (the sweeps are single-stream
+        # pallas passes; the banded path pays pad/carry copies).
         self.sw_Bf = self.sw_Cf = self.sw_Ba = self.sw_Ca = None
         self.sw_r = 0
-        if jax.default_backend() not in ("cpu",):
+        # 1x1 kernels (identity/homothety, the denoising path): the banded
+        # Gram is a trivial fused scale — two pallas sweeps would be pure
+        # launch overhead
+        if m0 * m1 > 1 and jax.default_backend() not in ("cpu",):
             from pycsou_tpu.kernels.conv2d import make_sepconv_plan
 
             us_np, vs_np = np.asarray(us), np.asarray(vs)
@@ -661,14 +672,15 @@ class SeparableConvGram2D(LinearOperator):
     def apply(self, x):
         from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows
 
-        if self.g_meta is not None:
-            return self._apply_fast2(x)
         if self.sw_r:
-            # adjoint-sweep o forward-sweep: 4 HBM streams, any rank <= 4
+            # adjoint-sweep o forward-sweep: 4 HBM streams, any rank <= 4;
+            # measured 1.8x faster than the 2-pass acorr band at 4096^2
             from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
 
             t = sepconv2d_sweep(jnp.asarray(x), self.sw_Bf, self.sw_Cf, r=self.sw_r)
             return sepconv2d_sweep(t, self.sw_Ba, self.sw_Ca, r=self.sw_r)
+        if self.g_meta is not None:
+            return self._apply_fast2(x)
         from pycsou_tpu.kernels.band import chanconv_cols
 
         r = self.rank
@@ -693,6 +705,13 @@ class SeparableConvGram2D(LinearOperator):
 
     def adjoint(self, y):
         return self.apply(jnp.asarray(y))
+
+    def _without_pallas(self) -> "SeparableConvGram2D":
+        """GSPMD-safe twin: drop the two-sweep plans so apply stays on the
+        banded XLA passes (``_module.strip_pallas``)."""
+        if not self.sw_r:
+            return self
+        return self.replace(sw_Bf=None, sw_Cf=None, sw_Ba=None, sw_Ca=None, sw_r=0)
 
 
 def rank1_factors_nd(filt_np: np.ndarray, tol: float = 1e-6):

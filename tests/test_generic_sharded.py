@@ -180,3 +180,52 @@ def test_tv_solver_with_shardings_matches_single(rng):
     got = sh.run_fixed(40)
     assert not got["x"].sharding.is_fully_replicated
     np.testing.assert_allclose(np.asarray(got["x"]), np.asarray(ref["x"]), rtol=1e-4, atol=1e-5)
+
+
+def test_with_shardings_strips_pallas_plans(rng):
+    """solver.with_shardings replaces operators with GSPMD-safe twins:
+    fused-sweep matvec/Gram plans are dropped (pallas_call does not
+    partition under sharding constraints — XLA would silently all-gather
+    the full arrays around every kernel on a real pod)."""
+    from pycsou_tpu._module import strip_pallas
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.opt import APGD
+
+    H, W = 32, 48
+    ax = np.arange(7) - 3
+    g1 = np.exp(-(ax**2) / 4.0)
+    filt = (np.outer(g1, g1) / np.outer(g1, g1).sum()).astype(np.float32)
+    y = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    A = Convolve2D((H, W), filt)
+    solver = APGD((H, W), F=SquaredL2Loss((H, W), data=y) * A, G=NonNegativeOrthant((H, W)), max_iter=5)
+
+    # simulate the TPU constructor having built sweep plans (the CPU test
+    # backend gates them off) by injecting dummies into the BUILT pytree
+    # (dummy plans can't survive constructor-time apply calls)
+    from pycsou_tpu._module import Module
+
+    dummy = jnp.zeros((1, 2, 4, 4), jnp.float32)
+
+    def inject(obj):
+        if isinstance(obj, Convolve2D):
+            obj = obj.replace(mv_B=dummy, mv_C=dummy, mv_Ba=dummy, mv_Ca=dummy, mv_r=16)
+        if isinstance(obj, Module):
+            return obj.replace(**{n: inject(getattr(obj, n, None)) for n in obj._dyn_fields})
+        if isinstance(obj, (tuple, list)):
+            return type(obj)(inject(v) for v in obj)
+        return obj
+
+    dirty = inject(solver)
+    A_dirty = inject(A)
+    stripped_A = strip_pallas(A_dirty)
+    assert stripped_A.mv_r == 0 and stripped_A.mv_B is None
+    assert A_dirty.mv_r == 16  # original untouched
+
+    mesh = make_mesh((jax.device_count(),), ("sp",))
+    sh = dirty.with_shardings(x=NamedSharding(mesh, P("sp", None)))
+    leaves = jax.tree_util.tree_leaves(
+        sh, is_leaf=lambda o: isinstance(o, Convolve2D)
+    )
+    convs = [l for l in leaves if isinstance(l, Convolve2D)]
+    assert convs and all(c.mv_r == 0 for c in convs)
