@@ -1,0 +1,278 @@
+"""Fused TV PDS step for ANY low-rank (<= 4) PSF (Pallas TPU kernel).
+
+The mega2 kernel (kernels/tv.py) fuses the Gram into the stencil sweep via
+the rank-1 factorisation ``A^H A = RowGram o ColGram`` — which simply does
+not exist for rank >= 2 (the r^2 cross terms don't factor into one row band
+by one lane band).  This kernel takes the other exact route, the one the
+two-sweep Gram (kernels/conv2d.py) proved out: pipeline the FORWARD sweep
+``t = A x``, the ADJOINT sweep ``g = 2 A^H t`` and the PDS stencil through
+one grid walk over row tiles:
+
+* stage 1 (tile i):   per-rank forward lane convs of the streamed x tile;
+* stage 2 (tile i-1): forward row dots on the lane-result VMEM rings
+  produce the t tile, which is immediately lane-convolved with the
+  adjoint taps (t never touches HBM);
+* stage 3 (tile i-2): adjoint row dots on the second-stage rings produce
+  the (R+8)-row gradient window, and the full PDS stencil chain
+  (kernels/tv.py ``_pds_stencil``) updates x/z0/z1.
+
+Exactness needs NO edge corrections and NO corner fixes: each sweep is an
+exact 'same' convolution (its clipped Toeplitz band under zero boundaries),
+so their composition is the exact Gram — the property that makes the
+mega2 plan's autocorrelation-band corrections unnecessary here.  HBM
+traffic per iteration is the same 7 streams as mega2 (x/atb/z0/z1 in,
+x/z0/z1 out); compute is 2r lane passes + 2r row dots per tile (vs
+mega2's one lane Gram + one row dot), scaling linearly — not
+quadratically — in the rank.
+
+Reference anchor: the PDS update this fuses is the reference's hot loop
+(/root/reference/pycsou/opt/proxalgs.py:343-355) with a low-rank 'same'
+convolution data term (linop/conv.py:167-295).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pycsou_tpu.kernels.conv2d import make_sepconv_plan
+from pycsou_tpu.kernels.tv import (
+    MEGA_HG,
+    _dot_bf16x3,
+    _pds_stencil,
+    _split_bf16,
+    _stats_update,
+)
+
+__all__ = ["make_megar_plan", "tv_pds_megar_step"]
+
+HG = MEGA_HG
+
+
+def make_megar_plan(us, vs, shape):
+    """(Bf, Cf, Ba, Ca, R) kernel plan for the fused rank-r TV step, or None
+    when the shape/reach/rank doesn't qualify (same gates as the sweep
+    matvec plan).  ``us``/``vs``: (K0, rank)/(K1, rank) SVD factor stacks of
+    the PSF.  The adjoint row bands carry the gradient's 2x scale (the row
+    pass is linear in its taps), so the kernel's adjoint row dots emit
+    ``2 A^H t`` directly — mirroring make_mega_band's built-in 2x."""
+    us = np.asarray(us, np.float64)
+    vs = np.asarray(vs, np.float64)
+    if us.ndim == 1:
+        us = us[:, None]
+    if vs.ndim == 1:
+        vs = vs[:, None]
+    m0, m1 = us.shape[0], vs.shape[0]
+    o0, o1 = m0 // 2, m1 // 2
+    pf = make_sepconv_plan(us, vs, o0, o1, shape)
+    pa = make_sepconv_plan(2.0 * us[::-1], vs[::-1], m0 - 1 - o0, m1 - 1 - o1, shape)
+    if pf is None or pa is None:
+        return None
+    Bf, Cf, r = pf
+    Ba, Ca, _ = pa
+    return Bf, Cf, Ba, Ca, r
+
+
+def _lane_conv_multi(x_tile, c_ref, W: int, RANK: int):
+    """Per-rank raw 'same' lane convs of one (R, W) tile off a single shared
+    bf16 split (kernels/conv2d.py _sepconv_kernel's stage, reused for both
+    sweep directions)."""
+    dt = x_tile.dtype
+    R = x_tile.shape[0]
+    tile = 128
+    nC = W // tile
+    xv = jnp.reshape(x_tile, (R * nC, tile))
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (R * nC, tile), 0)
+    m_first = jnp.where(fidx % nC == 0, 0.0, 1.0).astype(dt)
+    m_last = jnp.where(fidx % nC == nC - 1, 0.0, 1.0).astype(dt)
+    xh, xl = _split_bf16(xv)
+    xm = (pltpu.roll(xh, 1, axis=0) * m_first, pltpu.roll(xl, 1, axis=0) * m_first)
+    xp = (
+        pltpu.roll(xh, R * nC - 1, axis=0) * m_last,
+        pltpu.roll(xl, R * nC - 1, axis=0) * m_last,
+    )
+    out = []
+    for k in range(RANK):
+        ch = c_ref[k, 0]
+        cl = c_ref[k, 1]
+        ok = (
+            _dot_bf16x3(xm, (ch[:tile], cl[:tile]))
+            + _dot_bf16x3((xh, xl), (ch[tile : 2 * tile], cl[tile : 2 * tile]))
+            + _dot_bf16x3(xp, (ch[2 * tile :], cl[2 * tile :]))
+        ).astype(dt)
+        out.append(jnp.reshape(ok, (R, W)))
+    return out
+
+
+def _tv_megar_kernel(x_ref, a_ref, z0_ref, z1_ref, bf_ref, cf_ref, ba_ref, ca_ref,
+                     xo, z0o, z1o, so,
+                     s_x1, s_x2, s_a, s_z0, s_z1, s_lv, s_lvt, s_la, s_lat,
+                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg, RANK):
+    i = pl.program_id(0)
+    cur_x = x_ref[...]
+    cur_a = a_ref[...]
+    cur_z0 = z0_ref[...]
+    cur_z1 = z1_ref[...]
+    dt = cur_x.dtype
+
+    # stage 1: forward lane passes of the x tile being streamed (tile i)
+    lv = _lane_conv_multi(cur_x, cf_ref, W, RANK)
+
+    @pl.when(i > 0)
+    def _stages():
+        # stage 2: t tile (i-1) = forward row dots on the lv rings, then its
+        # adjoint lane passes — t lives only in registers/VMEM this step
+        last1 = jnp.where(i == nT, 0.0, 1.0).astype(dt)
+        t = None
+        for k in range(RANK):
+            win = jnp.concatenate(
+                [
+                    s_lvt[k * HG : (k + 1) * HG],
+                    s_lv[k * R : (k + 1) * R],
+                    (lv[k] * last1)[:HG],
+                ],
+                axis=0,
+            )
+            tk = _dot_bf16x3((bf_ref[k, 0], bf_ref[k, 1]), _split_bf16(win))
+            t = tk[:R] if t is None else t + tk[:R]
+        la = _lane_conv_multi(t.astype(dt), ca_ref, W, RANK)
+
+        @pl.when(i > 1)
+        def _stencil():
+            # stage 3: gradient window for output tile j2 = i-2 via the
+            # (2x-scaled) adjoint row dots, then the fused PDS chain
+            j2 = i - 2
+            row0 = j2 * R
+            last2 = jnp.where(i == nT + 1, 0.0, 1.0).astype(dt)
+            gsum = None
+            for k in range(RANK):
+                win = jnp.concatenate(
+                    [
+                        s_lat[k * HG : (k + 1) * HG],
+                        s_la[k * R : (k + 1) * R],
+                        (la[k] * last2)[:HG],
+                    ],
+                    axis=0,
+                )
+                gk = _dot_bf16x3((ba_ref[k, 0], ba_ref[k, 1]), _split_bf16(win))
+                gsum = gk if gsum is None else gsum + gk
+            aw = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
+            gw = gsum.astype(dt) - 2.0 * aw  # Ba carries the 2x (make_megar_plan)
+
+            xw = jnp.concatenate([s_x2[...], s_x1[:8]], axis=0)
+            z0w = jnp.concatenate([s_z0[8:], cur_z0[:8]], axis=0)
+            z0up = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
+            z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
+            x_n, z0_n, z1_n = _pds_stencil(
+                xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg
+            )
+            xo[...] = x_n
+            z0o[...] = z0_n
+            z1o[...] = z1_n
+            _stats_update(so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])])
+
+        # second-stage ring updates (after the stencil consumed them); the
+        # tail shift waits until the ring holds a real tile (i >= 2) so the
+        # i == 0 zero-init survives to the first output tile's window
+        @pl.when(i > 1)
+        def _tail_la():
+            for k in range(RANK):
+                s_lat[k * HG : (k + 1) * HG] = s_la[(k + 1) * R - HG : (k + 1) * R]
+
+        @pl.when(i < nT + 1)
+        def _carry_la():
+            for k in range(RANK):
+                s_la[k * R : (k + 1) * R] = la[k]
+
+    @pl.when(i == 0)
+    def _init():
+        s_lvt[...] = jnp.zeros((RANK * HG, W), jnp.float32)
+        s_lat[...] = jnp.zeros((RANK * HG, W), jnp.float32)
+        s_z0[:8] = jnp.zeros((8, W), jnp.float32)
+        so[...] = jnp.zeros((8, 128), jnp.float32)
+
+    @pl.when(i > 0)
+    def _tail_lv():
+        for k in range(RANK):
+            s_lvt[k * HG : (k + 1) * HG] = s_lv[(k + 1) * R - HG : (k + 1) * R]
+
+    @pl.when(i > 1)
+    def _tail_z0():
+        s_z0[:8] = s_z0[R : R + 8]
+
+    @pl.when(i < nT)
+    def _carry_lv():
+        for k in range(RANK):
+            s_lv[k * R : (k + 1) * R] = lv[k]
+
+    # iterate rings: 2-deep for x (streamed at tile i, stencilled at i-2),
+    # 1-deep for atb/z0/z1 (streamed at tile i-1)
+    s_x2[...] = s_x1[...]
+    s_x1[...] = cur_x
+    s_a[...] = cur_a
+    s_z0[8:] = cur_z0
+    s_z1[...] = cur_z1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r")
+)
+def tv_pds_megar_step(x, z0, z1, atb, Bf, Cf, Ba, Ca, *, tau: float, sigma: float,
+                      rho: float, lam: float, nonneg: bool = True,
+                      interpret: bool = False, mega_r: int = 32):
+    """One full TV PDS iteration with the ENTIRE rank-r Gram (forward +
+    adjoint sweeps) fused into the stencil kernel — the rank >= 2 analogue
+    of :func:`pycsou_tpu.kernels.tv.tv_pds_mega2_step` (same 7 HBM streams,
+    same ``stats`` epilogue partial sums, same separate-dual convention).
+
+    ``Bf``/``Cf``/``Ba``/``Ca`` from :func:`make_megar_plan` (the adjoint
+    row bands carry the gradient's 2x).  Equivalent to
+    ``tv_pds_stencil_step_xla(x, z, 2*(A^H A x - atb), ...)``."""
+    H, W = x.shape
+    R = int(mega_r)
+    rank = Bf.shape[0]
+    nT = H // R
+    x_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    lag_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 1, 0, nT - 1), 0))
+    b_spec = pl.BlockSpec(tuple(Bf.shape), lambda i: (0, 0, 0, 0))
+    c_spec = pl.BlockSpec(tuple(Cf.shape), lambda i: (0, 0, 0, 0))
+    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 2, 0, nT - 1), 0))
+    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    kern = functools.partial(
+        _tv_megar_kernel, R=R, nT=nT, H=H, W=W,
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam),
+        nonneg=bool(nonneg), RANK=rank,
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    try:
+        params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # pragma: no cover
+        params = cp(dimension_semantics=("arbitrary",))
+    xn, z0n, z1n, stats = pl.pallas_call(
+        kern,
+        grid=(nT + 2,),
+        in_specs=[x_spec, lag_spec, lag_spec, lag_spec, b_spec, c_spec, b_spec, c_spec],
+        out_specs=[out_spec] * 3 + [stats_spec],
+        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3
+        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        # in-place x/z0/z1 (see _mega2_call): kills the while-carry copies
+        input_output_aliases={0: 0, 2: 1, 3: 2},
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.float32),       # s_x1 (tile i-1)
+            pltpu.VMEM((R, W), jnp.float32),       # s_x2 (tile i-2)
+            pltpu.VMEM((R, W), jnp.float32),       # s_a (atb tile i-2)
+            pltpu.VMEM((R + 8, W), jnp.float32),   # s_z0 (8-row margin + tile)
+            pltpu.VMEM((R, W), jnp.float32),       # s_z1
+            pltpu.VMEM((rank * R, W), jnp.float32),   # s_lv
+            pltpu.VMEM((rank * HG, W), jnp.float32),  # s_lvt
+            pltpu.VMEM((rank * R, W), jnp.float32),   # s_la
+            pltpu.VMEM((rank * HG, W), jnp.float32),  # s_lat
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(x, atb, z0, z1, Bf, Cf, Ba, Ca)
+    return xn, z0n, z1n, stats

@@ -76,11 +76,13 @@ class TVDeconvolution(IterativeSolver):
     use_pallas: bool = static_field(default=False)
     # "mega3" (TWO iterations per pass, both Gram directions in-kernel,
     # fastest), "mega2" (one iteration, both Gram directions fused),
-    # "mega" (row-Gram fused, lane Gram as an XLA pass), "sweep"
-    # (scratch-carry pipeline), "element" (halo blocks), "xla" (pure-XLA
-    # twin; the CPU path).  mega3 sets iters_per_step=2: it/history/
-    # max_iter stay in iteration units, the stopping metric measures the
-    # improvement across a double step (conservative vs single-step).
+    # "megar" (rank <= 4 PSFs: forward+adjoint sweeps fused into the
+    # stencil, kernels/tvr.py), "mega" (row-Gram fused, lane Gram as an
+    # XLA pass), "sweep" (scratch-carry pipeline), "element" (halo
+    # blocks), "xla" (pure-XLA twin; the CPU path).  mega3 sets
+    # iters_per_step=2: it/history/max_iter stay in iteration units, the
+    # stopping metric measures the improvement across a double step
+    # (conservative vs single-step).
     stencil_mode: str = static_field(default="xla")
     mega_B: jax.Array = None  # (R+8, R+2*HG) fused row-Gram band matrix
     mega_C: jax.Array = None  # (384, 128) mega2 block-tridiag lane band
@@ -91,6 +93,11 @@ class TVDeconvolution(IterativeSolver):
     # mega3 (two fused iterations per pass) padded corr matrices
     mega_Et: jax.Array = None
     mega_Eb: jax.Array = None
+    # megar (rank <= 4) fused sweep plans (kernels/tvr.py make_megar_plan)
+    megar_Bf: jax.Array = None
+    megar_Cf: jax.Array = None
+    megar_Ba: jax.Array = None
+    megar_Ca: jax.Array = None
 
     def __init__(
         self,
@@ -154,7 +161,7 @@ class TVDeconvolution(IterativeSolver):
         # the shape/PSF doesn't qualify (ADVICE r2).
         from pycsou_tpu.kernels.tv import sweep_available
 
-        _STENCILS = ("auto", "mega3", "mega2", "mega", "sweep", "element", "xla")
+        _STENCILS = ("auto", "mega3", "mega2", "megar", "mega", "sweep", "element", "xla")
         if stencil not in _STENCILS:
             raise ValueError(f"unknown stencil {stencil!r}; expected one of {_STENCILS}")
 
@@ -164,6 +171,7 @@ class TVDeconvolution(IterativeSolver):
         self.mega_r = MEGA_R
         self.mega_Et = None
         self.mega_Eb = None
+        self.megar_Bf = self.megar_Cf = self.megar_Ba = self.megar_Ca = None
         if stencil == "xla" or not self.use_pallas:
             if stencil not in ("auto", "xla"):
                 raise ValueError(
@@ -184,6 +192,16 @@ class TVDeconvolution(IterativeSolver):
                     mega_r2 = 32
                 _, L_r, _, _ = self.gram.g_meta
                 mega3_ok = mega_r2 == 32 and H // 32 >= 2 and L_r <= 32
+            # megar: any rank <= 4 PSF rides the fused forward+adjoint-sweep
+            # stencil (kernels/tvr.py) — the rank >= 2 flagship engine
+            megar_plan = None
+            if stencil in ("auto", "megar") and not mega2_ok:
+                fac = Convolve2D._band_factors(jnp.asarray(filt, jnp.float32))
+                if fac is not None:
+                    from pycsou_tpu.kernels.tvr import make_megar_plan
+
+                    megar_plan = make_megar_plan(fac[0], fac[1], shape)
+            megar_ok = megar_plan is not None
             mode = stencil
             if stencil == "auto":
                 # mega3: the raw kernel is ~neutral vs mega2 but the double
@@ -193,19 +211,23 @@ class TVDeconvolution(IterativeSolver):
                     mode = "mega3"
                 elif mega2_ok:
                     mode = "mega2"
+                elif megar_ok:
+                    mode = "megar"
                 elif mega_ok:
                     mode = "mega"
                 elif sweep_available(*shape):
                     mode = "sweep"
                 else:
                     mode = "element"
-            _need = {"mega3": mega3_ok, "mega2": mega2_ok, "mega": mega_ok,
-                     "sweep": sweep_available(*shape)}
+            _need = {"mega3": mega3_ok, "mega2": mega2_ok, "megar": megar_ok,
+                     "mega": mega_ok, "sweep": sweep_available(*shape)}
             if not _need.get(mode, True):
                 raise ValueError(
                     f"stencil={mode!r} is not eligible for shape {shape} with "
                     "this PSF (see TVDeconvolution._mega_eligible/_mega2_eligible)"
                 )
+            if mode == "megar":
+                self.megar_Bf, self.megar_Cf, self.megar_Ba, self.megar_Ca, self.mega_r = megar_plan
             if mode in ("mega2", "mega3"):
                 self.mega_r = mega_r2
                 C, F = make_mega2_lane_plan(self.gram.g_cols_taps, W)
@@ -232,6 +254,7 @@ class TVDeconvolution(IterativeSolver):
         return out.replace(
             stencil_mode="xla", use_pallas=False, iters_per_step=1,
             mega_B=None, mega_C=None, mega_F=None, mega_Et=None, mega_Eb=None,
+            megar_Bf=None, megar_Cf=None, megar_Ba=None, megar_Ca=None,
         )
 
     def _mega_eligible(self, shape) -> bool:
@@ -277,7 +300,7 @@ class TVDeconvolution(IterativeSolver):
             "z0": jnp.zeros(shape, jnp.float32),
             "z1": jnp.zeros(shape, jnp.float32),
         }
-        if self.stencil_mode in ("mega2", "mega3"):
+        if self.stencil_mode in ("mega2", "mega3", "megar"):
             # kernel-epilogue metric partial sums (VERDICT r2 task 3);
             # "_"-prefix: solver-internal, excluded from diagnostics vars
             state["_stats"] = jnp.zeros((6,), jnp.float32)
@@ -290,6 +313,14 @@ class TVDeconvolution(IterativeSolver):
             x, z0, z1, stats = tv_pds_mega3_step(
                 x, z0, z1, self.atb, self.mega_B, self.mega_C, self.mega_F,
                 self.mega_Et, self.mega_Eb, mega_r=self.mega_r, **kw,
+            )
+            return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
+        if self.stencil_mode == "megar":
+            from pycsou_tpu.kernels.tvr import tv_pds_megar_step
+
+            x, z0, z1, stats = tv_pds_megar_step(
+                x, z0, z1, self.atb, self.megar_Bf, self.megar_Cf,
+                self.megar_Ba, self.megar_Ca, mega_r=self.mega_r, **kw,
             )
             return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
         if self.stencil_mode == "mega2":
@@ -332,13 +363,13 @@ class TVDeconvolution(IterativeSolver):
         (the reference's per-iteration semantics) costs ~nothing.  For mega3
         the stats measure the SECOND iteration only, so the fastest engine
         has single-iteration stopping semantics."""
-        if self.stencil_mode in ("mega2", "mega3") and "_stats" in new:
+        if self.stencil_mode in ("mega2", "mega3", "megar") and "_stats" in new:
             st = new["_stats"]
             return self._rel_from_stats(st[0], st[1])
         return super().metric(old, new)
 
     def metrics(self, old, new):
-        if self.stencil_mode in ("mega2", "mega3") and "_stats" in new:
+        if self.stencil_mode in ("mega2", "mega3", "megar") and "_stats" in new:
             st = new["_stats"]
             return {
                 "x": self._rel_from_stats(st[0], st[1]),

@@ -392,3 +392,60 @@ def test_sepconv_sweep_lowrank(rng, rank, K0, K1):
         rtol=1e-4,
         atol=3e-5 * scale * scale,
     )
+
+
+@pytest.mark.parametrize("rank,K0,K1", [(1, 9, 9), (2, 9, 7), (3, 7, 7)])
+def test_megar_step_matches_oracle(rng, rank, K0, K1):
+    """Fused rank-r TV step (kernels/tvr.py): forward+adjoint sweeps +
+    stencil in ONE kernel == gram-gradient + XLA stencil oracle, chained
+    over 3 iterations (ring coverage across 3 tiles), stats included."""
+    from pycsou_tpu.kernels.tv import tv_pds_stencil_step_xla
+    from pycsou_tpu.kernels.tvr import make_megar_plan, tv_pds_megar_step
+    from pycsou_tpu.ops.conv import Convolve2D, lowrank_factors
+
+    H, W = 96, 384
+    u = rng.standard_normal((K0, rank)) * 0.3
+    v = rng.standard_normal((K1, rank)) * 0.3
+    filt = (u @ v.T).astype(np.float32)
+    fac = lowrank_factors(filt)
+    assert fac is not None and fac[0].shape[1] == rank
+    Bf, Cf, Ba, Ca, R = make_megar_plan(fac[0], fac[1], (H, W))
+    A = Convolve2D((H, W), filt, method="fft")
+    y = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    atb = A.adjoint(y)
+    kw = dict(tau=0.05, sigma=0.05, rho=0.9, lam=0.1, nonneg=True)
+    x = jnp.asarray(np.abs(rng.standard_normal((H, W))), jnp.float32)
+    z0 = z1 = jnp.zeros((H, W), jnp.float32)
+    x_o, z_o = x, jnp.stack([z0, z1])
+    for it in range(3):
+        xm, z0m, z1m, stats = tv_pds_megar_step(
+            x, z0, z1, atb, Bf, Cf, Ba, Ca, mega_r=R, interpret=True, **kw
+        )
+        g = 2.0 * (A.adjoint(A.apply(x_o)) - atb)
+        x_r, z_r = tv_pds_stencil_step_xla(x_o, z_o, g, **kw)
+        np.testing.assert_allclose(np.asarray(xm), np.asarray(x_r), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(z0m), np.asarray(z_r[0]), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(z1m), np.asarray(z_r[1]), rtol=3e-4, atol=3e-5)
+        want = [
+            float(jnp.sum((xm - x_o) ** 2)), float(jnp.sum(x_o**2)),
+            float(jnp.sum((z0m - z_o[0]) ** 2)), float(jnp.sum(z_o[0] ** 2)),
+            float(jnp.sum((z1m - z_o[1]) ** 2)), float(jnp.sum(z_o[1] ** 2)),
+        ]
+        np.testing.assert_allclose(np.asarray(stats[0, :6]), want, rtol=1e-3, atol=1e-6)
+        x, z0, z1 = xm, z0m, z1m
+        x_o, z_o = x_r, z_r
+
+
+def test_megar_plan_gates():
+    """make_megar_plan applies the sweep-plan gates to BOTH directions and
+    carries the gradient 2x in the adjoint row bands."""
+    from pycsou_tpu.kernels.tvr import make_megar_plan
+
+    u = np.ones((5, 2))
+    assert make_megar_plan(u, u, (64, 384)) is not None
+    assert make_megar_plan(u, u, (64, 256)) is None  # W < 384
+    assert make_megar_plan(np.ones((41, 1)), np.ones((5, 1)), (64, 384)) is None
+    Bf, Cf, Ba, Ca, R = make_megar_plan(np.ones((3, 1)), np.ones((3, 1)), (64, 384))
+    # adjoint row band = 2x the forward one for symmetric taps
+    np.testing.assert_allclose(np.asarray(Ba[0, 0] + Ba[0, 1]),
+                               2.0 * np.asarray(Bf[0, 0] + Bf[0, 1]), atol=1e-6)
