@@ -48,7 +48,7 @@ from pycsou_tpu.kernels.tv import (
     _stats_update,
 )
 
-__all__ = ["make_megar_plan", "tv_pds_megar_step"]
+__all__ = ["make_megar_plan", "tv_pds_megar_step", "tv_pds_megar_shard_step"]
 
 HG = MEGA_HG
 
@@ -108,15 +108,36 @@ def _lane_conv_multi(x_tile, c_ref, W: int, RANK: int):
     return out
 
 
-def _tv_megar_kernel(x_ref, a_ref, z0_ref, z1_ref, bf_ref, cf_ref, ba_ref, ca_ref,
-                     xo, z0o, z1o, so,
-                     s_x1, s_x2, s_a, s_z0, s_z1, s_lv, s_lvt, s_la, s_lat,
-                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg, RANK):
+def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
+                     RANK, core_lo, core_hi, shard):
+    """Single-chip AND shard-aware fused rank-r step.  ``off_ref`` (SMEM,
+    (1,) i32): GLOBAL row of (ext) local row 0 (0 single-chip; shard callers
+    pass ``device_row0 - R``).  ``H`` is the GLOBAL height.  ``nT``: ext
+    tiles the sweep walks (body + 2 halo tiles in shard mode); ``core_lo``/
+    ``core_hi``: inclusive ext-output-tile range written/stats-accumulated.
+    Shard mode takes six (R, W) halo inputs stitched in-VMEM (see
+    kernels/tv.py _tv_mega2_kernel — same convention)."""
     i = pl.program_id(0)
+    off = off_ref[0]
+    if shard:
+        (x_ref, a_ref, z0_ref, z1_ref, xt_r, xb_r, z0t_r, z0b_r, z1t_r, z1b_r,
+         bf_ref, cf_ref, ba_ref, ca_ref, xo, z0o, z1o, so,
+         s_x1, s_x2, s_a, s_z0, s_z1, s_lv, s_lvt, s_la, s_lat) = refs
+    else:
+        (x_ref, a_ref, z0_ref, z1_ref, bf_ref, cf_ref, ba_ref, ca_ref,
+         xo, z0o, z1o, so,
+         s_x1, s_x2, s_a, s_z0, s_z1, s_lv, s_lvt, s_la, s_lat) = refs
     cur_x = x_ref[...]
     cur_a = a_ref[...]
     cur_z0 = z0_ref[...]
     cur_z1 = z1_ref[...]
+    if shard:
+        # the ext tiles each stream is at (x leads the lagged a/z by one)
+        tx = jnp.minimum(i, nT - 1)
+        tz = jnp.clip(i - 1, 0, nT - 1)
+        cur_x = jnp.where(tx == 0, xt_r[...], jnp.where(tx == nT - 1, xb_r[...], cur_x))
+        cur_z0 = jnp.where(tz == 0, z0t_r[...], jnp.where(tz == nT - 1, z0b_r[...], cur_z0))
+        cur_z1 = jnp.where(tz == 0, z1t_r[...], jnp.where(tz == nT - 1, z1b_r[...], cur_z1))
     dt = cur_x.dtype
 
     # stage 1: forward lane passes of the x tile being streamed (tile i)
@@ -139,6 +160,12 @@ def _tv_megar_kernel(x_ref, a_ref, z0_ref, z1_ref, bf_ref, cf_ref, ba_ref, ca_re
             )
             tk = _dot_bf16x3((bf_ref[k, 0], bf_ref[k, 1]), _split_bf16(win))
             t = tk[:R] if t is None else t + tk[:R]
+        # the 'same' crop: t = A x exists only on GLOBAL rows [0, H) — halo
+        # tiles outside carry uncropped conv values the adjoint must not see
+        # (single-chip imposes this via the ring zero-inits; shard halo
+        # tiles need the explicit global-row mask)
+        trow = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0) + (i - 1) * R + off
+        t = t * jnp.where(jnp.logical_and(trow >= 0, trow < H), 1.0, 0.0)
         la = _lane_conv_multi(t.astype(dt), ca_ref, W, RANK)
 
         @pl.when(i > 1)
@@ -146,7 +173,7 @@ def _tv_megar_kernel(x_ref, a_ref, z0_ref, z1_ref, bf_ref, cf_ref, ba_ref, ca_re
             # stage 3: gradient window for output tile j2 = i-2 via the
             # (2x-scaled) adjoint row dots, then the fused PDS chain
             j2 = i - 2
-            row0 = j2 * R
+            row0 = j2 * R + off
             last2 = jnp.where(i == nT + 1, 0.0, 1.0).astype(dt)
             gsum = None
             for k in range(RANK):
@@ -170,10 +197,17 @@ def _tv_megar_kernel(x_ref, a_ref, z0_ref, z1_ref, bf_ref, cf_ref, ba_ref, ca_re
             x_n, z0_n, z1_n = _pds_stencil(
                 xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg
             )
-            xo[...] = x_n
-            z0o[...] = z0_n
-            z1o[...] = z1_n
-            _stats_update(so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])])
+            in_core = jnp.logical_and(j2 >= core_lo, j2 <= core_hi)
+
+            @pl.when(in_core)
+            def _write():
+                # shard mode: halo output tiles are SKIPPED — their out-block
+                # index clamps onto a core block written at an adjacent step,
+                # and an unwritten revisit preserves the real content
+                xo[...] = x_n
+                z0o[...] = z0_n
+                z1o[...] = z1_n
+                _stats_update(so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])])
 
         # second-stage ring updates (after the stencil consumed them); the
         # tail shift waits until the ring holds a real tile (i >= 2) so the
@@ -218,6 +252,80 @@ def _tv_megar_kernel(x_ref, a_ref, z0_ref, z1_ref, bf_ref, cf_ref, ba_ref, ca_re
     s_z1[...] = cur_z1
 
 
+def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
+                core_hi, tau, sigma, rho, lam, nonneg, interpret, halos=None):
+    """Shared pallas_call for the single-chip and shard-aware megar paths
+    (the kernels/tv.py _mega2_call convention: in shard mode x/z0/z1 are the
+    device's CORE (h_loc, W) blocks, ``atb`` the halo-EXTENDED
+    (h_loc + 2R, W) block, and the six (R, W) ``halos`` are stitched
+    in-VMEM; outputs are core-shaped)."""
+    shard = halos is not None
+    Hl, W = x.shape
+    rank = Bf.shape[0]
+    nTc = Hl // R  # body tiles
+    nT = nTc + 2 if shard else nTc  # ext tiles the sweep walks
+    off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if shard:
+        x_spec = pl.BlockSpec(
+            (R, W), lambda i: (jnp.clip(jnp.minimum(i, nT - 1) - 1, 0, nTc - 1), 0)
+        )
+        a_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 1, 0, nT - 1), 0))
+        z_spec = pl.BlockSpec(
+            (R, W), lambda i: (jnp.clip(jnp.clip(i - 1, 0, nT - 1) - 1, 0, nTc - 1), 0)
+        )
+        halo_spec = pl.BlockSpec((R, W), lambda i: (0, 0))
+        out_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 3, 0, nTc - 1), 0))
+    else:
+        x_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+        a_spec = z_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 1, 0, nT - 1), 0))
+        out_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 2, 0, nT - 1), 0))
+    b_spec = pl.BlockSpec(tuple(Bf.shape), lambda i: (0, 0, 0, 0))
+    c_spec = pl.BlockSpec(tuple(Cf.shape), lambda i: (0, 0, 0, 0))
+    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    kern = functools.partial(
+        _tv_megar_kernel, R=R, nT=nT, H=int(H_global), W=W,
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam),
+        nonneg=bool(nonneg), RANK=rank,
+        core_lo=int(core_lo), core_hi=int(core_hi), shard=shard,
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    try:
+        params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # pragma: no cover
+        params = cp(dimension_semantics=("arbitrary",))
+    in_specs = [off_spec, x_spec, a_spec, z_spec, z_spec]
+    inputs = [off, x, atb, z0, z1]
+    if shard:
+        in_specs += [halo_spec] * 6
+        inputs += list(halos)
+    in_specs += [b_spec, c_spec, b_spec, c_spec]
+    inputs += [Bf, Cf, Ba, Ca]
+    xn, z0n, z1n, stats = pl.pallas_call(
+        kern,
+        grid=(nT + 2,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3 + [stats_spec],
+        out_shape=[jax.ShapeDtypeStruct((Hl, W), x.dtype)] * 3
+        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        # in-place x/z0/z1 (see _mega2_call): kills the while-carry copies
+        input_output_aliases={1: 0, 3: 1, 4: 2},
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.float32),       # s_x1 (tile i-1)
+            pltpu.VMEM((R, W), jnp.float32),       # s_x2 (tile i-2)
+            pltpu.VMEM((R, W), jnp.float32),       # s_a (atb tile i-2)
+            pltpu.VMEM((R + 8, W), jnp.float32),   # s_z0 (8-row margin + tile)
+            pltpu.VMEM((R, W), jnp.float32),       # s_z1
+            pltpu.VMEM((rank * R, W), jnp.float32),   # s_lv
+            pltpu.VMEM((rank * HG, W), jnp.float32),  # s_lvt
+            pltpu.VMEM((rank * R, W), jnp.float32),   # s_la
+            pltpu.VMEM((rank * HG, W), jnp.float32),  # s_lat
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(*inputs)
+    return xn, z0n, z1n, stats
+
+
 @functools.partial(
     jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r")
 )
@@ -234,45 +342,37 @@ def tv_pds_megar_step(x, z0, z1, atb, Bf, Cf, Ba, Ca, *, tau: float, sigma: floa
     ``tv_pds_stencil_step_xla(x, z, 2*(A^H A x - atb), ...)``."""
     H, W = x.shape
     R = int(mega_r)
-    rank = Bf.shape[0]
-    nT = H // R
-    x_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
-    lag_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 1, 0, nT - 1), 0))
-    b_spec = pl.BlockSpec(tuple(Bf.shape), lambda i: (0, 0, 0, 0))
-    c_spec = pl.BlockSpec(tuple(Cf.shape), lambda i: (0, 0, 0, 0))
-    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 2, 0, nT - 1), 0))
-    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
-    kern = functools.partial(
-        _tv_megar_kernel, R=R, nT=nT, H=H, W=W,
-        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam),
-        nonneg=bool(nonneg), RANK=rank,
+    return _megar_call(
+        x, atb, z0, z1, Bf, Cf, Ba, Ca, jnp.zeros((1,), jnp.int32),
+        R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
+        tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
     )
-    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
-    try:
-        params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
-    except TypeError:  # pragma: no cover
-        params = cp(dimension_semantics=("arbitrary",))
-    xn, z0n, z1n, stats = pl.pallas_call(
-        kern,
-        grid=(nT + 2,),
-        in_specs=[x_spec, lag_spec, lag_spec, lag_spec, b_spec, c_spec, b_spec, c_spec],
-        out_specs=[out_spec] * 3 + [stats_spec],
-        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3
-        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
-        # in-place x/z0/z1 (see _mega2_call): kills the while-carry copies
-        input_output_aliases={0: 0, 2: 1, 3: 2},
-        scratch_shapes=[
-            pltpu.VMEM((R, W), jnp.float32),       # s_x1 (tile i-1)
-            pltpu.VMEM((R, W), jnp.float32),       # s_x2 (tile i-2)
-            pltpu.VMEM((R, W), jnp.float32),       # s_a (atb tile i-2)
-            pltpu.VMEM((R + 8, W), jnp.float32),   # s_z0 (8-row margin + tile)
-            pltpu.VMEM((R, W), jnp.float32),       # s_z1
-            pltpu.VMEM((rank * R, W), jnp.float32),   # s_lv
-            pltpu.VMEM((rank * HG, W), jnp.float32),  # s_lvt
-            pltpu.VMEM((rank * R, W), jnp.float32),   # s_la
-            pltpu.VMEM((rank * HG, W), jnp.float32),  # s_lat
-        ],
-        compiler_params=params,
-        interpret=interpret,
-    )(x, atb, z0, z1, Bf, Cf, Ba, Ca)
-    return xn, z0n, z1n, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r", "H_global"),
+)
+def tv_pds_megar_shard_step(x, z0, z1, atb_ext, halos, Bf, Cf, Ba, Ca, off, *,
+                            H_global: int, tau: float, sigma: float, rho: float,
+                            lam: float, nonneg: bool = True,
+                            interpret: bool = False, mega_r: int = 32):
+    """Shard-aware megar step (callable INSIDE shard_map): the device's
+    rank-r fused iteration over its CORE (h_loc, W) blocks with six (R, W)
+    ppermute halo blocks ``(xt, xb, z0t, z0b, z1t, z1b)`` stitched in-VMEM
+    and an halo-EXTENDED iteration-constant ``atb_ext``.
+
+    Needs ``R >= 2*HG`` (= 32): the two-stage pipeline's compute reach into
+    a neighbour is 2*HG rows, so one R-row halo tile covers it with the
+    boundary rows recomputed redundantly (the mega2 shard pattern).  ``off``
+    is the global row of ext row 0 (``device_row0 - R``); every boundary
+    mask keys off global rows, so interior shards see no-op masks."""
+    h_loc, W = x.shape
+    R = int(mega_r)
+    nTc = h_loc // R
+    return _megar_call(
+        x, atb_ext, z0, z1, Bf, Cf, Ba, Ca, off,
+        R=R, H_global=int(H_global), core_lo=1, core_hi=nTc,
+        tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg,
+        interpret=interpret, halos=halos,
+    )

@@ -107,8 +107,10 @@ class DistributedTVDeconv2D(IterativeSolver):
     _use_band: bool = static_field(default=False)
     _band_meta: tuple = static_field(default=None)  # (lead_r, L_r, lead_c, L_c)
     # per-shard fused Pallas engines (VERDICT r2 task 1): "megasp" = both
-    # Gram directions fused in-kernel per shard (rank-1 PSF), "sweepsp" =
-    # sharded Gram + fused stencil sweep (any PSF), "" = pure-XLA chain
+    # Gram directions fused in-kernel per shard (rank-1 PSF), "megarsp" =
+    # forward+adjoint sweeps fused into the stencil per shard (any rank <= 4
+    # PSF, kernels/tvr.py), "sweepsp" = sharded Gram + fused stencil sweep
+    # (any PSF), "" = pure-XLA chain
     _sp_engine: str = static_field(default="")
     _sp_r: int = static_field(default=0)  # tile rows == halo rows
     _pallas_interpret: bool = static_field(default=False)
@@ -116,7 +118,12 @@ class DistributedTVDeconv2D(IterativeSolver):
     _mega_B: jax.Array = None
     _mega_C: jax.Array = None
     _mega_F: jax.Array = None
-    _atb_ext: jax.Array = None  # halo-extended A^H y (megasp only)
+    _atb_ext: jax.Array = None  # halo-extended A^H y (megasp/megarsp)
+    # megar (rank <= 4) fused sweep plans (kernels/tvr.py)
+    _megar_Bf: jax.Array = None
+    _megar_Cf: jax.Array = None
+    _megar_Ba: jax.Array = None
+    _megar_Ca: jax.Array = None
 
     def __init__(
         self,
@@ -244,6 +251,7 @@ class DistributedTVDeconv2D(IterativeSolver):
         # R-row (= one tile) ppermute halos and shard-aware global masks, so
         # multi-chip per-shard compute matches the single-chip flagship.
         self._mega_B = self._mega_C = self._mega_F = self._atb_ext = None
+        self._megar_Bf = self._megar_Cf = self._megar_Ba = self._megar_Ca = None
         self._sp_engine, self._sp_r = "", 0
         self._pallas_interpret = use_pallas == "interpret"
         pallas_on = (
@@ -272,12 +280,29 @@ class DistributedTVDeconv2D(IterativeSolver):
                 self._mega_F = jnp.asarray(Fm)
                 self._atb_ext = self._make_ext(self.atb, mega_r)
             else:
-                for r in (32, 16, 8):
-                    if h_local % r == 0 and h_local >= r and (r + 8) * W * 4 <= 820_000:
-                        sweep_r = r
-                        break
-                if sweep_r:
-                    self._sp_engine, self._sp_r = "sweepsp", sweep_r
+                # megarsp: any rank <= 4 PSF rides the fused
+                # forward+adjoint-sweep stencil per shard (kernels/tvr.py);
+                # needs R = 32 >= 2*HG so one R-row halo tile covers the
+                # two-stage pipeline's compute reach into a neighbour
+                megar_plan = None
+                if fac is not None and h_local % 32 == 0:
+                    from pycsou_tpu.kernels.tvr import make_megar_plan
+
+                    megar_plan = make_megar_plan(fac[0], fac[1], (h_local + 64, W))
+                    if megar_plan is not None and megar_plan[4] != 32:
+                        megar_plan = None
+                if megar_plan is not None:
+                    self._sp_engine, self._sp_r = "megarsp", 32
+                    (self._megar_Bf, self._megar_Cf, self._megar_Ba,
+                     self._megar_Ca, _) = megar_plan
+                    self._atb_ext = self._make_ext(self.atb, 32)
+                else:
+                    for r in (32, 16, 8):
+                        if h_local % r == 0 and h_local >= r and (r + 8) * W * 4 <= 820_000:
+                            sweep_r = r
+                            break
+                    if sweep_r:
+                        self._sp_engine, self._sp_r = "sweepsp", sweep_r
 
     # -- halo-extension helpers (per-shard Pallas engines) -------------------
     def _ext_local(self, a, R: int):
@@ -439,6 +464,32 @@ class DistributedTVDeconv2D(IterativeSolver):
         st = jax.lax.psum(st[0, :6], ax)
         return xn, z0n, z1n, st
 
+    def _local_step_megarsp(self, x, z0, z1, atb_ext):
+        """One full rank-r PDS iteration fully fused per shard: the
+        forward+adjoint sweeps AND the stencil run in one kernel pass
+        (kernels/tvr.py tv_pds_megar_shard_step) with R-row ppermute halo
+        blocks stitched in-VMEM — the rank >= 2 analogue of
+        :meth:`_local_step_megasp`."""
+        from pycsou_tpu.kernels.tvr import tv_pds_megar_shard_step
+
+        ax = self.axis_name
+        R = self._sp_r
+        H, W = self.shape
+        h_loc = H // self.mesh.devices.size
+        off = (jax.lax.axis_index(ax) * h_loc - R).astype(jnp.int32).reshape(1)
+        xt, xb = self._halos_local(x, R)
+        z0t, z0b = self._halos_local(z0, R)
+        z1t, z1b = self._halos_local(z1, R)
+        xn, z0n, z1n, st = tv_pds_megar_shard_step(
+            x, z0, z1, atb_ext, (xt, xb, z0t, z0b, z1t, z1b),
+            self._megar_Bf, self._megar_Cf, self._megar_Ba, self._megar_Ca,
+            off, H_global=H, mega_r=R, interpret=self._pallas_interpret,
+            tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
+            nonneg=self.nonneg,
+        )
+        st = jax.lax.psum(st[0, :6], ax)
+        return xn, z0n, z1n, st
+
     def _local_step_sweepsp(self, x, z0, z1, atb_loc, y_loc):
         """Sharded Gram (banded / FFT / forward+adjoint — ANY mode) for the
         data-term gradient, then the fused stencil sweep kernel per shard
@@ -500,9 +551,14 @@ class DistributedTVDeconv2D(IterativeSolver):
     def step(self, state):
         P = PartitionSpec
         ax = self.axis_name
-        if self._sp_engine == "megasp":
+        if self._sp_engine in ("megasp", "megarsp"):
+            local = (
+                self._local_step_megasp
+                if self._sp_engine == "megasp"
+                else self._local_step_megarsp
+            )
             smapped = jax.shard_map(
-                self._local_step_megasp,
+                local,
                 mesh=self.mesh,
                 in_specs=(self._spec_x(),) * 3 + (self._spec_x(),),
                 out_specs=(self._spec_x(),) * 3 + (P(),),

@@ -141,3 +141,46 @@ def test_shard_kernel_stats_match_full_reductions(rng):
         float(jnp.sum((st2["z1"] - st1["z1"]) ** 2)), float(jnp.sum(st1["z1"] ** 2)),
     ]
     np.testing.assert_allclose(stats, want, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_megarsp_matches_xla_shard_path(rng, n_dev):
+    """Fully-fused per-shard rank-2 megar kernel (kernels/tvr.py) == the XLA
+    FFT-Gram shard path, iterates and duals, across mesh sizes."""
+    H, W = 256, 384
+    filt = (
+        np.outer(_gauss(7), _gauss(7)) + 0.4 * np.outer(_gauss(7, 0.8), _gauss(7, 4.0))
+    ).astype(np.float32)
+    filt /= filt.sum()
+    y = _problem(rng, H, W, filt)
+    mesh = _mesh(n_dev)
+    ref = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas=False)
+    assert ref._sp_engine == "" and not ref._use_band
+    s = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas="interpret")
+    assert s._sp_engine == "megarsp"
+    x1, z1 = ref.run(6)
+    x2, z2 = s.run(6)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=3e-5, atol=3e-6)
+
+
+def test_megarsp_matches_single_device_oracle(rng):
+    """megarsp iterates == the single-device TVDeconvolution flagship for a
+    rank-2 PSF (two completely different engines, same math end to end)."""
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    H, W = 256, 384
+    filt = (
+        np.outer(_gauss(7), _gauss(7)) + 0.4 * np.outer(_gauss(7, 0.8), _gauss(7, 4.0))
+    ).astype(np.float32)
+    filt /= filt.sum()
+    y = _problem(rng, H, W, filt)
+    s = DistributedTVDeconv2D((H, W), filt, y, 0.05, mesh=_mesh(4), use_pallas="interpret")
+    assert s._sp_engine == "megarsp"
+    oracle = TVDeconvolution(
+        (H, W), y, 0.05, filt=filt, nonneg=True, use_pallas=False,
+        tau=s.tau, rho=s.rho, max_iter=50,
+    )
+    x2, _ = s.run(6)
+    st = oracle.run_fixed(6)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(st["x"]), rtol=3e-5, atol=3e-6)
