@@ -209,17 +209,27 @@ def bench_tpu(h, y):
 
         A = Convolve2D(SHAPE, h)
         F = SquaredL2Loss(SHAPE, data=yj) * A
-        generic = PDS(
+        mk = lambda fuse: PDS(
             SHAPE, F=F, G=NonNegativeOrthant(SHAPE),
-            H=LAM * L21Norm((2,) + SHAPE, axis=0), K=Gradient(SHAPE), max_iter=1000,
+            H=LAM * L21Norm((2,) + SHAPE, axis=0), K=Gradient(SHAPE),
+            max_iter=1000, fuse=fuse,
         )
         log(f"generic gram route: {type(getattr(F, '_gram', None)).__name__}")
         full = os.environ.get("BENCH_FULL") == "1"
+        # what generic users actually get: the expression recognizer
+        # (opt/fuse.py) rewrites the matched pattern onto the fused engines
+        generic = mk(True)
+        log(f"generic fused -> {type(generic._fused).__name__}"
+            f"[{getattr(generic._fused, 'stencil_mode', None)}]")
         gips, _ = _time_solver(
             generic, "generic",
             iters=TPU_ITERS if full else 50, reps=TPU_REPS if full else 2,
         )
         extras["generic_ips"] = round(gips, 1)
+        # the unfused expression chain, tracked round-over-round (what any
+        # NON-matching composed expression runs at)
+        rips, _ = _time_solver(mk(False), "generic-raw", iters=50, reps=2)
+        extras["generic_raw_ips"] = round(rips, 1)
     except Exception as e:  # diagnostics only
         log(f"generic path failed: {e!r}")
 

@@ -93,6 +93,9 @@ class PrimalDualSplitting(IterativeSolver):
     K: LinearOperator = None
     x0: jax.Array = None
     z0: jax.Array = None
+    # fused realisation of the (F, G, H, K) expression when the pattern
+    # matcher recognises one (opt/fuse.py) — step/metric delegate to it
+    _fused: object = None
     tau: float = static_field(default=1.0)
     sigma: float = static_field(default=1.0)
     rho: float = static_field(default=1.0)
@@ -117,8 +120,10 @@ class PrimalDualSplitting(IterativeSolver):
         accuracy_threshold: float = 1e-3,
         verbose: Optional[int] = None,
         remat: bool = False,
+        metric_every: int = 1,
+        fuse: bool = True,
     ):
-        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose, remat=remat)
+        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose, remat=remat, metric_every=metric_every)
         dim_shape = as_shape(dim_shape)
 
         # -- F: differentiable part (proxalgs.py:166-183)
@@ -176,6 +181,28 @@ class PrimalDualSplitting(IterativeSolver):
             jnp.zeros(self.H.dim_shape, dtype=jnp.float32) if z0 is None else jnp.asarray(z0)
         ) if self._has_H else jnp.zeros((1,), dtype=jnp.float32)
 
+        # -- expression recognition (opt/fuse.py): when the (F, G, H, K)
+        # tree matches a pattern with a hand-fused realisation, delegate
+        # step/metric to the specialised solver — same Condat-Vu iterates
+        # (tests/test_fuse.py), ~6x throughput on the flagship problem.
+        # ``fuse=False`` opts out (e.g. to benchmark the generic chain).
+        self._fused = None
+        if fuse and self._has_H:
+            from pycsou_tpu.opt.fuse import match_tv_deconvolution
+
+            try:
+                self._fused = match_tv_deconvolution(
+                    dim_shape, self.F, self.G, self.H, self.K,
+                    self.tau, self.sigma, self.rho, metric_every=metric_every,
+                )
+            except Exception as e:  # never let the fast path break the solve
+                import warnings
+
+                warnings.warn(f"expression fusion failed, running generic: {e!r}")
+                self._fused = None
+            if self._fused is not None:
+                self.iters_per_step = self._fused.iters_per_step
+
     # -- auto-tuning (reference proxalgs.py:246-316) -----------------------
     def set_step_sizes(self):
         """(tau, sigma) from the reference's closed-form optimality rules
@@ -197,9 +224,19 @@ class PrimalDualSplitting(IterativeSolver):
 
     # -- iteration ---------------------------------------------------------
     def initial_state(self):
+        if self._fused is not None:
+            # the fused engine's state layout (split duals z0/z1: stacking a
+            # (2, H, W) dual around the Pallas kernels costs ~0.4 ms/iter of
+            # hidden copies), seeded with this solver's warm starts
+            state = self._fused.initial_state()
+            state["x"] = self.x0
+            state["z0"], state["z1"] = self.z0[0], self.z0[1]
+            return state
         return {"x": self.x0, "z": self.z0}
 
     def step(self, state):
+        if self._fused is not None:
+            return self._fused.step(state)
         x, z = state["x"], state["z"]
         tau, sigma, rho = self.tau, self.sigma, self.rho
         grad = self.F.gradient(x)
@@ -212,6 +249,33 @@ class PrimalDualSplitting(IterativeSolver):
             x_temp = self.G.prox(x - tau * grad, tau)
         x = rho * x_temp + (1 - rho) * x
         return {"x": x, "z": z}
+
+    # -- fused-path plumbing (kernel-epilogue metrics, state layout) ---------
+    def metric(self, old, new):
+        if self._fused is not None:
+            return self._fused.metric(old, new)
+        return super().metric(old, new)
+
+    def metrics(self, old, new):
+        if self._fused is not None:
+            return self._fused.metrics(old, new)
+        return super().metrics(old, new)
+
+    def postprocess(self, state):
+        """User-facing iterand keeps the generic contract (``x`` and a
+        stacked ``z``) even when the fused engine carried split duals."""
+        out = super().postprocess(state)
+        if self._fused is not None and "z0" in out:
+            out["z"] = jnp.stack([out.pop("z0"), out.pop("z1")], axis=0)
+        return out
+
+    def with_shardings(self, **shardings):
+        """GSPMD solve of the *generic* expression: pallas_call does not
+        partition under sharding constraints, so the sharded copy drops the
+        fused delegate and steps the expression tree (XLA partitions it)."""
+        if self._fused is not None:
+            return self.replace(_fused=None, iters_per_step=1).with_shardings(**shardings)
+        return super().with_shardings(**shardings)
 
     def objective(self, x):
         """Primal objective ``F(x) + G(x) + H(K x)`` (pure/jittable)."""

@@ -1,0 +1,154 @@
+"""Expression recognition (opt/fuse.py): generic PDS configurations that
+match the TV-deconvolution pattern are rewritten onto the fused engines,
+computing the SAME Condat-Vu iterates as the generic expression chain
+(reference semantics: /root/reference/pycsou/opt/proxalgs.py:343-355)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+from pycsou_tpu.func.penalty import L21Norm, Segment
+from pycsou_tpu.ops.conv import Convolve2D
+from pycsou_tpu.ops.diff import Gradient
+from pycsou_tpu.opt import CPS, PDS, TVDeconvolution
+
+
+def _problem(rng, H=32, W=32, sep=True):
+    if sep:
+        g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+        h = np.outer(g, g).astype(np.float32)
+        h /= h.sum()
+    else:
+        h = np.abs(rng.standard_normal((5, 5))).astype(np.float32)
+        h /= h.sum()
+    A = Convolve2D((H, W), h)
+    x_true = jnp.asarray(np.abs(rng.standard_normal((H, W))), jnp.float32)
+    y = A(x_true) + 0.01 * jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    return h, A, y
+
+
+def _pds(A, y, lam=0.05, fuse=True, **kw):
+    H, W = y.shape
+    F = SquaredL2Loss((H, W), data=y) * A
+    return PDS(
+        (H, W), F=F, G=NonNegativeOrthant((H, W)),
+        H=lam * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
+        max_iter=200, fuse=fuse, **kw,
+    )
+
+
+def test_pds_auto_fuses_and_matches_generic(rng):
+    _, A, y = _problem(rng)
+    fused = _pds(A, y)
+    generic = _pds(A, y, fuse=False)
+    assert isinstance(fused._fused, TVDeconvolution)
+    assert generic._fused is None
+    # identical auto step sizes on both routes
+    assert fused.tau == generic.tau and fused.rho == generic.rho
+    st_f = fused.run_fixed(60)
+    st_g = generic.run_fixed(60)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )
+    z_f = np.stack([np.asarray(st_f["z0"]), np.asarray(st_f["z1"])])
+    np.testing.assert_allclose(z_f, np.asarray(st_g["z"]), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_solve_keeps_generic_contract(rng):
+    """solve() on a fused PDS returns the stacked dual under 'z' and
+    per-variable diagnostics, like the generic route."""
+    _, A, y = _problem(rng)
+    solver = _pds(A, y, accuracy_threshold=1e-5)
+    assert solver._fused is not None
+    info = solver.solve()
+    assert "z" in info.iterand and info.iterand["z"].shape == (2,) + y.shape
+    assert "z0" not in info.iterand
+    assert info.n_iter > 0 and np.isfinite(info.history[info.n_iter - 1])
+    # warm-started solves seed the fused state
+    x0 = jnp.ones_like(y)
+    warm = _pds(A, y, x0=x0)
+    st = warm._wrap_state(warm.initial_state())
+    np.testing.assert_array_equal(np.asarray(st["x"]), np.asarray(x0))
+
+
+def test_fused_denoise_pattern(rng):
+    H, W = 24, 24
+    y = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    F = SquaredL2Loss((H, W), data=y)
+    mk = lambda fuse: PDS(
+        (H, W), F=F, G=NonNegativeOrthant((H, W)),
+        H=0.3 * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
+        max_iter=100, fuse=fuse,
+    )
+    fused, generic = mk(True), mk(False)
+    assert fused._fused is not None
+    st_f, st_g = fused.run_fixed(40), generic.run_fixed(40)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_full_rank_psf(rng):
+    """Non-separable PSFs also fuse (FFT-Gram route inside the engine)."""
+    _, A, y = _problem(rng, sep=False)
+    fused = _pds(A, y)
+    assert fused._fused is not None
+    st_f = fused.run_fixed(30)
+    st_g = _pds(A, y, fuse=False).run_fixed(30)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_no_fusion_on_mismatched_patterns(rng):
+    _, A, y = _problem(rng)
+    H, W = y.shape
+    F = SquaredL2Loss((H, W), data=y) * A
+    l21 = 0.05 * L21Norm((2, H, W), axis=0)
+    # tau != sigma
+    assert PDS((H, W), F=F, H=l21, K=Gradient((H, W)), tau=0.1, sigma=0.2)._fused is None
+    # backward-difference K
+    assert (
+        PDS((H, W), F=F, H=l21, K=Gradient((H, W), kind="backward"), tau=0.1)._fused
+        is None
+    )
+    # non-unit Gradient step
+    assert (
+        PDS((H, W), F=F, H=l21, K=Gradient((H, W), step=0.5), tau=0.1)._fused is None
+    )
+    # G not the nonnegative orthant
+    assert (
+        PDS((H, W), F=F, G=Segment((H, W), 0.0, 1.0), H=l21, K=Gradient((H, W)))._fused
+        is None
+    )
+    # L21 over the wrong axis
+    assert (
+        PDS(
+            (H, W), F=F, H=0.05 * L21Norm((2, H, W), axis=1),
+            K=Gradient((H, W)), tau=0.1,
+        )._fused
+        is None
+    )
+    # CPS has no differentiable term -> nothing to match
+    assert CPS((H, W), G=NonNegativeOrthant((H, W)), H=l21, K=Gradient((H, W)))._fused is None
+
+
+def test_fused_with_shardings_drops_to_generic(rng):
+    """GSPMD sharding of a fused PDS steps the generic expression (pallas
+    does not partition); iterates equal the single-device generic chain."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    _, A, y = _problem(rng)
+    fused = _pds(A, y)
+    assert fused._fused is not None
+    mesh = Mesh(np.array(jax.devices()[:2]), ("sp",))
+    sh = NamedSharding(mesh, P("sp", None))
+    shz = NamedSharding(mesh, P(None, "sp", None))
+    sharded = fused.with_shardings(x=sh, z=shz)
+    assert sharded._fused is None
+    st_s = sharded.run_fixed(30)
+    st_g = _pds(A, y, fuse=False).run_fixed(30)
+    np.testing.assert_allclose(
+        np.asarray(st_s["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )

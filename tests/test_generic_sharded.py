@@ -37,6 +37,7 @@ def _tv_pds(shape, y, filt, **kw):
         G=NonNegativeOrthant(shape),
         H=0.05 * L21Norm((2,) + shape, axis=0),
         K=Gradient(shape),
+        fuse=False,  # oracle semantics: step the raw expression tree
         **kw,
     )
 

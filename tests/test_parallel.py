@@ -82,7 +82,7 @@ def test_distributed_tv_deconv_matches_single_device(rng, mesh):
     Hfun = lam * L21Norm((2, H, W), axis=0)
     ref = PDS(
         (H, W), F=F, G=NonNegativeOrthant((H, W)), H=Hfun, K=K,
-        tau=dist.tau, sigma=dist.sigma, rho=dist.rho, max_iter=100,
+        tau=dist.tau, sigma=dist.sigma, rho=dist.rho, max_iter=100, fuse=False,
     )
     state = ref.run_fixed(60)
     np.testing.assert_allclose(np.asarray(xd), np.asarray(state["x"]), rtol=1e-3, atol=1e-4)
@@ -252,7 +252,7 @@ def test_distributed_tv_banded_gram_path(rng, mesh):
     ref = PDS(
         (H, W), F=F, G=NonNegativeOrthant((H, W)),
         H=lam * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
-        tau=dist.tau, sigma=dist.sigma, rho=dist.rho, max_iter=100,
+        tau=dist.tau, sigma=dist.sigma, rho=dist.rho, max_iter=100, fuse=False,
     )
     state = ref.run_fixed(60)
     np.testing.assert_allclose(np.asarray(xd), np.asarray(state["x"]), rtol=1e-3, atol=1e-4)
@@ -393,7 +393,7 @@ def test_spatial2d_tv_deconv_matches_single_device(rng):
     ref = PDS(
         (H, W), F=F, G=NonNegativeOrthant((H, W)),
         H=lam * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
-        tau=dist.tau, sigma=dist.sigma, rho=dist.rho, max_iter=100,
+        tau=dist.tau, sigma=dist.sigma, rho=dist.rho, max_iter=100, fuse=False,
     )
     state = ref.run_fixed(60)
     np.testing.assert_allclose(np.asarray(xd), np.asarray(state["x"]), rtol=1e-3, atol=1e-4)

@@ -25,6 +25,7 @@ def test_tv_solver_matches_generic_pds(rng):
         (H, W), F=F, G=NonNegativeOrthant((H, W)),
         H=lam * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
         tau=tuned.tau, sigma=tuned.sigma, rho=tuned.rho, max_iter=100,
+        fuse=False,  # the oracle must step the generic expression tree
     )
     ref_state = ref.run_fixed(60)
     np.testing.assert_allclose(np.asarray(state["x"]), np.asarray(ref_state["x"]), rtol=1e-4, atol=1e-5)
