@@ -35,7 +35,18 @@ _INF = float("inf")
 
 
 class ExplicitLinearFunctional(LinearFunctional):
-    """``x -> <v, x>`` (reference func/base.py:124)."""
+    """``x -> <v, x>`` (reference func/base.py:124).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.base import ExplicitLinearFunctional
+        >>> f = ExplicitLinearFunctional(jnp.array([1.0, 2.0]))
+        >>> float(f(jnp.array([3.0, 4.0])))
+        11.0
+        >>> f.adjoint(2.0).tolist()
+        [2.0, 4.0]
+    """
 
     vec: jax.Array = None
 
@@ -66,6 +77,12 @@ class IndicatorFunctional(ProximableFunctional):
 
     condition_fn: Callable = static_field(default=None)
     projection_fn: Callable = static_field(default=None)
+
+    # Example::
+    #
+    #     (see NonNegativeOrthant / Segment / L2Ball in func/penalty.py —
+    #     all are IndicatorFunctional instances built from a condition and
+    #     a projection)
 
     def __init__(self, dim_shape, condition_fn: Callable, projection_fn: Callable):
         super().__init__(dim_shape)
@@ -111,7 +128,19 @@ class NullProximableFunctional(ProximableFunctional):
 class LpNorm(ProximableFunctional):
     """Base for Lp norms: prox via Moreau + projection onto the dual ball,
     ``prox(x, tau) = x - tau proj_{B_q}(x / tau)`` (reference func/base.py:215).
-    Subclasses provide ``dual_ball_projection``."""
+    Subclasses provide ``dual_ball_projection``.
+
+    Example — the Moreau identity ``x = prox_f(x) + tau prox_{f*/tau}(x/tau)``
+    holds for any subclass::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import L1Norm
+        >>> f = L1Norm((3,))
+        >>> x, tau = jnp.array([1.0, -2.0, 0.5]), 0.7
+        >>> lhs = f.prox(x, tau) + tau * f.fenchel_prox(x / tau, 1.0 / tau)
+        >>> bool(jnp.allclose(lhs, x, atol=1e-6))
+        True
+    """
 
     def dual_ball_projection(self, x):
         """Projection onto the unit ball of the DUAL norm (drives
@@ -128,7 +157,17 @@ class ProxFuncHStack(ProximableFunctional):
     flat vector: prox splits, proxes each block, concatenates
     (reference func/base.py:21-89).  Each block prox traces into the same XLA
     computation — the reference's joblib fan-out is replaced by compiler
-    parallelism (and by mesh sharding in ``pycsou_tpu.parallel``)."""
+    parallelism (and by mesh sharding in ``pycsou_tpu.parallel``).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.base import ProxFuncHStack
+        >>> from pycsou_tpu.func.penalty import L1Norm, NonNegativeOrthant
+        >>> f = ProxFuncHStack([L1Norm((2,)), NonNegativeOrthant((2,))])
+        >>> f.prox(jnp.array([2.0, -0.5, -1.0, 3.0]), tau=1.0).tolist()
+        [1.0, -0.0, 0.0, 3.0]
+    """
 
     funcs: Tuple[ProximableFunctional, ...] = None
 
@@ -156,7 +195,17 @@ class ProxFuncHStack(ProximableFunctional):
 
 class DiffFuncHStack(DifferentiableFunctional):
     """Separable sum of differentiable functionals; gradient concatenates
-    per-block gradients (reference func/base.py:92-121)."""
+    per-block gradients (reference func/base.py:92-121).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.base import DiffFuncHStack
+        >>> from pycsou_tpu.func.penalty import SquaredL2Norm
+        >>> f = DiffFuncHStack([SquaredL2Norm((2,)), SquaredL2Norm((1,))])
+        >>> f.gradient(jnp.array([1.0, 2.0, 3.0])).tolist()
+        [2.0, 4.0, 6.0]
+    """
 
     funcs: Tuple[DifferentiableFunctional, ...] = None
 

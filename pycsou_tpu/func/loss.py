@@ -45,13 +45,38 @@ __all__ = [
 
 
 def ProximableLoss(func: ProximableFunctional, data) -> ProximableFunctional:
-    """``phi(x - y)`` keeping the prox (reference loss.py:20-69)."""
+    """``phi(x - y)`` keeping the prox (reference loss.py:20-69).
+
+    Example — the prox shifts with the data::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.loss import ProximableLoss
+        >>> from pycsou_tpu.func.penalty import L1Norm
+        >>> y = jnp.array([1.0, -1.0])
+        >>> f = ProximableLoss(L1Norm((2,)), data=y)
+        >>> float(f(jnp.array([3.0, -1.0])))      # ||x - y||_1
+        2.0
+        >>> f.prox(jnp.array([3.0, -1.0]), tau=1.0).tolist()
+        [2.0, -1.0]
+    """
     return ProxFuncPreComp(func, scale=1.0, shift=-jnp.asarray(data))
 
 
 def DifferentiableLoss(func: DifferentiableFunctional, data):
     """``phi(x - y)`` keeping gradient and Lipschitz constants
-    (reference loss.py:72-120)."""
+    (reference loss.py:72-120).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.loss import DifferentiableLoss
+        >>> from pycsou_tpu.func.penalty import SquaredL2Norm
+        >>> f = DifferentiableLoss(SquaredL2Norm((2,)), data=jnp.ones(2))
+        >>> f.gradient(jnp.array([2.0, 1.0])).tolist()    # 2 (x - y)
+        [2.0, 0.0]
+        >>> f.diff_lipschitz
+        2.0
+    """
     return func.shifter(shift=-jnp.asarray(data))
 
 
@@ -62,7 +87,21 @@ def L2Loss(dim_shape, data) -> ProximableFunctional:
 
 def SquaredL2Loss(dim_shape, data):
     """``||y - x||_2^2`` — the workhorse differentiable data fidelity
-    (reference loss.py:165; beta = 2)."""
+    (reference loss.py:165; beta = 2).
+
+    Example — composing with a linear operator builds the Gram-routed
+    :class:`LeastSquaresLoss`::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.loss import SquaredL2Loss
+        >>> from pycsou_tpu.ops.basic import DenseOperator
+        >>> y = jnp.array([1.0, 0.0])
+        >>> F = SquaredL2Loss((2,), data=y) * DenseOperator(2 * jnp.eye(2))
+        >>> type(F).__name__
+        'LeastSquaresLoss'
+        >>> F.gradient(jnp.array([1.0, 0.0])).tolist()   # 2 A^H (A x - y)
+        [4.0, 0.0]
+    """
     return DifferentiableLoss(SquaredL2Norm(dim_shape), data=data)
 
 
@@ -97,7 +136,16 @@ def LInftyBallLoss(dim_shape, data, radius: float = 1.0) -> ProximableFunctional
 
 
 def ConsistencyLoss(dim_shape, data) -> IndicatorFunctional:
-    """Equality indicator ``x == y`` with prox ``y`` (reference loss.py:536)."""
+    """Equality indicator ``x == y`` with prox ``y`` (reference loss.py:536).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.loss import ConsistencyLoss
+        >>> f = ConsistencyLoss((2,), data=jnp.array([1.0, 2.0]))
+        >>> f.prox(jnp.array([5.0, -3.0]), tau=1.0).tolist()
+        [1.0, 2.0]
+    """
     data = jnp.asarray(data)
     return IndicatorFunctional(
         dim_shape,
@@ -115,6 +163,19 @@ class LeastSquaresLoss(DifferentiableFunctional):
     roundtrip per gradient instead of the forward+adjoint pair the generic
     chain rule costs (see ops/_gram.py) — built automatically when composing
     ``SquaredL2Loss * A`` (core/arith.py).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.loss import LeastSquaresLoss
+        >>> from pycsou_tpu.ops.basic import DiagonalOperator
+        >>> A = DiagonalOperator(jnp.array([1.0, 2.0]))
+        >>> F = LeastSquaresLoss(A, data=jnp.array([1.0, 2.0]))
+        >>> x = jnp.array([1.0, 2.0])
+        >>> float(F(x))                          # ||A x - y||^2
+        4.0
+        >>> F.gradient(x).tolist()               # 2 A^H (A x - y)
+        [0.0, 8.0]
     """
 
     op: "LinearOperator" = None
@@ -150,6 +211,17 @@ class KLDivergence(ProximableFunctional):
 
     ``F(x) = sum y log(y/x) + x - y`` on x >= 0, with closed-form prox
     ``(x - tau + sqrt((x - tau)^2 + 4 tau y)) / 2`` (reference loss.py:666-682).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.loss import KLDivergence
+        >>> y = jnp.array([1.0, 2.0])
+        >>> f = KLDivergence((2,), data=y)
+        >>> float(f(y))                          # D(y||y) = 0
+        0.0
+        >>> f.prox(jnp.array([1.0, 2.0]), tau=0.0).tolist()   # tau -> 0: identity
+        [1.0, 2.0]
     """
 
     data: jax.Array = None

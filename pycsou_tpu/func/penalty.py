@@ -57,7 +57,18 @@ _INF = float("inf")
 
 class L2Norm(LpNorm):
     """``||x||_2`` (reference penalty.py:23): prox is the block soft
-    threshold ``max(1 - tau/||x||, 0) x``."""
+    threshold ``max(1 - tau/||x||, 0) x``.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import L2Norm
+        >>> f = L2Norm((2,))
+        >>> float(f(jnp.array([3.0, 4.0])))
+        5.0
+        >>> f.prox(jnp.array([3.0, 4.0]), tau=2.5).tolist()
+        [1.5, 2.0]
+    """
 
     def __init__(self, dim_shape):
         super().__init__(dim_shape, lipschitz=1.0)
@@ -79,7 +90,18 @@ class L2Norm(LpNorm):
 class SquaredL2Norm(DifferentiableFunctional, ProximableFunctional):
     """``||x||_2^2`` (reference penalty.py:73): gradient ``2x`` (beta = 2);
     also proximable with ``prox(x, tau) = x / (1 + 2 tau)`` (an extension the
-    reference omits)."""
+    reference omits).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import SquaredL2Norm
+        >>> f = SquaredL2Norm((2,))
+        >>> float(f(jnp.array([1.0, 2.0]))), f.gradient(jnp.array([1.0, 2.0])).tolist()
+        (5.0, [2.0, 4.0])
+        >>> f.prox(jnp.array([2.0, 4.0]), tau=0.5).tolist()
+        [1.0, 2.0]
+    """
 
     def __init__(self, dim_shape):
         DifferentiableFunctional.__init__(self, dim_shape, lipschitz=_INF, diff_lipschitz=2.0)
@@ -95,7 +117,16 @@ class SquaredL2Norm(DifferentiableFunctional, ProximableFunctional):
 
 
 def L2Ball(dim_shape, radius: float) -> IndicatorFunctional:
-    """Indicator of ``||x||_2 <= radius`` (reference penalty.py:134)."""
+    """Indicator of ``||x||_2 <= radius`` (reference penalty.py:134).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import L2Ball
+        >>> f = L2Ball((2,), radius=1.0)
+        >>> f.prox(jnp.array([3.0, 4.0]), tau=1.0).tolist()  # projection
+        [0.6000000238418579, 0.800000011920929]
+    """
     return IndicatorFunctional(
         dim_shape,
         condition_fn=lambda x: jnp.sqrt(jnp.real(jnp.vdot(x, x))) <= radius,
@@ -143,6 +174,18 @@ class SquaredL1Norm(ProximableFunctional):
       fully vectorised and jittable;
     * ``'root'`` — [FirstOrd] Lemma 6.70; the reference's brentq root-finding
       (penalty.py:300-309) becomes a fixed-iteration device bisection.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import SquaredL1Norm
+        >>> x = jnp.array([1.0, -2.0, 0.5])
+        >>> float(SquaredL1Norm((3,))(x))
+        12.25
+        >>> p_sort = SquaredL1Norm((3,), 'sort').prox(x, tau=0.5)
+        >>> p_root = SquaredL1Norm((3,), 'root').prox(x, tau=0.5)
+        >>> bool(jnp.allclose(p_sort, p_root, atol=1e-5))
+        True
     """
 
     prox_computation: str = static_field(default="sort")
@@ -196,7 +239,16 @@ class SquaredL1Norm(ProximableFunctional):
 
 
 def L1Ball(dim_shape, radius: float) -> IndicatorFunctional:
-    """Indicator of ``||x||_1 <= radius`` (reference penalty.py:319)."""
+    """Indicator of ``||x||_1 <= radius`` (reference penalty.py:319).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import L1Ball
+        >>> f = L1Ball((2,), radius=1.0)
+        >>> f.prox(jnp.array([2.0, 0.0]), tau=1.0).tolist()
+        [1.0, 0.0]
+    """
     return IndicatorFunctional(
         dim_shape,
         condition_fn=lambda x: jnp.sum(jnp.abs(x)) <= radius,
@@ -206,7 +258,18 @@ def L1Ball(dim_shape, radius: float) -> IndicatorFunctional:
 
 class LInftyNorm(LpNorm):
     """``||x||_inf`` (reference penalty.py:380): prox via Moreau + projection
-    onto the l1 ball."""
+    onto the l1 ball.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import LInftyNorm
+        >>> f = LInftyNorm((2,))
+        >>> float(f(jnp.array([1.0, -3.0])))
+        3.0
+        >>> f.prox(jnp.array([1.0, -3.0]), tau=1.0).tolist()
+        [1.0, -2.0]
+    """
 
     def __init__(self, dim_shape):
         super().__init__(dim_shape, lipschitz=1.0)
@@ -220,7 +283,15 @@ class LInftyNorm(LpNorm):
 
 
 def LInftyBall(dim_shape, radius: float) -> IndicatorFunctional:
-    """Indicator of ``||x||_inf <= radius`` (reference penalty.py:420)."""
+    """Indicator of ``||x||_inf <= radius`` (reference penalty.py:420).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import LInftyBall
+        >>> LInftyBall((2,), radius=2.0).prox(jnp.array([3.0, -1.0]), 1.0).tolist()
+        [2.0, -1.0]
+    """
     return IndicatorFunctional(
         dim_shape,
         condition_fn=lambda x: jnp.max(jnp.abs(x)) <= radius,
@@ -243,6 +314,17 @@ class L21Norm(ProximableFunctional):
     Degenerate cases reproduce the reference's ``__new__`` dispatch
     (penalty.py:525-530): all-distinct labels -> L1Norm; a single group ->
     L2Norm.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import L21Norm
+        >>> f = L21Norm((2, 2), axis=0)       # groups = the 2-vectors per column
+        >>> float(f(jnp.array([[3.0, 0.0], [4.0, 1.0]])))
+        6.0
+        >>> g = L21Norm((4,), groups=[0, 0, 1, 1])
+        >>> float(g(jnp.array([3.0, 4.0, 0.0, 1.0])))
+        6.0
     """
 
     groups: Optional[jax.Array] = None
@@ -293,7 +375,15 @@ class L21Norm(ProximableFunctional):
 
 
 def NonNegativeOrthant(dim_shape) -> IndicatorFunctional:
-    """Indicator of ``x >= 0`` (reference penalty.py:563)."""
+    """Indicator of ``x >= 0`` (reference penalty.py:563).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import NonNegativeOrthant
+        >>> NonNegativeOrthant((2,)).prox(jnp.array([-1.0, 2.0]), 1.0).tolist()
+        [0.0, 2.0]
+    """
     return IndicatorFunctional(
         dim_shape,
         condition_fn=lambda x: jnp.all(x >= 0),
@@ -302,7 +392,15 @@ def NonNegativeOrthant(dim_shape) -> IndicatorFunctional:
 
 
 def Segment(dim_shape, a: float = 0.0, b: float = 1.0) -> IndicatorFunctional:
-    """Indicator of ``a <= x <= b`` per coordinate (reference penalty.py:615)."""
+    """Indicator of ``a <= x <= b`` per coordinate (reference penalty.py:615).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import Segment
+        >>> Segment((3,), 0.0, 1.0).prox(jnp.array([-0.5, 0.5, 2.0]), 1.0).tolist()
+        [0.0, 0.5, 1.0]
+    """
     return IndicatorFunctional(
         dim_shape,
         condition_fn=lambda x: jnp.all((x >= a) & (x <= b)),
@@ -311,7 +409,15 @@ def Segment(dim_shape, a: float = 0.0, b: float = 1.0) -> IndicatorFunctional:
 
 
 def RealLine(dim_shape) -> IndicatorFunctional:
-    """Indicator of real-valued entries (reference penalty.py:671)."""
+    """Indicator of real-valued entries (reference penalty.py:671).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import RealLine
+        >>> RealLine((2,)).prox(jnp.array([1.0 + 2.0j, 3.0]), 1.0).tolist()
+        [1.0, 3.0]
+    """
     return IndicatorFunctional(
         dim_shape,
         condition_fn=lambda x: jnp.all(jnp.isreal(x)),
@@ -320,7 +426,15 @@ def RealLine(dim_shape) -> IndicatorFunctional:
 
 
 def ImagLine(dim_shape) -> IndicatorFunctional:
-    """Indicator of purely imaginary entries (reference penalty.py:720)."""
+    """Indicator of purely imaginary entries (reference penalty.py:720).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import ImagLine
+        >>> ImagLine((1,)).prox(jnp.array([1.0 + 2.0j]), 1.0).tolist()
+        [2j]
+    """
     return IndicatorFunctional(
         dim_shape,
         condition_fn=lambda x: jnp.all(jnp.real(x) == 0),
@@ -330,7 +444,18 @@ def ImagLine(dim_shape) -> IndicatorFunctional:
 
 class LogBarrier(ProximableFunctional):
     """``-sum log(x)`` (reference penalty.py:770): closed-form prox
-    ``(x + sqrt(x^2 + 4 tau))/2`` (penalty.py:824-840)."""
+    ``(x + sqrt(x^2 + 4 tau))/2`` (penalty.py:824-840).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import LogBarrier
+        >>> f = LogBarrier((2,))
+        >>> float(f(jnp.array([1.0, 1.0])))
+        -0.0
+        >>> [round(v, 4) for v in f.prox(jnp.array([0.0, 3.0]), tau=1.0).tolist()]
+        [1.0, 3.3028]
+    """
 
     def __init__(self, dim_shape):
         super().__init__(dim_shape)
@@ -349,7 +474,18 @@ class ShannonEntropy(ProximableFunctional):
     """Negative Shannon entropy ``sum x log x`` for x >= 0
     (reference penalty.py:843): prox via Lambert W
     ``tau W(exp(x/tau - 1)/tau)`` (penalty.py:905-922), evaluated with a
-    jittable overflow-safe Halley/Newton solve instead of scipy.lambertw."""
+    jittable overflow-safe Halley/Newton solve instead of scipy.lambertw.
+
+    Example — ``prox(1, 1)`` solves ``w + log w = 0`` (the omega constant)::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import ShannonEntropy
+        >>> f = ShannonEntropy((2,))
+        >>> float(f(jnp.array([1.0, 1.0])))          # x log x = 0 at x = 1
+        0.0
+        >>> round(float(f.prox(jnp.array([1.0]), tau=1.0)[0]), 5)
+        0.56714
+    """
 
     def __init__(self, dim_shape):
         super().__init__(dim_shape)
@@ -376,7 +512,19 @@ class ShannonEntropy(ProximableFunctional):
 
 class QuadraticForm(DifferentiableFunctional):
     """``x^H L x`` for a (symmetric PSD) operator L, or ``||x||^2`` when
-    L is None (reference penalty.py:925): gradient ``2 L x``, beta = 2 ||L||."""
+    L is None (reference penalty.py:925): gradient ``2 L x``, beta = 2 ||L||.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import QuadraticForm
+        >>> from pycsou_tpu.ops.basic import DiagonalOperator
+        >>> f = QuadraticForm((2,), DiagonalOperator(jnp.array([1.0, 2.0])))
+        >>> float(f(jnp.array([1.0, 1.0])))
+        3.0
+        >>> f.gradient(jnp.array([1.0, 1.0])).tolist()
+        [2.0, 4.0]
+    """
 
     linop: Optional[LinearOperator] = None
 

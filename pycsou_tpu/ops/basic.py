@@ -38,7 +38,18 @@ class DenseOperator(LinearOperator):
     """Matrix-backed operator (reference ``DenseLinearOperator``,
     linop/base.py:102).  ``mat`` has shape ``(codim_size, dim_size)``; inputs
     are flattened, outputs reshaped, and the contraction runs on the MXU with
-    f32 accumulation."""
+    f32 accumulation.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DenseOperator
+        >>> A = DenseOperator(jnp.array([[1.0, 2.0], [3.0, 4.0]]))
+        >>> A(jnp.array([1.0, 1.0])).tolist()
+        [3.0, 7.0]
+        >>> A.adjoint(jnp.array([1.0, 0.0])).tolist()   # A^T e_0 = row 0 of A
+        [1.0, 2.0]
+    """
 
     mat: jax.Array = None
 
@@ -83,7 +94,18 @@ ExplicitLinearOperator = DenseOperator
 
 class SparseOperator(LinearOperator):
     """Sparse-matrix operator backed by JAX BCOO (replaces the reference's
-    scipy.sparse branch, linop/base.py:121)."""
+    scipy.sparse branch, linop/base.py:121).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from jax.experimental import sparse as jsparse
+        >>> from pycsou_tpu.ops.basic import SparseOperator
+        >>> M = jsparse.BCOO.fromdense(jnp.array([[2.0, 0.0], [0.0, 0.0]]))
+        >>> A = SparseOperator(M)
+        >>> A(jnp.array([1.0, 5.0])).tolist()
+        [2.0, 0.0]
+    """
 
     mat: "jax.experimental.sparse.BCOO" = None
 
@@ -113,7 +135,18 @@ class DiagonalOperator(SelfAdjointMixin, LinearOperator):
     """Elementwise multiplication by ``diag`` (reference linop/base.py:551).
 
     Exact Lipschitz constant ``max|diag|`` is set for free (the reference
-    uses ``max(diag)`` — a quirk, see SURVEY §7; we use the correct bound)."""
+    uses ``max(diag)`` — a quirk, see SURVEY §7; we use the correct bound).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DiagonalOperator
+        >>> D = DiagonalOperator(jnp.array([1.0, -2.0]))
+        >>> D(jnp.array([3.0, 3.0])).tolist()
+        [3.0, -6.0]
+        >>> D.lipschitz          # max |diag|
+        2.0
+    """
 
     diag: jax.Array = None
 
@@ -135,7 +168,15 @@ class DiagonalOperator(SelfAdjointMixin, LinearOperator):
 
 
 class IdentityOperator(SelfAdjointMixin, LinearOperator):
-    """Identity (reference linop/base.py:582)."""
+    """Identity (reference linop/base.py:582).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import IdentityOperator
+        >>> IdentityOperator((2,))(jnp.array([1.0, 2.0])).tolist()
+        [1.0, 2.0]
+    """
 
     def __init__(self, dim_shape, dtype=np.float32):
         super().__init__(dim_shape, dim_shape, lipschitz=1.0, dtype=dtype)
@@ -151,7 +192,15 @@ class IdentityOperator(SelfAdjointMixin, LinearOperator):
 
 
 class NullOperator(LinearOperator):
-    """Maps everything to zero (reference linop/base.py:601)."""
+    """Maps everything to zero (reference linop/base.py:601).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import NullOperator
+        >>> NullOperator((2,), (3,))(jnp.array([1.0, 2.0])).tolist()
+        [0.0, 0.0, 0.0]
+    """
 
     def __init__(self, dim_shape, codim_shape=None, dtype=np.float32):
         codim_shape = codim_shape if codim_shape is not None else dim_shape
@@ -169,7 +218,15 @@ class NullOperator(LinearOperator):
 
 class HomothetyOperator(SelfAdjointMixin, LinearOperator):
     """Scalar scaling ``x -> c x`` (reference ``HomothetyMap``,
-    linop/base.py:625); the node injected by scalar arithmetic."""
+    linop/base.py:625); the node injected by scalar arithmetic.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import HomothetyOperator, IdentityOperator
+        >>> (3.0 * IdentityOperator((2,)))(jnp.array([1.0, 2.0])).tolist()
+        [3.0, 6.0]
+    """
 
     constant: float = static_field(default=1.0)
 
@@ -194,7 +251,17 @@ class HomothetyOperator(SelfAdjointMixin, LinearOperator):
 
 class PolynomialOperator(LinearOperator):
     """``P(L) = sum_k a_k L^k`` of a square operator, evaluated by Horner's
-    scheme in one traced computation (reference linop/base.py:636-712)."""
+    scheme in one traced computation (reference linop/base.py:636-712).
+
+    Example — ``P(D) = 1 + 2 D^2`` on a diagonal::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DiagonalOperator, PolynomialOperator
+        >>> D = DiagonalOperator(jnp.array([1.0, 2.0]))
+        >>> P = PolynomialOperator(D, coeffs=[1.0, 0.0, 2.0])
+        >>> P(jnp.array([1.0, 1.0])).tolist()
+        [3.0, 9.0]
+    """
 
     base: LinearOperator = None
     coeffs: jax.Array = None

@@ -73,6 +73,17 @@ class Convolve1D(LinearOperator):
 
     ``apply(x)[i] = sum_k h[k] x[i - k + offset]`` with the centre offset
     ``offset = len(h)//2`` (reference's even/odd centering), zero boundary.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.conv import Convolve1D
+        >>> A = Convolve1D((4,), jnp.array([1.0, 2.0, 1.0]) / 4.0)
+        >>> A(jnp.array([0.0, 4.0, 0.0, 0.0])).tolist()
+        [1.0, 2.0, 1.0, 0.0]
+        >>> bool(jnp.allclose(A.gram(jnp.ones(4)), A.adjoint(A(jnp.ones(4))),
+        ...                   atol=1e-5))
+        True
     """
 
     filt: jax.Array = None
@@ -822,7 +833,17 @@ class SeparableConvGramND(LinearOperator):
 class ConvolveND(LinearOperator):
     """n-dimensional FFT convolution with 'same' centering (extends the
     reference's 1-D/2-D pair to volumes; needed for the 3-D deconvolution
-    benchmark config)."""
+    benchmark config).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.conv import ConvolveND
+        >>> A = ConvolveND((4, 4, 4), jnp.ones((1, 1, 3)) / 3.0)
+        >>> x = jnp.zeros((4, 4, 4)).at[2, 2, 2].set(3.0)
+        >>> A(x)[2, 2, 1:4].tolist()
+        [1.0, 1.0, 1.0]
+    """
 
     filt: jax.Array = None
     h_hat_re: jax.Array = None
@@ -893,7 +914,20 @@ class CircularConvolve(LinearOperator):
     """Circular (periodic) n-D convolution, exactly diagonalised by the DFT:
     ``A = F^H diag(H) F``.  Exact Lipschitz ``max |H|``; exact pinv/inverse in
     the Fourier domain — the natural operator model for FFT-domain ADMM
-    deconvolution."""
+    deconvolution.
+
+    Example — periodic wrap-around::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.conv import CircularConvolve
+        >>> A = CircularConvolve((4,), jnp.array([0.25, 0.5, 0.25]))
+        >>> [round(v, 5) for v in A(jnp.array([1.0, 0.0, 0.0, 0.0])).tolist()]
+        [0.5, 0.25, 0.0, 0.25]
+        >>> B = CircularConvolve((4,), jnp.array([1.0, 0.5]))  # H(k) never 0
+        >>> x = jnp.array([1.0, -2.0, 3.0, 0.5])
+        >>> bool(jnp.allclose(B.pinv(B(x)), x, atol=1e-4))  # exact Fourier pinv
+        True
+    """
 
     h_hat_re: jax.Array = None
     h_hat_im: jax.Array = None
@@ -941,7 +975,16 @@ class CircularConvolve(LinearOperator):
 
 def MovingAverage1D(dim_shape, window: int, dtype=np.float32) -> Convolve1D:
     """Length-``window`` box filter (reference ``MovingAverage1D``,
-    conv.py:298-358)."""
+    conv.py:298-358).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.conv import MovingAverage1D
+        >>> M = MovingAverage1D((4,), window=2)
+        >>> M(jnp.array([0.0, 2.0, 4.0, 2.0])).tolist()
+        [1.0, 3.0, 3.0, 1.0]
+    """
     filt = jnp.ones((window,), dtype=dtype) / window
     return Convolve1D(dim_shape, filt, dtype=dtype)
 

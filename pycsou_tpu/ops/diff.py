@@ -99,7 +99,19 @@ def sdiff_adjoint(y, axis, step=1.0):
 
 
 class FirstDerivative(LinearOperator):
-    """First derivative along ``axis`` (reference diff.py:24-128)."""
+    """First derivative along ``axis`` (reference diff.py:24-128).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.diff import FirstDerivative
+        >>> D = FirstDerivative((4,))
+        >>> D(jnp.array([0.0, 1.0, 3.0, 3.0])).tolist()   # forward diffs
+        [1.0, 2.0, 0.0, 0.0]
+        >>> x, y = jnp.arange(4.0), jnp.ones(4)
+        >>> bool(jnp.isclose(jnp.vdot(D(x), y), jnp.vdot(x, D.adjoint(y))))
+        True
+    """
 
     axis: int = static_field(default=0)
     kind: str = static_field(default="forward")
@@ -138,7 +150,16 @@ class FirstDerivative(LinearOperator):
 
 class SecondDerivative(LinearOperator):
     """Second derivative along ``axis`` with zeroed edge rows
-    (reference diff.py:133-218)."""
+    (reference diff.py:133-218).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.diff import SecondDerivative
+        >>> D2 = SecondDerivative((4,))
+        >>> D2(jnp.array([0.0, 1.0, 4.0, 9.0])).tolist()  # x^2 -> 2, edges 0
+        [0.0, 2.0, 2.0, 0.0]
+    """
 
     axis: int = static_field(default=0)
     step: float = static_field(default=1.0)
@@ -218,7 +239,18 @@ class Gradient(LinearOperator):
     """Stacked first-order differences along every axis:
     ``(d, *dim_shape)`` output — the isotropic-TV workhorse
     (reference diff.py:777-882).  Hand-fused apply/adjoint (negative
-    divergence); XLA maps the slices onto the VPU."""
+    divergence); XLA maps the slices onto the VPU.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.diff import Gradient
+        >>> G = Gradient((2, 2))
+        >>> G(jnp.array([[0.0, 1.0], [2.0, 3.0]])).shape     # (axes, H, W)
+        (2, 2, 2)
+        >>> G(jnp.array([[0.0, 1.0], [2.0, 3.0]]))[1].tolist()  # d/dx1
+        [[1.0, 0.0], [1.0, 0.0]]
+    """
 
     kind: str = static_field(default="forward")
     steps: Tuple[float, ...] = static_field(default=None)
@@ -247,7 +279,17 @@ class Gradient(LinearOperator):
 
 class Laplacian(LinearOperator):
     """Sum of second derivatives along ``axes`` — 5-point stencil in 2-D
-    (reference diff.py:885-957)."""
+    (reference diff.py:885-957).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.diff import Laplacian
+        >>> L = Laplacian((3, 3))
+        >>> x = jnp.zeros((3, 3)).at[1, 1].set(1.0)
+        >>> float(L(x)[1, 1])                                # -4 at the peak
+        -4.0
+    """
 
     axes: Tuple[int, ...] = static_field(default=None)
     steps: Tuple[float, ...] = static_field(default=None)
@@ -317,7 +359,17 @@ def _canon_directions(directions, dim_shape, dtype):
 
 class FirstDirectionalDerivative(LinearOperator):
     """Derivative along a (possibly spatially varying) vector field:
-    ``d_v x = sum_a v_a * D_a x`` (reference diff.py:380-486)."""
+    ``d_v x = sum_a v_a * D_a x`` (reference diff.py:380-486).
+
+    Example — the axis-0 unit field reduces to the centered derivative::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.diff import FirstDirectionalDerivative
+        >>> D = FirstDirectionalDerivative((4, 4), directions=(1.0, 0.0))
+        >>> x = jnp.arange(16.0).reshape(4, 4)
+        >>> D(x)[1:3, 0].tolist()                            # interior rows
+        [4.0, 4.0]
+    """
 
     directions: jax.Array = None
     step: float = static_field(default=1.0)
@@ -386,7 +438,18 @@ def DirectionalLaplacian(dim_shape, directions_list, weights=None, step: float =
 
 class Integration1D(LinearOperator):
     """Causal cumulative integration along ``axis``
-    (reference diff.py:1071-1136); adjoint is anti-causal integration."""
+    (reference diff.py:1071-1136); adjoint is anti-causal integration.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.diff import Integration1D
+        >>> S = Integration1D((4,))
+        >>> S(jnp.ones(4)).tolist()
+        [1.0, 2.0, 3.0, 4.0]
+        >>> S.adjoint(jnp.array([0.0, 0.0, 0.0, 1.0])).tolist()
+        [1.0, 1.0, 1.0, 1.0]
+    """
 
     axis: int = static_field(default=0)
     step: float = static_field(default=1.0)

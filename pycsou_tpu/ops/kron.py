@@ -49,7 +49,21 @@ def _adjoint_axis1(op: LinearOperator, M):
 class KroneckerProduct(LinearOperator):
     """``A kron B`` matrix-free via the vec trick (reference linop/
     base.py:715-803): forward ``vec(A X B^T)``, adjoint ``vec(A^H Y conj(B))``,
-    ``pinv = pinv kron pinv``, ``L = L_A L_B``."""
+    ``pinv = pinv kron pinv``, ``L = L_A L_B``.
+
+    Example — matches the dense Kronecker matrix::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DenseOperator
+        >>> from pycsou_tpu.ops.kron import KroneckerProduct
+        >>> A = jnp.array([[1.0, 2.0], [0.0, 1.0]])
+        >>> B = jnp.array([[0.0, 1.0], [1.0, 0.0]])
+        >>> K = KroneckerProduct(DenseOperator(A), DenseOperator(B))
+        >>> x = jnp.arange(4.0)
+        >>> dense = jnp.kron(A, B) @ x
+        >>> bool(jnp.allclose(K(x).reshape(-1), dense))
+        True
+    """
 
     A: LinearOperator = None
     B: LinearOperator = None
@@ -86,7 +100,18 @@ class KroneckerProduct(LinearOperator):
 
 class KroneckerSum(LinearOperator):
     """``A kronsum B = A kron I + I kron B`` matrix-free
-    (reference linop/base.py:806-886); requires square factors."""
+    (reference linop/base.py:806-886); requires square factors.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DiagonalOperator
+        >>> from pycsou_tpu.ops.kron import KroneckerSum
+        >>> A = DiagonalOperator(jnp.array([1.0, 2.0]))
+        >>> B = DiagonalOperator(jnp.array([10.0, 20.0]))
+        >>> KroneckerSum(A, B)(jnp.ones(4)).reshape(-1).tolist()
+        [11.0, 21.0, 12.0, 22.0]
+    """
 
     A: LinearOperator = None
     B: LinearOperator = None
@@ -113,7 +138,17 @@ class KhatriRaoProduct(LinearOperator):
     """Column-wise Kronecker product (reference linop/base.py:889-989):
     ``(A o B) x = vec(A diag(x) B^T)`` — computed as one fused batched
     contraction on device (the reference's dense/sparse/matrix-free 3-way
-    dispatch collapses to einsum)."""
+    dispatch collapses to einsum).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.kron import KhatriRaoProduct
+        >>> A = jnp.array([[1.0, 2.0]])           # (1, 2)
+        >>> B = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+        >>> KhatriRaoProduct(A, B)(jnp.array([1.0, 1.0])).reshape(-1).tolist()
+        [1.0, 2.0]
+    """
 
     A: jax.Array = None
     B: jax.Array = None

@@ -33,7 +33,18 @@ __all__ = [
 
 class SubSampling(LinearOperator):
     """Restriction to a set of flat indices (reference sampling.py:25-121).
-    Adjoint scatters back to zero-background."""
+    Adjoint scatters back to zero-background.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.sampling import SubSampling
+        >>> S = SubSampling((4,), indices=[0, 2])
+        >>> S(jnp.array([1.0, 2.0, 3.0, 4.0])).tolist()
+        [1.0, 3.0]
+        >>> S.adjoint(jnp.array([5.0, 6.0])).tolist()
+        [5.0, 0.0, 6.0, 0.0]
+    """
 
     indices: jax.Array = None
 
@@ -54,7 +65,16 @@ class SubSampling(LinearOperator):
 class Masking(LinearOperator):
     """Boolean-mask gather with scatter adjoint (reference sampling.py:125-196).
     The mask is static (known at trace time) so the gather compiles to a fixed
-    index set."""
+    index set.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.sampling import Masking
+        >>> M = Masking((2, 2), mask=[[True, False], [False, True]])
+        >>> M(jnp.array([[1.0, 2.0], [3.0, 4.0]])).tolist()
+        [1.0, 4.0]
+    """
 
     indices: jax.Array = None
     _mask: np.ndarray = static_field(default=None)
@@ -84,7 +104,18 @@ class Masking(LinearOperator):
 
 class DownSampling(LinearOperator):
     """Strided decimation per axis (reference sampling.py:199-391): keep one
-    sample every ``factor`` along each axis; adjoint zero-upsamples."""
+    sample every ``factor`` along each axis; adjoint zero-upsamples.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.sampling import DownSampling
+        >>> D = DownSampling((4,), factor=2)
+        >>> D(jnp.array([1.0, 2.0, 3.0, 4.0])).tolist()
+        [1.0, 3.0]
+        >>> D.adjoint(jnp.array([1.0, 3.0])).tolist()
+        [1.0, 0.0, 3.0, 0.0]
+    """
 
     factors: Tuple[int, ...] = static_field(default=None)
 
@@ -122,7 +153,18 @@ class Pooling(LinearOperator):
     Non-dividing block sizes are zero-padded at the trailing edge, exactly
     like skimage ``block_reduce`` with ``cval=0`` (sampling.py:525-527) —
     'mean' therefore averages over the FULL block volume including the pad,
-    matching the reference's semantics bit-for-bit."""
+    matching the reference's semantics bit-for-bit.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.sampling import Pooling
+        >>> P = Pooling((2, 2), block_size=2, kind='sum')
+        >>> P(jnp.array([[1.0, 2.0], [3.0, 4.0]])).tolist()
+        [[10.0]]
+        >>> P.adjoint(jnp.array([[1.0]])).tolist()        # broadcast unpool
+        [[1.0, 1.0], [1.0, 1.0]]
+    """
 
     block_size: Tuple[int, ...] = static_field(default=None)
     kind: str = static_field(default="mean")
@@ -184,6 +226,16 @@ class NNSampling(LinearOperator):
     colliding samples per node (pandas groupby mean, sampling.py:680-687) —
     replicated here with ``segment_sum`` (``adjoint_mode='mean'``);
     ``adjoint_mode='sum'`` gives the true matrix adjoint (dot-test exact).
+
+    Example — two samples nearest to the same grid node::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.sampling import NNSampling
+        >>> S = NNSampling(grid_coords=[0.0, 1.0], sample_coords=[0.1, -0.2, 0.9])
+        >>> S(jnp.array([10.0, 20.0])).tolist()
+        [10.0, 10.0, 20.0]
+        >>> S.adjoint(jnp.array([1.0, 3.0, 5.0])).tolist()  # mean per node
+        [2.0, 5.0]
     """
 
     indices: jax.Array = None
@@ -224,7 +276,17 @@ class NNSampling(LinearOperator):
 
 def GeneralisedVandermonde(funcs: Sequence[Callable], samples, dtype=np.float32) -> DenseOperator:
     """Dense matrix ``[phi_k(z_l)]`` evaluating a function dictionary on
-    sample points (reference sampling.py:690-769)."""
+    sample points (reference sampling.py:690-769).
+
+    Example — monomial dictionary ``{1, z}``::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.sampling import GeneralisedVandermonde
+        >>> V = GeneralisedVandermonde([lambda z: z**0, lambda z: z],
+        ...                            samples=jnp.array([0.0, 2.0]))
+        >>> V(jnp.array([1.0, 3.0])).tolist()    # 1 + 3 z at z = 0, 2
+        [1.0, 7.0]
+    """
     samples = jnp.asarray(samples)
     cols = [jnp.asarray(f(samples)).reshape(-1) for f in funcs]
     mat = jnp.stack(cols, axis=1).astype(dtype)

@@ -43,7 +43,19 @@ def _stack_lip(ops) -> float:
 class LinOpVStack(LinearOperator):
     """``[A1; A2; ...]`` — shared domain, stacked ranges
     (reference linop/base.py:159-284).  Adjoint fans in by summation
-    (base.py:273-284): ``A^H y = sum_i A_i^H y_i``."""
+    (base.py:273-284): ``A^H y = sum_i A_i^H y_i``.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import IdentityOperator
+        >>> from pycsou_tpu.ops.stack import LinOpVStack
+        >>> V = LinOpVStack([IdentityOperator((2,)), 2.0 * IdentityOperator((2,))])
+        >>> V(jnp.array([1.0, 2.0])).tolist()
+        [[1.0, 2.0], [2.0, 4.0]]
+        >>> V.adjoint(jnp.ones((2, 2))).tolist()   # sum of block adjoints
+        [3.0, 3.0]
+    """
 
     ops: Tuple[LinearOperator, ...] = None
     uniform: bool = static_field(default=True)
@@ -80,7 +92,17 @@ class LinOpVStack(LinearOperator):
 
 class LinOpHStack(LinearOperator):
     """``[A1, A2, ...]`` — split domain, shared range; forward fans in by
-    summation (reference linop/base.py:286-292)."""
+    summation (reference linop/base.py:286-292).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import IdentityOperator
+        >>> from pycsou_tpu.ops.stack import LinOpHStack
+        >>> Hs = LinOpHStack([IdentityOperator((2,)), IdentityOperator((2,))])
+        >>> Hs(jnp.array([[1.0, 2.0], [10.0, 20.0]])).tolist()
+        [11.0, 22.0]
+    """
 
     ops: Tuple[LinearOperator, ...] = None
     uniform: bool = static_field(default=True)
@@ -128,7 +150,18 @@ def LinOpStack(ops: Sequence[LinearOperator], axis: int):
 class BlockDiagonalOperator(LinearOperator):
     """``diag(A1, ..., Ak)`` over a flat-concatenated domain/range
     (reference linop/base.py:457-548).  Each block is independent — the
-    natural target for mesh sharding (see pycsou_tpu.parallel)."""
+    natural target for mesh sharding (see pycsou_tpu.parallel).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DiagonalOperator
+        >>> from pycsou_tpu.ops.stack import BlockDiagonalOperator
+        >>> B = BlockDiagonalOperator([DiagonalOperator(jnp.array([1.0, 2.0])),
+        ...                            DiagonalOperator(jnp.array([-1.0]))])
+        >>> B(jnp.array([1.0, 1.0, 1.0])).tolist()
+        [1.0, 2.0, -1.0]
+    """
 
     ops: Tuple[LinearOperator, ...] = None
 
@@ -220,7 +253,17 @@ class BlockOperator(LinearOperator):
 
 class MapVStack(Map):
     """Vertical stack of (possibly nonlinear) maps over a shared domain
-    (reference ``MapVStack``, map.py:754)."""
+    (reference ``MapVStack``, map.py:754).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import IdentityOperator
+        >>> from pycsou_tpu.ops.stack import MapVStack
+        >>> V = MapVStack([IdentityOperator((2,)), -1.0 * IdentityOperator((2,))])
+        >>> V(jnp.array([1.0, 2.0])).tolist()
+        [[1.0, 2.0], [-1.0, -2.0]]
+    """
 
     maps: Tuple[Map, ...] = None
     uniform: bool = static_field(default=True)

@@ -25,7 +25,17 @@ __all__ = ["FFTOperator", "DCTOperator", "IDCTOperator"]
 
 class FFTOperator(UnitaryMixin, LinearOperator):
     """Orthonormal n-dimensional discrete Fourier transform
-    (complex-to-complex, ``norm='ortho'``)."""
+    (complex-to-complex, ``norm='ortho'``).
+
+    Example — unitary round trip::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.transform import FFTOperator
+        >>> F = FFTOperator((4,))
+        >>> x = jnp.array([1.0, 2.0, 3.0, 4.0]).astype(jnp.complex64)
+        >>> bool(jnp.allclose(F.adjoint(F(x)), x, atol=1e-6))
+        True
+    """
 
     axes: Optional[Tuple[int, ...]] = static_field(default=None)
 
@@ -43,7 +53,16 @@ class FFTOperator(UnitaryMixin, LinearOperator):
 
 class DCTOperator(UnitaryMixin, LinearOperator):
     """Orthonormal DCT-II over ``axes`` (real-to-real); adjoint is the
-    inverse DCT (= DCT-III)."""
+    inverse DCT (= DCT-III).
+
+    Example — a constant signal concentrates in the DC coefficient::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.transform import DCTOperator
+        >>> D = DCTOperator((4,))
+        >>> D(jnp.ones(4)).tolist()
+        [2.0, 0.0, 0.0, 0.0]
+    """
 
     axes: Optional[Tuple[int, ...]] = static_field(default=None)
 
@@ -61,7 +80,16 @@ class DCTOperator(UnitaryMixin, LinearOperator):
 
 class IDCTOperator(UnitaryMixin, LinearOperator):
     """Orthonormal inverse DCT (synthesis operator): maps DCT coefficients to
-    signal — useful as a sparsifying dictionary in stacked recovery problems."""
+    signal — useful as a sparsifying dictionary in stacked recovery problems.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.transform import IDCTOperator
+        >>> S = IDCTOperator((4,))
+        >>> S(jnp.array([2.0, 0.0, 0.0, 0.0])).tolist()   # DC -> constant
+        [1.0, 1.0, 1.0, 1.0]
+    """
 
     axes: Optional[Tuple[int, ...]] = static_field(default=None)
 
