@@ -81,6 +81,19 @@ class ProximableFunctional(Functional):
 
     ``prox(x, tau)`` must be a pure jittable function.  ``fenchel_prox``
     follows from Moreau's identity (functional.py:176-207).
+
+    Example — the prox rules are automatic (reference functional.py:122-132)::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import L1Norm
+        >>> f = L1Norm((3,))
+        >>> x, tau = jnp.array([2.0, -0.5, 1.0]), 0.5
+        >>> g = 2.0 * f                            # ProxFuncPostComp node
+        >>> bool(jnp.allclose(g.prox(x, tau), f.prox(x, 2.0 * tau)))
+        True
+        >>> # Moreau identity: x = prox_f(x) + prox_{f*}(x) at tau = 1
+        >>> bool(jnp.allclose(f.prox(x, 1.0) + f.fenchel_prox(x, 1.0), x))
+        True
     """
 
     def prox(self, x: jax.Array, tau) -> jax.Array:

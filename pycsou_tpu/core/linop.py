@@ -47,6 +47,19 @@ class LinearOperator(DifferentiableMap):
     Reference: /root/reference/pycsou/core/linop.py:21.  Per the reference's
     convention (used by its chain rules and auto step-size machinery), the
     ``diff_lipschitz`` of a linear operator equals its ``lipschitz``.
+
+    Example — adjoint, Gram and CG pseudo-inverse come for free::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DenseOperator
+        >>> A = DenseOperator(jnp.array([[2.0, 0.0], [1.0, 1.0]]))
+        >>> x, y = jnp.array([1.0, 2.0]), jnp.array([3.0, -1.0])
+        >>> bool(jnp.isclose(jnp.vdot(A(x), y), jnp.vdot(x, A.adjoint(y))))
+        True
+        >>> bool(jnp.allclose(A.gram(x), A.adjoint(A(x)), atol=1e-5))
+        True
+        >>> bool(jnp.allclose(A.pinv(A(x)), x, atol=1e-3))   # CG normal eqs
+        True
     """
 
     dtype: np.dtype = static_field(default=np.dtype(np.float32))

@@ -49,6 +49,19 @@ class Map(Module):
 
     Subclasses implement :meth:`apply` as a pure, jit-traceable function.
     Reference: /root/reference/pycsou/core/map.py:20.
+
+    Example — arithmetic composes maps lazily (reference map.py:49-90)::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DiagonalOperator, IdentityOperator
+        >>> f1 = DiagonalOperator(jnp.array([1.0, 2.0]))
+        >>> f2 = IdentityOperator((2,))
+        >>> f3 = 2.0 * f1 + f2                    # lazy expression tree
+        >>> x = jnp.array([1.0, 1.0])
+        >>> bool(jnp.allclose(f3(x), 2.0 * f1(x) + f2(x)))
+        True
+        >>> f3.lipschitz                          # L propagates: 2*2 + 1
+        5.0
     """
 
     dim_shape: Tuple[int, ...] = static_field(default=())
@@ -215,6 +228,17 @@ class DifferentiableMap(Map):
     where every subclass hand-writes ``jacobianT`` — the default here derives
     the transposed Jacobian from ``apply`` via ``jax.vjp``; subclasses override
     only when a closed form is cheaper.
+
+    Example — beta propagates through composition (reference map.py:596-610)::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func.penalty import SquaredL2Norm
+        >>> from pycsou_tpu.ops.basic import DiagonalOperator
+        >>> F = SquaredL2Norm((2,)) * DiagonalOperator(jnp.array([1.0, 3.0]))
+        >>> F.diff_lipschitz                      # beta = 2 * L_A^2
+        18.0
+        >>> F.gradient(jnp.array([1.0, 1.0])).tolist()   # 2 A^H A x
+        [2.0, 18.0]
     """
 
     _diff_lipschitz: float = static_field(default=_INF)

@@ -128,6 +128,23 @@ class IterativeSolver(Module):
     pytree of iteration variables) and :meth:`step` (one pure iteration);
     optionally override :meth:`metric` (default: relative improvement of the
     ``'x'`` entry, the reference's stopping rule, proxalgs.py:360-364).
+
+    Example — a 6-line custom solver (Richardson iteration for ``x = b/2``)::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.core.solver import IterativeSolver
+        >>> class Richardson(IterativeSolver):
+        ...     b: jnp.ndarray = None
+        ...     def __init__(self, b, **kw):
+        ...         super().__init__(**kw)
+        ...         self.b = b
+        ...     def initial_state(self):
+        ...         return {"x": jnp.zeros_like(self.b)}
+        ...     def step(self, state):
+        ...         return {"x": state["x"] + 0.5 * (self.b - 2 * state["x"])}
+        >>> info = Richardson(jnp.array([2.0, 4.0]), tol=1e-6).solve()
+        >>> info["x"].tolist(), bool(info.converged)
+        ([1.0, 2.0], True)
     """
 
     max_iter: int = static_field(default=500)

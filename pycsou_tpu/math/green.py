@@ -24,7 +24,18 @@ __all__ = [
 
 class Matern:
     """Matern radial kernel of half-integer order k in {0,1,2,3}
-    (reference green.py:16-107)."""
+    (reference green.py:16-107).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.math.green import Matern
+        >>> phi = Matern(k=0, epsilon=1.0)        # exp(-r)
+        >>> float(phi(jnp.array(0.0)))
+        1.0
+        >>> round(float(phi(jnp.array(1.0))), 5)
+        0.36788
+    """
 
     def __init__(self, k: int = 0, epsilon: float = 1.0):
         if k not in (0, 1, 2, 3):

@@ -40,13 +40,29 @@ def sign(x):
 
 
 def soft(x, tau):
-    """Soft-thresholding / shrinkage operator (reference math/prox.py:67)."""
+    """Soft-thresholding / shrinkage operator (reference math/prox.py:67).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.math.prox import soft
+        >>> soft(jnp.array([2.0, -0.5, -3.0]), tau=1.0).tolist()
+        [1.0, -0.0, -2.0]
+    """
     x = jnp.asarray(x)
     return jnp.maximum(jnp.abs(x) - tau, 0.0) * sign(x)
 
 
 def proj_l2_ball(x, radius):
-    """Projection onto the l2 ball (reference math/prox.py:167)."""
+    """Projection onto the l2 ball (reference math/prox.py:167).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.math.prox import proj_l2_ball
+        >>> proj_l2_ball(jnp.array([3.0, 4.0]), radius=1.0).tolist()
+        [0.6000000238418579, 0.800000011920929]
+    """
     x = jnp.asarray(x)
     nrm = jnp.sqrt(jnp.real(jnp.vdot(x, x)))
     scale = jnp.where(nrm <= radius, 1.0, radius / jnp.maximum(nrm, 1e-30))
@@ -70,6 +86,15 @@ def proj_l1_ball(x, radius):
 
     Standard simplex-projection: with u = sort(|x|, desc), find the largest
     j with u_j > (cumsum(u)_j - radius)/j; threshold at that level.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.math.prox import proj_l1_ball
+        >>> proj_l1_ball(jnp.array([2.0, -1.0]), radius=1.0).tolist()
+        [1.0, -0.0]
+        >>> proj_l1_ball(jnp.array([0.25, -0.25]), radius=1.0).tolist()  # inside
+        [0.25, -0.25]
     """
     x = jnp.asarray(x)
     mag = jnp.abs(x).reshape(-1)
@@ -105,7 +130,15 @@ def lambertw(z, iters: int = 24):
     """Principal branch W0 of the Lambert W function by Halley iteration —
     jittable replacement for scipy.special.lambertw used by the reference's
     Shannon-entropy prox (func/penalty.py:905-922). Valid for z >= 0 (the
-    only regime the entropy prox needs)."""
+    only regime the entropy prox needs).
+
+    Example — ``W(e) = 1``::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.math.prox import lambertw
+        >>> round(float(lambertw(jnp.exp(1.0))), 5)
+        1.0
+    """
     z = jnp.asarray(z, dtype=jnp.float32)
     # initial guess: log(1+z) is within ~10% on z >= 0
     w = jnp.log1p(z)

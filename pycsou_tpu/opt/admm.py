@@ -74,6 +74,18 @@ class ConsensusADMM(IterativeSolver):
                 must be pure/jittable; evaluated redundantly on each device).
     rho       : ADMM penalty parameter.
     cg_tol / cg_maxiter : inner CG controls (CG backend only).
+
+    Example — 8 identical identity-blur scenarios agree on their consensus
+    (runs on the devices of the default mesh)::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.opt.admm import ConsensusADMM
+        >>> y = jnp.array([1.0, 2.0, 3.0, 4.0])
+        >>> h_hats = jnp.ones((8, 3), jnp.complex64)    # identity transfer fns
+        >>> admm = ConsensusADMM((4,), h_hats=h_hats, data=jnp.tile(y, (8, 1)))
+        >>> z = admm.run(20)
+        >>> bool(jnp.allclose(z, y, atol=1e-4))
+        True
     """
 
     data: jax.Array = None

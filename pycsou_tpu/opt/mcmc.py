@@ -41,6 +41,18 @@ class PMYULA(IterativeSolver):
     ``gamma = tau/(beta tau + 1)`` (or ``gamma = 1/beta`` when G is Null).
     Streams MMSE / second moment / P^2 quantiles for x and for each tracked
     linear operator output (mcmc.py:126-137).
+
+    Example — the posterior mean of ``exp(-||x - y||^2)`` is ``y``::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.func import SquaredL2Loss
+        >>> from pycsou_tpu.opt.mcmc import PMYULA
+        >>> y = jnp.array([1.0, -1.0])
+        >>> s = PMYULA((2,), F=SquaredL2Loss((2,), data=y), seed=0,
+        ...            nb_burnin_iterations=200)
+        >>> out = s.postprocess(s.run_fixed(4000))
+        >>> bool(jnp.max(jnp.abs(out["mmse"] - y)) < 0.2)
+        True
     """
 
     F: DifferentiableMap = None

@@ -13,7 +13,15 @@ __all__ = ["peaks", "is_range_broadcastable", "range_broadcast_shape"]
 
 
 def peaks(x, y):
-    """MATLAB's peaks test surface (reference util/misc.py:91-127), jittable."""
+    """MATLAB's peaks test surface (reference util/misc.py:91-127), jittable.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.utils.misc import peaks
+        >>> round(float(peaks(jnp.array(0.0), jnp.array(0.0))), 4)
+        0.981
+    """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     return (

@@ -61,7 +61,17 @@ def _power_iter(op, x0, maxiter, tol):
 
 
 def power_iteration(op, maxiter: int = 128, tol: float = 1e-6, key: int = 0):
-    """Estimate ``||A||_2`` (largest singular value) of a LinearOperator."""
+    """Estimate ``||A||_2`` (largest singular value) of a LinearOperator.
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.ops.basic import DiagonalOperator
+        >>> from pycsou_tpu.utils.opnorm import power_iteration
+        >>> est = power_iteration(DiagonalOperator(jnp.array([1.0, -3.0, 2.0])))
+        >>> round(float(est), 3)
+        3.0
+    """
     k = jax.random.PRNGKey(key)
     x0 = _rand_like(k, op.dim_shape, op.dtype)
     return _power_iter(op, x0, jnp.asarray(maxiter), jnp.asarray(tol, jnp.float32))

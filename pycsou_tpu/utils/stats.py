@@ -102,7 +102,18 @@ def p2_quantile(state: Dict[str, jax.Array]) -> jax.Array:
 class P2Algorithm:
     """Stateful host-side wrapper with the reference's API
     (``add_sample`` / ``.q``, stats.py:6-95); the update itself is the jitted
-    vectorised kernel above."""
+    vectorised kernel above.
+
+    Example — streaming median of 0..99 (exact: the P^2 parabola degenerates
+    to counting for a linear ramp)::
+
+        >>> from pycsou_tpu.utils.stats import P2Algorithm
+        >>> p2 = P2Algorithm(0.5)
+        >>> for v in range(100):
+        ...     p2.add_sample(float(v))
+        >>> abs(float(p2.q[0]) - 49.5) < 1.5
+        True
+    """
 
     def __init__(self, pvalue: float):
         self.pvalue = float(pvalue)

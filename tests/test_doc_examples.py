@@ -48,3 +48,33 @@ def test_distributed_solver_example():
     from pycsou_tpu.parallel.solvers import DistributedTVDeconv2D
 
     _run(DistributedTVDeconv2D)
+
+
+# -- auto-discovery sweep (the reference's sphinx-doctest strategy, SURVEY
+# §4: every docstring example in the package is executed) -------------------
+
+def _package_modules():
+    import pathlib
+
+    import pycsou_tpu
+
+    root = pathlib.Path(pycsou_tpu.__file__).parent
+    names = []
+    for p in sorted(root.rglob("*.py")):
+        rel = p.relative_to(root.parent).with_suffix("")
+        mod = ".".join(rel.parts)
+        if mod.endswith("__init__"):
+            mod = mod[: -len(".__init__")]
+        names.append(mod)
+    return names
+
+
+@pytest.mark.parametrize("modname", _package_modules())
+def test_module_doctests(modname):
+    import importlib
+
+    mod = importlib.import_module(modname)
+    runner = doctest.testmod(
+        mod, optionflags=doctest.NORMALIZE_WHITESPACE, verbose=False
+    )
+    assert runner.failed == 0, f"{runner.failed} doctest failures in {modname}"
