@@ -253,6 +253,20 @@ def bench_tpu(h, y):
         log(f"rank-2 path failed: {e!r}")
     if os.environ.get("BENCH_FULL") == "1":
         try:
+            # rank-6 PSF: grouped fused sweeps (method='bandg' — two rank<=4
+            # pallas passes summed; Gram = adjoint o forward composition)
+            rng_6 = np.random.default_rng(11)
+            u6 = rng_6.standard_normal((KSIZE, 6))
+            v6 = rng_6.standard_normal((KSIZE, 6))
+            h6 = (u6 @ v6.T).astype(np.float32)
+            h6 /= np.abs(h6).sum()
+            s6 = TVDeconvolution(SHAPE, yj, LAM, filt=h6, nonneg=True, max_iter=1000, metric_every=1)
+            log(f"rank-6 PSF stencil={s6.stencil_mode}")
+            r6ips, _ = _time_solver(s6, "rank6", iters=50, reps=2)
+            extras["rank6_ips"] = round(r6ips, 1)
+        except Exception as e:
+            log(f"rank-6 path failed: {e!r}")
+        try:
             rng_f = np.random.default_rng(7)
             hf = np.abs(rng_f.standard_normal((KSIZE, KSIZE))).astype(np.float32)
             hf /= hf.sum()  # full-rank PSF: FFT wrap-Gram fallback

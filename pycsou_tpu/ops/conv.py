@@ -244,6 +244,14 @@ class Convolve2D(LinearOperator):
     mv_C: jax.Array = None
     mv_Ba: jax.Array = None
     mv_Ca: jax.Array = None
+    # second factor group for rank 5-8 kernels (method='bandg'): the sweep
+    # kernel's VMEM rings accumulate at most 4 ranks per pass, so wider
+    # low-rank PSFs run as the SUM of two fused sweeps (4 HBM streams) —
+    # still far cheaper than the FFT path these kernels previously took
+    mv2_B: jax.Array = None
+    mv2_C: jax.Array = None
+    mv2_Ba: jax.Array = None
+    mv2_Ca: jax.Array = None
     method: str = static_field(default="fft")
     band_leads: tuple = static_field(default=None)
     band_rank: int = static_field(default=0)
@@ -257,20 +265,31 @@ class Convolve2D(LinearOperator):
         if filt.ndim != 2:
             raise ValueError("filter must be 2-D")
         fac = None
+        was_auto = method == "auto"
         if method in ("auto", "band"):
             fac = self._band_factors(filt)
             if method == "band" and fac is None:
                 raise ValueError("kernel is not low-rank/band-eligible")
             if method == "auto":
                 method = "band" if fac is not None else ("direct" if filt.size <= 81 else "fft")
-        if method not in ("fft", "direct", "band"):
+        facg = None
+        if was_auto and method in ("fft", "direct") and jax.default_backend() not in ("cpu",):
+            # rank 5-8: grouped fused sweeps (two rank<=4 passes, summed) —
+            # beats both fallbacks on TPU (the FFT roundtrip at any size;
+            # lax.conv, which lowers poorly for (1,1,H,W) layouts)
+            facg = _grouped_sweep_plans(filt, dim_shape)
+            if facg is not None:
+                method = "bandg"
+        if method not in ("fft", "direct", "band", "bandg"):
             raise ValueError("method must be 'auto', 'fft', 'direct' or 'band'")
         padded = tuple(n + k - 1 for n, k in zip(dim_shape, filt.shape))
         lip = _fft_lipschitz(np.asarray(filt), padded)
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         self.filt = filt
         s = tuple(next_fast_len(n + k - 1) for n, k in zip(dim_shape, filt.shape))
-        hh = jnp.fft.rfft2(filt, s=s) if method == "fft" else None
+        # bandg keeps the transfer function too: its GSPMD twin
+        # (_without_pallas) drops to the FFT path
+        hh = jnp.fft.rfft2(filt, s=s) if method in ("fft", "bandg") else None
         self.h_hat_re = jnp.real(hh) if hh is not None else None
         self.h_hat_im = jnp.imag(hh) if hh is not None else None
         self.method = method
@@ -279,7 +298,11 @@ class Convolve2D(LinearOperator):
         self.band_leads = None
         self.band_rank = 0
         self.mv_B = self.mv_C = self.mv_Ba = self.mv_Ca = None
+        self.mv2_B = self.mv2_C = self.mv2_Ba = self.mv2_Ca = None
         self.mv_r = 0
+        if method == "bandg":
+            (self.mv_B, self.mv_C, self.mv_Ba, self.mv_Ca,
+             self.mv2_B, self.mv2_C, self.mv2_Ba, self.mv2_Ca, self.mv_r) = facg
         if method == "band":
             from pycsou_tpu.kernels.band import make_band_blocks
 
@@ -327,10 +350,17 @@ class Convolve2D(LinearOperator):
 
     def _without_pallas(self) -> "Convolve2D":
         """GSPMD-safe twin: drop the fused-sweep matvec plans so apply/
-        adjoint stay on the banded XLA passes (``_module.strip_pallas``)."""
+        adjoint stay on the banded XLA passes (``_module.strip_pallas``);
+        grouped-sweep (rank 5-8) operators drop to the FFT path."""
         if not self.mv_r:
             return self
-        return self.replace(mv_B=None, mv_C=None, mv_Ba=None, mv_Ca=None, mv_r=0)
+        out = self.replace(
+            mv_B=None, mv_C=None, mv_Ba=None, mv_Ca=None,
+            mv2_B=None, mv2_C=None, mv2_Ba=None, mv2_Ca=None, mv_r=0,
+        )
+        if self.method == "bandg":
+            out = out.replace(method="fft")
+        return out
 
     @staticmethod
     def _band_factors(filt):
@@ -352,6 +382,12 @@ class Convolve2D(LinearOperator):
     def apply(self, x):
         (n0, n1), (m0, m1) = self.dim_shape, self.filt.shape
         o0, o1 = m0 // 2, m1 // 2
+        if self.method == "bandg":
+            from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
+
+            return sepconv2d_sweep(x, self.mv_B, self.mv_C, r=self.mv_r) + sepconv2d_sweep(
+                x, self.mv2_B, self.mv2_C, r=self.mv_r
+            )
         if self.method == "band":
             if self.mv_r:
                 from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
@@ -385,6 +421,13 @@ class Convolve2D(LinearOperator):
         return out[0, 0]
 
     def adjoint(self, y):
+        if self.method == "bandg":
+            from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
+
+            y = jnp.asarray(y)
+            return sepconv2d_sweep(y, self.mv_Ba, self.mv_Ca, r=self.mv_r) + sepconv2d_sweep(
+                y, self.mv2_Ba, self.mv2_Ca, r=self.mv_r
+            )
         if self.method == "band":
             if self.mv_r:
                 from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
@@ -414,7 +457,15 @@ class Convolve2D(LinearOperator):
           runs ~10x faster than the FFT Gram);
         * otherwise one FFT roundtrip + thin boundary corrections
           (``ConvGram2D``, ops/_gram.py) instead of forward+adjoint.
+
+        Rank 5-8 kernels (method='bandg') compose the grouped fused sweeps:
+        ``A^H A = adjoint o forward`` is exact for 'same' convolutions, and
+        the 8 clean sweep streams beat the FFT roundtrip at 4096^2.
         """
+        if self.method == "bandg":
+            from pycsou_tpu.core.linop import LinOpComp, SymmetricLinearOperator
+
+            return SymmetricLinearOperator(LinOpComp(self.H, self))
         g = SeparableConvGram2D.build(self)
         if g is not None:
             return g
@@ -492,6 +543,40 @@ def lowrank_factors(filt_np: np.ndarray, tol: float = 1e-6, max_rank: int = 4):
     us = U[:, :r] * np.sqrt(S[:r])
     vs = Vt[:r].T * np.sqrt(S[:r])
     return us, vs  # (m0, r), (m1, r)
+
+
+def _grouped_sweep_plans(filt, dim_shape):
+    """Fused-sweep plans for a rank 5-8 kernel, split into two rank <= 4
+    factor groups (the sweep kernel's VMEM rings accumulate at most 4 ranks
+    per pass, kernels/conv2d.py).  Returns the 8 plan matrices + tile rows,
+    or None when the kernel/shape doesn't qualify."""
+    from pycsou_tpu.kernels.conv2d import make_sepconv_plan
+
+    fac = lowrank_factors(np.asarray(filt), max_rank=8)
+    if fac is None:
+        return None
+    us, vs = fac
+    r = us.shape[1]
+    if r <= 4:
+        return None
+    m0, m1 = filt.shape
+    o0, o1 = m0 // 2, m1 // 2
+    plans = []
+    for sl in (slice(0, 4), slice(4, None)):
+        pf = make_sepconv_plan(us[:, sl], vs[:, sl], o0, o1, dim_shape)
+        pa = make_sepconv_plan(
+            us[::-1, sl], vs[::-1, sl], m0 - 1 - o0, m1 - 1 - o1, dim_shape
+        )
+        if pf is None or pa is None:
+            return None
+        plans.append((pf, pa))
+    (B1, C1, r1), (B1a, C1a, _) = plans[0]
+    (B2, C2, r2), (B2a, C2a, _) = plans[1]
+    if r1 != r2:
+        return None
+    as_j = jnp.asarray
+    return (as_j(B1), as_j(C1), as_j(B1a), as_j(C1a),
+            as_j(B2), as_j(C2), as_j(B2a), as_j(C2a), r1)
 
 
 class SeparableConvGram2D(LinearOperator):

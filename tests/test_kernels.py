@@ -449,3 +449,39 @@ def test_megar_plan_gates():
     # adjoint row band = 2x the forward one for symmetric taps
     np.testing.assert_allclose(np.asarray(Ba[0, 0] + Ba[0, 1]),
                                2.0 * np.asarray(Bf[0, 0] + Bf[0, 1]), atol=1e-6)
+
+
+def test_grouped_sweep_rank6_matches_scipy(rng):
+    """Rank 5-8 kernels: two grouped rank<=4 fused sweeps sum to the exact
+    'same' convolution (ops/conv.py _grouped_sweep_plans; method='bandg')."""
+    from scipy.signal import convolve2d
+
+    from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
+    from pycsou_tpu.ops.conv import _grouped_sweep_plans, lowrank_factors
+
+    H, W = 64, 384
+    # random rank-6 kernel: sum of 6 outer products
+    u = rng.standard_normal((9, 6))
+    v = rng.standard_normal((7, 6))
+    filt = (u @ v.T).astype(np.float32)
+    fac = lowrank_factors(filt, max_rank=8)
+    assert fac is not None and fac[0].shape[1] == 6
+    plans = _grouped_sweep_plans(jnp.asarray(filt), (H, W))
+    assert plans is not None
+    B1, C1, B1a, C1a, B2, C2, B2a, C2a, r = plans
+
+    x = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    y = sepconv2d_sweep(x, B1, C1, r=r, interpret=True) + sepconv2d_sweep(
+        x, B2, C2, r=r, interpret=True
+    )
+    ref = convolve2d(np.asarray(x), filt, mode="same")
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-3)
+
+    # adjoint sweeps = correlation; dot test against the forward sweeps
+    w = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    aw = sepconv2d_sweep(w, B1a, C1a, r=r, interpret=True) + sepconv2d_sweep(
+        w, B2a, C2a, r=r, interpret=True
+    )
+    lhs = float(jnp.vdot(y, w))
+    rhs = float(jnp.vdot(x, aw))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
