@@ -287,9 +287,7 @@ class Convolve2D(LinearOperator):
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         self.filt = filt
         s = tuple(next_fast_len(n + k - 1) for n, k in zip(dim_shape, filt.shape))
-        # bandg keeps the transfer function too: its GSPMD twin
-        # (_without_pallas) drops to the FFT path
-        hh = jnp.fft.rfft2(filt, s=s) if method in ("fft", "bandg") else None
+        hh = jnp.fft.rfft2(filt, s=s) if method == "fft" else None
         self.h_hat_re = jnp.real(hh) if hh is not None else None
         self.h_hat_im = jnp.imag(hh) if hh is not None else None
         self.method = method
@@ -359,7 +357,17 @@ class Convolve2D(LinearOperator):
             mv2_B=None, mv2_C=None, mv2_Ba=None, mv2_Ca=None, mv_r=0,
         )
         if self.method == "bandg":
-            out = out.replace(method="fft")
+            # the transfer function is built lazily here (strip_pallas runs
+            # host-side, outside jit) so the hot bandg operator never holds
+            # the ~tens-of-MB padded rfft2 it doesn't use
+            s = tuple(
+                next_fast_len(n + k - 1)
+                for n, k in zip(self.dim_shape, self.filt.shape)
+            )
+            hh = jnp.fft.rfft2(self.filt, s=s)
+            out = out.replace(
+                method="fft", h_hat_re=jnp.real(hh), h_hat_im=jnp.imag(hh)
+            )
         return out
 
     @staticmethod
@@ -572,8 +580,10 @@ def _grouped_sweep_plans(filt, dim_shape):
         plans.append((pf, pa))
     (B1, C1, r1), (B1a, C1a, _) = plans[0]
     (B2, C2, r2), (B2a, C2a, _) = plans[1]
-    if r1 != r2:
-        return None
+    # the sweep tile-row count depends only on (H, W) (kernels/conv2d.py),
+    # so both groups always agree — apply()/adjoint() rely on it, passing
+    # the single mv_r to both groups' sweeps
+    assert r1 == r2
     as_j = jnp.asarray
     return (as_j(B1), as_j(C1), as_j(B1a), as_j(C1a),
             as_j(B2), as_j(C2), as_j(B2a), as_j(C2a), r1)

@@ -51,7 +51,12 @@ def match_tv_deconvolution(
     ``tau == sigma``.  All checks are exact node-type checks — subclasses
     with overridden behavior do not match.
     """
-    from pycsou_tpu.core.functional import ProxFuncPostComp, ProxFuncPreComp
+    from pycsou_tpu.core.functional import (
+        DiffProxFuncPostComp,
+        DiffProxFuncPreComp,
+        ProxFuncPostComp,
+        ProxFuncPreComp,
+    )
     from pycsou_tpu.func.base import IndicatorFunctional, NullProximableFunctional
     from pycsou_tpu.func.loss import LeastSquaresLoss
     from pycsou_tpu.func.penalty import L21Norm, SquaredL2Norm
@@ -79,7 +84,7 @@ def match_tv_deconvolution(
     # -- H: lam * L21Norm(axis=0) over the (2, H, W) gradient field ----------
     lam = 1.0
     h = H
-    if isinstance(h, ProxFuncPostComp):
+    if type(h) in (ProxFuncPostComp, DiffProxFuncPostComp):
         try:
             shift = float(np.asarray(h.shift))
         except Exception:
@@ -96,26 +101,27 @@ def match_tv_deconvolution(
     ):
         return None
 
-    # -- G: i_{x >= 0} or absent ---------------------------------------------
+    # -- G: i_{x >= 0} or absent (exact node types: subclasses may override
+    # prox/apply and must not be rewritten) -----------------------------------
     if (
-        isinstance(G, IndicatorFunctional)
+        type(G) is IndicatorFunctional
         and G.projection_fn is proj_nonnegative_orthant
     ):
         nonneg = True
-    elif isinstance(G, NullProximableFunctional):
+    elif type(G) is NullProximableFunctional:
         nonneg = False
     else:
         return None
 
     # -- F: ||A x - y||^2 (A a 2-D convolution) or ||x - y||^2 (denoising) ---
-    if isinstance(F, LeastSquaresLoss) and type(F.op) is Convolve2D:
+    if type(F) is LeastSquaresLoss and type(F.op) is Convolve2D:
         if tuple(F.op.dim_shape) != dim_shape:
             return None
         filt = np.asarray(F.op.filt)
         if not np.isrealobj(filt):
             return None
         y = F.data
-    elif isinstance(F, ProxFuncPreComp) and type(F.func) is SquaredL2Norm:
+    elif type(F) in (ProxFuncPreComp, DiffProxFuncPreComp) and type(F.func) is SquaredL2Norm:
         # SquaredL2Loss(dim, data) == SquaredL2Norm o (x - y)
         scale = np.asarray(F.scale)
         if scale.ndim != 0 or float(scale) != 1.0:

@@ -66,6 +66,12 @@ class PrimalDualSplitting(IterativeSolver):
     for beta = 0, ``tau = sigma = 1/||K||``.  Momentum rho = 0.9 (beta > 0)
     else 1 (proxalgs.py:303-316).
 
+    ``fuse=True`` (default) pattern-matches the (F, G, H, K) expression tree
+    at construction (opt/fuse.py) and, when a hand-fused realisation exists
+    (currently: 2-D TV deconvolution/denoising), delegates the iteration to
+    it — same iterates, ~6x throughput on the flagship problem.  Pass
+    ``fuse=False`` to always step the expression tree generically.
+
     Example — LASSO ``min ||Ax - y||^2 + 0.1 ||x||_1``::
 
         >>> import jax, jax.numpy as jnp
@@ -256,10 +262,45 @@ class PrimalDualSplitting(IterativeSolver):
             return self._fused.metric(old, new)
         return super().metric(old, new)
 
-    def metrics(self, old, new):
+    def diagnostics_vars(self, state):
+        """The generic PDS diagnostics contract is (x, z) — the fused
+        engine's split duals are re-combined (see :meth:`metrics`)."""
         if self._fused is not None:
-            return self._fused.metrics(old, new)
-        return super().metrics(old, new)
+            return ("x", "z")
+        return super().diagnostics_vars(state)
+
+    def metrics(self, old, new):
+        """Per-variable relative improvements with the GENERIC key layout
+        (``x`` and the stacked dual ``z``) even when the fused engine carries
+        split duals: ``||dz|| / ||z||`` over the stacked dual is exactly
+        ``sqrt(d0 + d1) / sqrt(o0 + o1)`` of the per-component partial sums,
+        so the reference's per-variable diagnostics frame
+        (proxalgs.py:366-394) is preserved bit-for-bit."""
+        if self._fused is None:
+            return super().metrics(old, new)
+        from pycsou_tpu.core.solver import _rel_improvement
+
+        fstats = (
+            new.get("_stats")
+            if getattr(self._fused, "stencil_mode", None) in ("mega2", "mega3", "megar")
+            else None
+        )
+        if fstats is not None:
+            rel = self._fused._rel_from_stats
+            return {"x": rel(fstats[0], fstats[1]), "z": rel(fstats[2] + fstats[4], fstats[3] + fstats[5])}
+
+        def _vd(a, b):
+            d = b - a
+            return jnp.real(jnp.vdot(d, d)), jnp.real(jnp.vdot(a, a))
+
+        d0, o0 = _vd(old["z0"], new["z0"])
+        d1, o1 = _vd(old["z1"], new["z1"])
+        from pycsou_tpu.opt.tv import TVDeconvolution as _TV
+
+        return {
+            "x": _rel_improvement(old["x"], new["x"]),
+            "z": _TV._rel_from_stats(d0 + d1, o0 + o1),
+        }
 
     def postprocess(self, state):
         """User-facing iterand keeps the generic contract (``x`` and a

@@ -152,3 +152,37 @@ def test_fused_with_shardings_drops_to_generic(rng):
     np.testing.assert_allclose(
         np.asarray(st_s["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fused_diagnostics_keep_generic_contract(rng):
+    """Fused PDS reports per-variable diagnostics under the GENERIC keys
+    (x, stacked z) and the values match the unfused chain (the stacked-dual
+    improvement recombines exactly from the split-dual partial sums)."""
+    _, A, y = _problem(rng)
+    inf_f = _pds(A, y).solve()
+    inf_g = _pds(A, y, fuse=False).solve()
+    assert sorted(inf_f.diagnostics) == sorted(inf_g.diagnostics) == ["x", "z"]
+    n = min(inf_f.n_iter, inf_g.n_iter)
+    np.testing.assert_allclose(
+        inf_f.diagnostics["z"][5:n], inf_g.diagnostics["z"][5:n], rtol=1e-3, atol=1e-5
+    )
+
+
+def test_no_fusion_for_subclassed_nodes(rng):
+    """Subclasses with overridden behavior must NOT be rewritten (exact
+    node-type checks in opt/fuse.py)."""
+    from pycsou_tpu.func.loss import LeastSquaresLoss
+
+    _, A, y = _problem(rng)
+    H, W = y.shape
+
+    class WeightedLSQ(LeastSquaresLoss):
+        def jacobianT(self, x):
+            return 2.0 * super().jacobianT(x)  # deliberately different
+
+    F = WeightedLSQ(A, y)
+    s = PDS(
+        (H, W), F=F, G=NonNegativeOrthant((H, W)),
+        H=0.05 * L21Norm((2, H, W), axis=0), K=Gradient((H, W)), tau=0.05,
+    )
+    assert s._fused is None
