@@ -292,7 +292,17 @@ class IterativeSolver(Module):
             resumed = load_latest_state(checkpoint_dir, template=state)
             if resumed is not None:
                 state = resumed
-        chunk = self.verbose if self.verbose else 100
+        # host-sync stride: every chunk boundary costs one device->host
+        # roundtrip (~25-30 ms on tunnelled runtimes — docs/BENCH.md), while
+        # the while_loop's convergence predicate already stops mid-chunk, so
+        # large chunks never overshoot.  Small chunks only pay off for
+        # verbose printing or dense checkpoint cadence.
+        if self.verbose:
+            chunk = self.verbose
+        elif checkpoint_dir is not None:
+            chunk = 100
+        else:
+            chunk = max(100, min(self.max_iter, 1000))
         n_chunks = 0
         t0 = time.perf_counter()
         while True:
