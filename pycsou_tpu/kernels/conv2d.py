@@ -131,13 +131,13 @@ def make_sepconv_plan(u_taps, v_taps, offset_r: int, offset_c: int, shape):
     return jnp.asarray(B), jnp.asarray(C), r
 
 
-def _sepconv_kernel(x_ref, b_ref, c_ref, yo, s_w, s_wt, *, R, nT, W, RANK):
-    i = pl.program_id(0)
-
-    # shared bf16 split + neighbour-chunk rolls of the input tile — computed
-    # once, consumed by every rank factor's lane pass
-    x_tile = x_ref[...]
+def lane_conv_multi(x_tile, c_ref, W: int, RANK: int):
+    """Per-rank raw 'same' lane convolutions of one (R, W) tile off a single
+    shared bf16 split + neighbour-chunk rolls — the lane stage of every
+    fused sweep kernel (this file's matvec sweep AND the rank-r TV engine,
+    kernels/tvr.py)."""
     dt = x_tile.dtype
+    R = x_tile.shape[0]
     tile = 128
     nC = W // tile
     xv = jnp.reshape(x_tile, (R * nC, tile))
@@ -150,17 +150,23 @@ def _sepconv_kernel(x_ref, b_ref, c_ref, yo, s_w, s_wt, *, R, nT, W, RANK):
         pltpu.roll(xh, R * nC - 1, axis=0) * m_last,
         pltpu.roll(xl, R * nC - 1, axis=0) * m_last,
     )
-    cur = []
+    out = []
     for k in range(RANK):
         ch = c_ref[k, 0]
         cl = c_ref[k, 1]
-        c1 = (ch[:tile], cl[:tile])
-        c2 = (ch[tile : 2 * tile], cl[tile : 2 * tile])
-        c3 = (ch[2 * tile :], cl[2 * tile :])
         ok = (
-            _dot_bf16x3(xm, c1) + _dot_bf16x3((xh, xl), c2) + _dot_bf16x3(xp, c3)
+            _dot_bf16x3(xm, (ch[:tile], cl[:tile]))
+            + _dot_bf16x3((xh, xl), (ch[tile : 2 * tile], cl[tile : 2 * tile]))
+            + _dot_bf16x3(xp, (ch[2 * tile :], cl[2 * tile :]))
         ).astype(dt)
-        cur.append(jnp.reshape(ok, (R, W)))
+        out.append(jnp.reshape(ok, (R, W)))
+    return out
+
+
+def _sepconv_kernel(x_ref, b_ref, c_ref, yo, s_w, s_wt, *, R, nT, W, RANK):
+    i = pl.program_id(0)
+    cur = lane_conv_multi(x_ref[...], c_ref, W, RANK)
+    dt = cur[0].dtype
 
     @pl.when(i > 0)
     def _compute():

@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pycsou_tpu.kernels.conv2d import make_sepconv_plan
+from pycsou_tpu.kernels.conv2d import lane_conv_multi as _lane_conv_multi, make_sepconv_plan
 from pycsou_tpu.kernels.tv import (
     MEGA_HG,
     _dot_bf16x3,
@@ -75,37 +75,6 @@ def make_megar_plan(us, vs, shape):
     Bf, Cf, r = pf
     Ba, Ca, _ = pa
     return Bf, Cf, Ba, Ca, r
-
-
-def _lane_conv_multi(x_tile, c_ref, W: int, RANK: int):
-    """Per-rank raw 'same' lane convs of one (R, W) tile off a single shared
-    bf16 split (kernels/conv2d.py _sepconv_kernel's stage, reused for both
-    sweep directions)."""
-    dt = x_tile.dtype
-    R = x_tile.shape[0]
-    tile = 128
-    nC = W // tile
-    xv = jnp.reshape(x_tile, (R * nC, tile))
-    fidx = jax.lax.broadcasted_iota(jnp.int32, (R * nC, tile), 0)
-    m_first = jnp.where(fidx % nC == 0, 0.0, 1.0).astype(dt)
-    m_last = jnp.where(fidx % nC == nC - 1, 0.0, 1.0).astype(dt)
-    xh, xl = _split_bf16(xv)
-    xm = (pltpu.roll(xh, 1, axis=0) * m_first, pltpu.roll(xl, 1, axis=0) * m_first)
-    xp = (
-        pltpu.roll(xh, R * nC - 1, axis=0) * m_last,
-        pltpu.roll(xl, R * nC - 1, axis=0) * m_last,
-    )
-    out = []
-    for k in range(RANK):
-        ch = c_ref[k, 0]
-        cl = c_ref[k, 1]
-        ok = (
-            _dot_bf16x3(xm, (ch[:tile], cl[:tile]))
-            + _dot_bf16x3((xh, xl), (ch[tile : 2 * tile], cl[tile : 2 * tile]))
-            + _dot_bf16x3(xp, (ch[2 * tile :], cl[2 * tile :]))
-        ).astype(dt)
-        out.append(jnp.reshape(ok, (R, W)))
-    return out
 
 
 def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
@@ -253,7 +222,8 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
 
 
 def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
-                core_hi, tau, sigma, rho, lam, nonneg, interpret, halos=None):
+                core_hi, tau, sigma, rho, lam, nonneg, interpret, vma=None,
+                halos=None):
     """Shared pallas_call for the single-chip and shard-aware megar paths
     (the kernels/tv.py _mega2_call convention: in shard mode x/z0/z1 are the
     device's CORE (h_loc, W) blocks, ``atb`` the halo-EXTENDED
@@ -261,6 +231,10 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
     in-VMEM; outputs are core-shaped)."""
     shard = halos is not None
     Hl, W = x.shape
+    if Hl % R:
+        raise ValueError(f"local height {Hl} must be divisible by {R}")
+    if W < 384 or W % 128:
+        raise ValueError(f"megar needs W % 128 == 0 and W >= 384, got {W}")
     rank = Bf.shape[0]
     nTc = Hl // R  # body tiles
     nT = nTc + 2 if shard else nTc  # ext tiles the sweep walks
@@ -300,13 +274,13 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
         inputs += list(halos)
     in_specs += [b_spec, c_spec, b_spec, c_spec]
     inputs += [Bf, Cf, Ba, Ca]
+    sds = functools.partial(jax.ShapeDtypeStruct, **({"vma": vma} if vma is not None else {}))
     xn, z0n, z1n, stats = pl.pallas_call(
         kern,
         grid=(nT + 2,),
         in_specs=in_specs,
         out_specs=[out_spec] * 3 + [stats_spec],
-        out_shape=[jax.ShapeDtypeStruct((Hl, W), x.dtype)] * 3
-        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        out_shape=[sds((Hl, W), x.dtype)] * 3 + [sds((8, 128), jnp.float32)],
         # in-place x/z0/z1 (see _mega2_call): kills the while-carry copies
         input_output_aliases={1: 0, 3: 1, 4: 2},
         scratch_shapes=[
@@ -351,12 +325,12 @@ def tv_pds_megar_step(x, z0, z1, atb, Bf, Cf, Ba, Ca, *, tau: float, sigma: floa
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r", "H_global"),
+    static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r", "H_global", "vma"),
 )
 def tv_pds_megar_shard_step(x, z0, z1, atb_ext, halos, Bf, Cf, Ba, Ca, off, *,
                             H_global: int, tau: float, sigma: float, rho: float,
                             lam: float, nonneg: bool = True,
-                            interpret: bool = False, mega_r: int = 32):
+                            interpret: bool = False, mega_r: int = 32, vma=None):
     """Shard-aware megar step (callable INSIDE shard_map): the device's
     rank-r fused iteration over its CORE (h_loc, W) blocks with six (R, W)
     ppermute halo blocks ``(xt, xb, z0t, z0b, z1t, z1b)`` stitched in-VMEM
@@ -374,5 +348,5 @@ def tv_pds_megar_shard_step(x, z0, z1, atb_ext, halos, Bf, Cf, Ba, Ca, off, *,
         x, atb_ext, z0, z1, Bf, Cf, Ba, Ca, off,
         R=R, H_global=int(H_global), core_lo=1, core_hi=nTc,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg,
-        interpret=interpret, halos=halos,
+        interpret=interpret, vma=vma, halos=halos,
     )

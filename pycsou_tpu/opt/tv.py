@@ -195,7 +195,7 @@ class TVDeconvolution(IterativeSolver):
             # megar: any rank <= 4 PSF rides the fused forward+adjoint-sweep
             # stencil (kernels/tvr.py) — the rank >= 2 flagship engine
             megar_plan = None
-            if stencil in ("auto", "megar") and not mega2_ok:
+            if stencil == "megar" or (stencil == "auto" and not mega2_ok):
                 fac = Convolve2D._band_factors(jnp.asarray(filt, jnp.float32))
                 if fac is not None:
                     from pycsou_tpu.kernels.tvr import make_megar_plan

@@ -394,8 +394,20 @@ def test_sepconv_sweep_lowrank(rng, rank, K0, K1):
     )
 
 
-@pytest.mark.parametrize("rank,K0,K1", [(1, 9, 9), (2, 9, 7), (3, 7, 7)])
-def test_megar_step_matches_oracle(rng, rank, K0, K1):
+@pytest.mark.parametrize(
+    "rank,K0,K1,H",
+    [
+        (1, 9, 9, 96),
+        (2, 9, 7, 96),
+        (3, 7, 7, 96),
+        # max row reach the plan admits (31 taps -> reach 15 = HG - 1):
+        # exercises the full HG-row tail windows and the last1/last2 masks
+        (2, 31, 31, 96),
+        # H % 32 != 0 -> the R = 16 tile path (tail slice == half a tile)
+        (2, 9, 9, 80),
+    ],
+)
+def test_megar_step_matches_oracle(rng, rank, K0, K1, H):
     """Fused rank-r TV step (kernels/tvr.py): forward+adjoint sweeps +
     stencil in ONE kernel == gram-gradient + XLA stencil oracle, chained
     over 3 iterations (ring coverage across 3 tiles), stats included."""
@@ -403,10 +415,12 @@ def test_megar_step_matches_oracle(rng, rank, K0, K1):
     from pycsou_tpu.kernels.tvr import make_megar_plan, tv_pds_megar_step
     from pycsou_tpu.ops.conv import Convolve2D, lowrank_factors
 
-    H, W = 96, 384
+    W = 384
     u = rng.standard_normal((K0, rank)) * 0.3
     v = rng.standard_normal((K1, rank)) * 0.3
     filt = (u @ v.T).astype(np.float32)
+    filt /= np.abs(filt).sum()  # normalized like a physical PSF: keeps the
+    # oracle comparison scale-free (bf16x3 rel err ~7e-6 x operator norm)
     fac = lowrank_factors(filt)
     assert fac is not None and fac[0].shape[1] == rank
     Bf, Cf, Ba, Ca, R = make_megar_plan(fac[0], fac[1], (H, W))
@@ -485,3 +499,17 @@ def test_grouped_sweep_rank6_matches_scipy(rng):
     lhs = float(jnp.vdot(y, w))
     rhs = float(jnp.vdot(x, aw))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_explicit_megar_stencil_honored_for_rank1():
+    """stencil='megar' must be honored even when the PSF also qualifies for
+    mega2/mega3 (megar supports any rank <= 4, including rank 1)."""
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    g = np.exp(-((np.arange(9) - 4) ** 2) / 4.0)
+    h = np.outer(g, g).astype(np.float32)
+    h /= h.sum()
+    y = jnp.ones((96, 384), jnp.float32)
+    s = TVDeconvolution((96, 384), y, 0.05, filt=h, use_pallas=True, stencil="megar")
+    assert s.stencil_mode == "megar"
+    assert s.megar_Bf is not None
