@@ -125,11 +125,19 @@ def _tv_kernel(x_ref, g_ref, z0_ref, z1_ref, xo_ref, z0o_ref, z1o_ref, *, R, H, 
 def _pick_block_rows(H: int, W: int) -> int:
     # Keep one (R + 2*HALO) x W f32 tile under ~0.8MB: with ~14 live
     # buffers (inputs, outputs, intermediates) that bounds the VMEM working
-    # set near 11MB.  Larger tiles trip Mosaic at W = 4096.
+    # set near 11MB.  Larger tiles trip Mosaic at W = 4096.  Returns 0 when
+    # no feasible tiling exists (H has no 8..128 divisor, or even the 8-row
+    # tile would blow the Mosaic budget) — callers fall through to the XLA
+    # twin instead of silently leaving rows unwritten.
     for r in (128, 64, 32, 16, 8):
         if H % r == 0 and (r + 2 * HALO) * W * 4 <= 820_000:
             return r
-    return 8
+    return 0
+
+
+def element_available(H: int, W: int) -> bool:
+    """True when the element-halo stencil kernel has a feasible tiling."""
+    return _pick_block_rows(H, W) > 0
 
 
 @functools.partial(
@@ -148,6 +156,8 @@ def tv_pds_stencil_step(x, z, g, *, tau: float, sigma: float, rho: float, lam: f
         )
     H, W = x.shape
     R = _pick_block_rows(H, W)
+    if R == 0:
+        raise ValueError(f"no element tiling for H={H}, W={W} (H needs an 8..128 divisor within the VMEM budget)")
     pad = ((HALO, HALO), (0, 0))
     xp = jnp.pad(x, pad)
     gp = jnp.pad(g, pad)
@@ -289,8 +299,6 @@ def _sweep_call(x, g, z0, z1, off, *, R, H_global, core_lo, core_hi,
     """Shared pallas_call for the single-chip and shard-aware sweep paths.
     Shard mode (``halos = (xt, xb, gt, gb, z0t, z0b, z1t, z1b)``): inputs
     are core blocks, halo stitching happens in-VMEM, outputs core-shaped."""
-    from jax.experimental.pallas import tpu as pltpu
-
     shard = halos is not None
     Hl, W = x.shape
     nTc = Hl // R
@@ -364,6 +372,27 @@ def tv_pds_stencil_step_sweep(x, z, g, *, tau: float, sigma: float, rho: float, 
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
     )
     return xn, jnp.stack([z0n, z1n], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
+)
+def tv_pds_sweep_step_stats(x, z0, z1, g, *, tau: float, sigma: float, rho: float,
+                            lam: float, nonneg: bool = True, interpret: bool = False):
+    """Split-dual sweep step that RETURNS the kernel-epilogue metric partial
+    sums the kernel computes anyway (``_stats_update``) — the sweep-engine
+    analogue of the mega2/3/megar convention: ``metric_every=1`` costs no
+    extra HBM passes, and the split duals skip the (2, H, W) stack/slice
+    copies around the pallas_call."""
+    H, W = x.shape
+    R = _pick_sweep_rows(H, W)
+    if R == 0:
+        raise ValueError(f"no sweep tiling for H={H}, W={W}")
+    return _sweep_call(
+        x, g, z0, z1, jnp.zeros((1,), jnp.int32),
+        R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
+        tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
+    )
 
 
 def tv_pds_sweep_shard_step(x, g, z0, z1, halos, off, *, H_global: int,
@@ -549,8 +578,6 @@ def tv_pds_mega_step(x, z, w, atb, corr, B, *, tau: float, sigma: float, rho: fl
     (already x2-scaled), ``B`` from :func:`make_mega_band`.  Equivalent to
     ``tv_pds_stencil_step_xla(x, z, 2*(RowGram(w) - atb), ...)``.
     """
-    from jax.experimental.pallas import tpu as pltpu
-
     H, W = x.shape
     R = MEGA_R
     if H % R:
@@ -963,8 +990,6 @@ def _mega2_call(x, atb, z0, z1, corr, B, C, F, off, *, R, H_global, core_lo, cor
     at init), and the outputs are core-shaped — halo stitching happens
     in-VMEM, so no halo-extended iterate array ever touches HBM.  ``off``:
     (1,) i32 global row of (ext) row 0; ``H_global``: global image height."""
-    from jax.experimental.pallas import tpu as pltpu
-
     shard = halos is not None
     Hl, W = x.shape
     if Hl % R:
@@ -1294,8 +1319,6 @@ def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma:
     improvement only (single-iteration stopping semantics).  Requires
     ``mega_r == 32`` (the in-kernel corr reads 32-row slices) and ``nT >= 2``.
     """
-    from jax.experimental.pallas import tpu as pltpu
-
     H, W = x.shape
     R = int(mega_r)
     if R != 32:

@@ -280,9 +280,10 @@ class PrimalDualSplitting(IterativeSolver):
             return super().metrics(old, new)
         from pycsou_tpu.core.solver import _rel_improvement
 
+        fused_engines = getattr(type(self._fused), "_STATS_ENGINES", ())
         fstats = (
             new.get("_stats")
-            if getattr(self._fused, "stencil_mode", None) in ("mega2", "mega3", "megar")
+            if getattr(self._fused, "stencil_mode", None) in fused_engines
             else None
         )
         if fstats is not None:

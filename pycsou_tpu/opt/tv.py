@@ -36,7 +36,7 @@ from pycsou_tpu.kernels.tv import (
     tv_pds_mega3_step,
     tv_pds_mega_step,
     tv_pds_stencil_step,
-    tv_pds_stencil_step_sweep,
+    tv_pds_sweep_step_stats,
     tv_pds_stencil_step_xla,
 )
 from pycsou_tpu.ops.conv import Convolve2D
@@ -46,6 +46,10 @@ __all__ = ["TVDeconvolution"]
 
 
 class TVDeconvolution(IterativeSolver):
+    # engines whose kernels emit the stopping-metric partial sums from
+    # their epilogue (``_stats`` state entry; metric_every=1 is free)
+    _STATS_ENGINES = ("mega2", "mega3", "megar", "sweep")
+
     """``min_x ||A x - y||^2 + lam ||grad x||_{2,1} (+ i_{x>=0})`` with
     Condat-Vu PDS; ``A`` is a 2-D convolution (or identity for denoising).
 
@@ -159,7 +163,7 @@ class TVDeconvolution(IterativeSolver):
         # > xla (pure-XLA twin; the CPU path).  stencil="auto" picks the
         # fastest eligible engine; an explicit name is honored and raises if
         # the shape/PSF doesn't qualify (ADVICE r2).
-        from pycsou_tpu.kernels.tv import sweep_available
+        from pycsou_tpu.kernels.tv import element_available, sweep_available
 
         _STENCILS = ("auto", "mega3", "mega2", "megar", "mega", "sweep", "element", "xla")
         if stencil not in _STENCILS:
@@ -217,10 +221,15 @@ class TVDeconvolution(IterativeSolver):
                     mode = "mega"
                 elif sweep_available(*shape):
                     mode = "sweep"
-                else:
+                elif element_available(*shape):
                     mode = "element"
+                else:
+                    # no feasible Pallas tiling at all: the XLA twin
+                    mode = "xla"
+                    self.use_pallas = False
             _need = {"mega3": mega3_ok, "mega2": mega2_ok, "megar": megar_ok,
-                     "mega": mega_ok, "sweep": sweep_available(*shape)}
+                     "mega": mega_ok, "sweep": sweep_available(*shape),
+                     "element": element_available(*shape)}
             if not _need.get(mode, True):
                 raise ValueError(
                     f"stencil={mode!r} is not eligible for shape {shape} with "
@@ -300,7 +309,7 @@ class TVDeconvolution(IterativeSolver):
             "z0": jnp.zeros(shape, jnp.float32),
             "z1": jnp.zeros(shape, jnp.float32),
         }
-        if self.stencil_mode in ("mega2", "mega3", "megar"):
+        if self.stencil_mode in self._STATS_ENGINES:
             # kernel-epilogue metric partial sums (VERDICT r2 task 3);
             # "_"-prefix: solver-internal, excluded from diagnostics vars
             state["_stats"] = jnp.zeros((6,), jnp.float32)
@@ -330,15 +339,19 @@ class TVDeconvolution(IterativeSolver):
                 mega_r=self.mega_r, **kw,
             )
             return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
+        if self.stencil_mode == "sweep":
+            # split duals + the kernel's epilogue stats (computed in-kernel
+            # regardless): metric_every=1 free, no (2,H,W) stack copies
+            g = self._grad(x)
+            x, z0, z1, stats = tv_pds_sweep_step_stats(x, z0, z1, g, **kw)
+            return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
         z = jnp.stack([z0, z1], axis=0)
         if self.stencil_mode == "mega":
             w, corr = self._mega_colgram(x)
             x, z = tv_pds_mega_step(x, z, w, self.atb, corr, self.mega_B, **kw)
             return {"x": x, "z0": z[0], "z1": z[1]}
         g = self._grad(x)
-        if self.stencil_mode == "sweep":
-            x, z = tv_pds_stencil_step_sweep(x, z, g, **kw)
-        elif self.stencil_mode == "element":
+        if self.stencil_mode == "element":
             x, z = tv_pds_stencil_step(x, z, g, **kw)
         else:
             x, z = tv_pds_stencil_step_xla(x, z, g, **kw)
@@ -363,13 +376,13 @@ class TVDeconvolution(IterativeSolver):
         (the reference's per-iteration semantics) costs ~nothing.  For mega3
         the stats measure the SECOND iteration only, so the fastest engine
         has single-iteration stopping semantics."""
-        if self.stencil_mode in ("mega2", "mega3", "megar") and "_stats" in new:
+        if self.stencil_mode in self._STATS_ENGINES and "_stats" in new:
             st = new["_stats"]
             return self._rel_from_stats(st[0], st[1])
         return super().metric(old, new)
 
     def metrics(self, old, new):
-        if self.stencil_mode in ("mega2", "mega3", "megar") and "_stats" in new:
+        if self.stencil_mode in self._STATS_ENGINES and "_stats" in new:
             st = new["_stats"]
             return {
                 "x": self._rel_from_stats(st[0], st[1]),

@@ -513,3 +513,41 @@ def test_explicit_megar_stencil_honored_for_rank1():
     s = TVDeconvolution((96, 384), y, 0.05, filt=h, use_pallas=True, stencil="megar")
     assert s.stencil_mode == "megar"
     assert s.megar_Bf is not None
+
+
+def test_sweep_step_stats_matches_plain_sweep(rng):
+    """tv_pds_sweep_step_stats == tv_pds_stencil_step_sweep bitwise, plus
+    exact epilogue partial sums (the sweep-engine metric_every=1 path)."""
+    from pycsou_tpu.kernels.tv import (
+        tv_pds_stencil_step_sweep,
+        tv_pds_sweep_step_stats,
+    )
+
+    H, W = 64, 256
+    kw = dict(tau=0.05, sigma=0.05, rho=0.9, lam=0.1, nonneg=True)
+    x = jnp.asarray(np.abs(rng.standard_normal((H, W))), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, H, W)) * 0.01, jnp.float32)
+    z = z.at[0, -1].set(0.0).at[1, :, -1].set(0.0)  # dual invariants
+    g = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    x1, z1 = tv_pds_stencil_step_sweep(x, z, g, interpret=True, **kw)
+    x2, z02, z12, stats = tv_pds_sweep_step_stats(
+        x, z[0], z[1], g, interpret=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(z1[0]), np.asarray(z02))
+    np.testing.assert_array_equal(np.asarray(z1[1]), np.asarray(z12))
+    want = [
+        float(jnp.sum((x2 - x) ** 2)), float(jnp.sum(x**2)),
+        float(jnp.sum((z02 - z[0]) ** 2)), float(jnp.sum(z[0] ** 2)),
+        float(jnp.sum((z12 - z[1]) ** 2)), float(jnp.sum(z[1] ** 2)),
+    ]
+    np.testing.assert_allclose(np.asarray(stats[0, :6]), want, rtol=1e-3, atol=1e-7)
+
+
+def test_element_tiling_infeasible_raises():
+    """H without an 8..128 divisor must raise, not silently skip rows."""
+    from pycsou_tpu.kernels.tv import _pick_block_rows, element_available
+
+    assert _pick_block_rows(20, 128) == 0
+    assert not element_available(20, 128)
+    assert element_available(64, 128)
