@@ -580,6 +580,11 @@ def tv_pds_mega_step(x, z, w, atb, corr, B, *, tau: float, sigma: float, rho: fl
     """
     H, W = x.shape
     R = MEGA_R
+    # _tv_mega_kernel's inline bottom edge-correction placement (gsum rows
+    # [0, HG)) is only exact because R == MEGA_HG; raising MEGA_R (as mega2
+    # did for its own kernel) requires porting it onto the general-R
+    # _mega_row_gram first
+    assert R == MEGA_HG, "mega kernel assumes R == MEGA_HG (see bottom corr)"
     if H % R:
         raise ValueError(f"H={H} must be divisible by {R}")
     nT = H // R
