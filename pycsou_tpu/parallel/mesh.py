@@ -26,6 +26,15 @@ def make_mesh(shape: Optional[Sequence[int]] = None, axis_names: Sequence[str] =
 
     ``make_mesh()``            -> 1-D mesh over all devices, axis 'sp'
     ``make_mesh((2, 4), ('dp', 'sp'))`` -> 2-D mesh
+
+    Example::
+
+        >>> from pycsou_tpu.parallel import make_mesh
+        >>> mesh = make_mesh()                  # all devices, axis 'sp'
+        >>> mesh.axis_names
+        ('sp',)
+        >>> make_mesh((2, 4), ('dp', 'sp')).shape  # doctest: +SKIP
+        OrderedDict([('dp', 2), ('sp', 4)])
     """
     devices = jax.devices()
     if shape is None:

@@ -42,6 +42,18 @@ class ShardedDenseOperator(DenseOperator):
     ``row_axis``/``col_axis`` name the mesh axes over which the matrix's two
     dimensions are partitioned (either may be None).  Outputs follow the row
     sharding; adjoint outputs follow the column sharding.
+
+    Example — matvec on a row-sharded matrix (the Dask-explicit-operator
+    analogue, reference linop/base.py:87-99)::
+
+        >>> import jax.numpy as jnp
+        >>> from pycsou_tpu.parallel import ShardedDenseOperator, make_mesh
+        >>> mesh = make_mesh(axis_names=("sp",))
+        >>> A = ShardedDenseOperator(jnp.eye(8) * 2.0, mesh=mesh, row_axis="sp")
+        >>> A(jnp.ones(8)).tolist()
+        [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0]
+        >>> not A.mat.sharding.is_fully_replicated   # actually distributed
+        True
     """
 
     # static pytree aux data: survive flatten/unflatten through jit/vmap

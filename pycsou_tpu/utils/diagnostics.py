@@ -62,6 +62,14 @@ def effective_sample_size(chains) -> jnp.ndarray:
 
         ESS = m n / (-1 + 2 sum_k P_k).
 
+    Example — independent draws have ESS ~ n::
+
+        >>> import numpy as np
+        >>> from pycsou_tpu.utils.diagnostics import effective_sample_size
+        >>> x = np.random.default_rng(0).standard_normal((4, 500))
+        >>> bool(float(effective_sample_size(x)) > 1000)
+        True
+
     For i.i.d. draws this is ~ m n; for an AR(1) chain with coefficient
     ``phi`` it approaches ``m n (1 - phi) / (1 + phi)``.
     """
@@ -98,6 +106,14 @@ def split_rhat(chains) -> jnp.ndarray:
     Each chain is split in half (so a single chain still yields a valid
     diagnostic); values near 1 (< 1.01) indicate convergence of the chain's
     first two moments.
+
+    Example — stationary chains give R-hat near 1::
+
+        >>> import numpy as np
+        >>> from pycsou_tpu.utils.diagnostics import split_rhat
+        >>> x = np.random.default_rng(0).standard_normal((4, 500))
+        >>> bool(abs(float(split_rhat(x)) - 1.0) < 0.05)
+        True
     """
     x = _chains_2d(chains)
     m, n = x.shape
