@@ -46,10 +46,6 @@ __all__ = ["TVDeconvolution"]
 
 
 class TVDeconvolution(IterativeSolver):
-    # engines whose kernels emit the stopping-metric partial sums from
-    # their epilogue (``_stats`` state entry; metric_every=1 is free)
-    _STATS_ENGINES = ("mega2", "mega3", "megar", "sweep")
-
     """``min_x ||A x - y||^2 + lam ||grad x||_{2,1} (+ i_{x>=0})`` with
     Condat-Vu PDS; ``A`` is a 2-D convolution (or identity for denoising).
 
@@ -67,6 +63,10 @@ class TVDeconvolution(IterativeSolver):
         ...      < 0.5 * jnp.linalg.norm(y - x_true))
         True
     """
+
+    # engines whose kernels emit the stopping-metric partial sums from
+    # their epilogue (``_stats`` state entry; metric_every=1 is free)
+    _STATS_ENGINES = ("mega2", "mega3", "megar", "sweep")
 
     y: jax.Array = None
     gram: object = None
