@@ -146,6 +146,12 @@ class DistributedTVDeconv2D(IterativeSolver):
         super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
         H, W = shape
         self.mesh = mesh if mesh is not None else make_mesh(axis_names=(axis_name,))
+        if len(self.mesh.axis_names) != 1:
+            raise ValueError(
+                "DistributedTVDeconv2D shards rows over a 1-D mesh; got axes "
+                f"{self.mesh.axis_names} (use BatchedDistributedTVDeconv2D / "
+                "Spatial2DTVDeconv2D for 2-D meshes)"
+            )
         self.axis_name = self.mesh.axis_names[0]
         n_dev = self.mesh.devices.size
         if H % n_dev:
@@ -309,10 +315,7 @@ class DistributedTVDeconv2D(IterativeSolver):
         """(h_loc + 2R, W) halo-extended local block: R rows from the
         previous device on top, R from the next below; ``ppermute`` zeros at
         the global edges — exactly the Gram's zero boundary condition."""
-        ax = self.axis_name
-        n = self.mesh.devices.size
-        top = jax.lax.ppermute(a[-R:], ax, [(i, i + 1) for i in range(n - 1)])
-        bot = jax.lax.ppermute(a[:R], ax, [(i + 1, i) for i in range(n - 1)])
+        top, bot = self._halos_local(a, R)
         return jnp.concatenate([top, a, bot], axis=0)
 
     def _make_ext(self, arr, R: int):
@@ -352,13 +355,14 @@ class DistributedTVDeconv2D(IterativeSolver):
             w_top = gram_band_cols(x_loc[:L_r], gp)
             w_bot = gram_band_cols(x_loc[-L_r:], gp)
         prec = jax.lax.Precision.HIGHEST
-        corr = jnp.zeros((2 * MEGA_HG, W), x_loc.dtype)
-        if rEt is not None:
-            K1 = rEt.shape[0]
-            top = 2.0 * jnp.matmul(rEt, w_top, precision=prec)
-            bot = 2.0 * jnp.matmul(rEb, w_bot, precision=prec)
-            corr = corr.at[:K1].set(top).at[2 * MEGA_HG - K1 :].set(bot)
-        return corr
+        K1 = rEt.shape[0]  # rEt is not None past the early return above
+        top = 2.0 * jnp.matmul(rEt, w_top, precision=prec)
+        bot = 2.0 * jnp.matmul(rEb, w_bot, precision=prec)
+        return (
+            jnp.zeros((2 * MEGA_HG, W), x_loc.dtype)
+            .at[:K1].set(top)
+            .at[2 * MEGA_HG - K1 :].set(bot)
+        )
 
     # legacy attribute API (round-1 callers)
     @property
@@ -382,11 +386,12 @@ class DistributedTVDeconv2D(IterativeSolver):
         return PartitionSpec(None, self.axis_name, None)
 
     # -- one PDS iteration on LOCAL blocks (inside shard_map) --------------
-    def _local_step(self, x, z, atb_loc, y_loc=None):
+    def _data_grad(self, x, atb_loc, y_loc=None):
+        """Per-shard data-term gradient ``2 (A^H A x - A^H y)`` on the
+        fastest available route — shared by the XLA-chain and sweepsp
+        engines (band > fused FFT Gram > forward+adjoint)."""
         ax = self.axis_name
-        tau, sigma, rho, lam = self.tau, self.sigma, self.rho, self.lam
         filt = self.filt
-
         if self._use_band:
             # rank-1 banded Gram: four MXU matmul passes, NO FFT (fastest)
             lead_r, L_r, lead_c, L_c = self._band_meta
@@ -394,21 +399,26 @@ class DistributedTVDeconv2D(IterativeSolver):
             cb0, cb1, cEt, cEb = self._band_cols
             g_rows = ((rb0, rb1, lead_r), rEt, rEb, L_r)
             g_cols = ((cb0, cb1, lead_c), cEt, cEb, L_c)
-            grad = 2.0 * (
+            return 2.0 * (
                 sharded_sepgram_rank1(
                     x, g_rows, g_cols, ax, g_cols_chan=self._band_cols_chan
                 )
                 - atb_loc
             )
-        elif self._use_gram:
+        if self._use_gram:
             # fused Gram: grad = 2 (A^H A x - A^H y); ONE local FFT roundtrip
-            grad = 2.0 * (
+            return 2.0 * (
                 sharded_conv2d_gram(x, filt, ax, acorr_hat=_join(self._acorr_hat)) - atb_loc
             )
-        else:
-            # grad F = 2 A^H (A x - y): forward + adjoint (two roundtrips)
-            r = sharded_conv2d(x, filt, ax, h_hat=_join(self._h_hat_fwd)) - y_loc
-            grad = 2.0 * sharded_conv2d_adjoint(r, filt, ax, h_hat=_join(self._h_hat_adj))
+        # grad F = 2 A^H (A x - y): forward + adjoint (two roundtrips)
+        r = sharded_conv2d(x, filt, ax, h_hat=_join(self._h_hat_fwd)) - y_loc
+        return 2.0 * sharded_conv2d_adjoint(r, filt, ax, h_hat=_join(self._h_hat_adj))
+
+    def _local_step(self, x, z, atb_loc, y_loc=None):
+        ax = self.axis_name
+        tau, sigma, rho, lam = self.tau, self.sigma, self.rho, self.lam
+
+        grad = self._data_grad(x, atb_loc, y_loc)
 
         # x+ = prox_G(x - tau grad - tau K^H z)
         x_temp = x - tau * grad - tau * sharded_grad2d_adjoint(z, ax)
@@ -500,23 +510,7 @@ class DistributedTVDeconv2D(IterativeSolver):
         R = self._sp_r
         H, W = self.shape
         h_loc = H // self.mesh.devices.size
-        if self._use_band:
-            lead_r, L_r, lead_c, L_c = self._band_meta
-            rb0, rb1, rEt, rEb = self._band_rows
-            cb0, cb1, cEt, cEb = self._band_cols
-            g_rows = ((rb0, rb1, lead_r), rEt, rEb, L_r)
-            g_cols = ((cb0, cb1, lead_c), cEt, cEb, L_c)
-            grad = 2.0 * (
-                sharded_sepgram_rank1(x, g_rows, g_cols, ax, g_cols_chan=self._band_cols_chan)
-                - atb_loc
-            )
-        elif self._use_gram:
-            grad = 2.0 * (
-                sharded_conv2d_gram(x, self.filt, ax, acorr_hat=_join(self._acorr_hat)) - atb_loc
-            )
-        else:
-            r = sharded_conv2d(x, self.filt, ax, h_hat=_join(self._h_hat_fwd)) - y_loc
-            grad = 2.0 * sharded_conv2d_adjoint(r, self.filt, ax, h_hat=_join(self._h_hat_adj))
+        grad = self._data_grad(x, atb_loc, y_loc)
         off = (jax.lax.axis_index(ax) * h_loc - R).astype(jnp.int32).reshape(1)
         xt, xb = self._halos_local(x, R)
         gt, gb = self._halos_local(grad, R)
@@ -581,7 +575,10 @@ class DistributedTVDeconv2D(IterativeSolver):
             )
             x, z0, z1, st = smapped(state["x"], state["z0"], state["z1"], third)
             return {"x": x, "z0": z0, "z1": z1, "_stats": st}
-        if self._use_gram:
+        # same predicate _data_grad keys on: atb is consumed iff the band
+        # OR fused-Gram route runs (today band implies gram-eligible, but
+        # the dispatch must not rely on that coupling)
+        if self._use_band or self._use_gram:
             smapped = jax.shard_map(
                 lambda x, z, atb: self._local_step(x, z, atb),
                 mesh=self.mesh,
@@ -623,9 +620,8 @@ class DistributedTVDeconv2D(IterativeSolver):
     # -- legacy fixed-iteration API (benchmarks) ------------------------------
     def run(self, n_iters: int, x=None, z=None):
         """Run ``n_iters`` fused iterations; returns (x, z) still sharded."""
-        init = self.initial_state()
         if self._sp_engine:
-            state = dict(init)
+            state = dict(self.initial_state())
             if x is not None:
                 state["x"] = x
             if z is not None:
@@ -634,6 +630,7 @@ class DistributedTVDeconv2D(IterativeSolver):
             return state["x"], jnp.stack([state["z0"], state["z1"]], axis=0)
         state = None
         if x is not None or z is not None:
+            init = self.initial_state()
             state = self._wrap_state(
                 {
                     "x": x if x is not None else init["x"],
@@ -727,6 +724,10 @@ class BatchedDistributedTVDeconv2D(IterativeSolver):
             jnp.zeros(shape, dtype),
             lam,
             nonneg=nonneg,
+            # Batched only calls inner._local_step (the XLA chain); skip the
+            # per-shard Pallas engine setup (plans, halo-extended atb) it
+            # would never use
+            use_pallas=False,
             mesh=sp_mesh,
             tau=tau,
             rho=rho,

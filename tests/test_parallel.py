@@ -414,3 +414,15 @@ def test_spatial2d_rejects_full_rank(rng):
     h = jnp.asarray(rng.standard_normal((5, 5)), dtype=jnp.float32)
     with pytest.raises(ValueError, match="rank-1"):
         Spatial2DTVDeconv2D((32, 64), h, jnp.zeros((32, 64)), 0.05, mesh=mesh2)
+
+
+def test_distributed_tv_rejects_multiaxis_mesh(rng):
+    """DistributedTVDeconv2D shards rows over a 1-D mesh; a 2-D mesh must
+    raise a clear error instead of an opaque FFT shape mismatch."""
+    from pycsou_tpu.parallel import DistributedTVDeconv2D, make_mesh
+
+    h = jnp.asarray(rng.standard_normal((3, 3)) / 3, jnp.float32)
+    y = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+    mesh2d = make_mesh((2, 4), ("sp", "b"))
+    with pytest.raises(ValueError, match="1-D mesh"):
+        DistributedTVDeconv2D((32, 16), h, y, 0.05, mesh=mesh2d)
