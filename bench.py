@@ -98,7 +98,11 @@ def _time_solver(solver, label, iters=TPU_ITERS, reps=TPU_REPS):
         state = solver.run_fixed(long_iters, state=state)
         jax.block_until_ready(state["x"])
         t_l = time.perf_counter() - t0
-        best = min(best, (t_l - t_s) / (long_iters - iters))
+        slope = (t_l - t_s) / (long_iters - iters)
+        # host-load noise can make the short chunk disproportionately slow
+        # (slope <= 0); the long-chunk mean still upper-bounds the true
+        # per-iteration time, so use it as the fallback candidate
+        best = min(best, slope if slope > 0 else t_l / long_iters)
         log(f"[{label}] short {t_s*1e3:.1f} ms / long {t_l*1e3:.1f} ms")
     ips = 1.0 / best
     log(f"[{label}] slope {best*1e3:.3f} ms/iter -> {ips:.2f} iters/s")
@@ -163,7 +167,8 @@ def bench_tpu(h, y):
             out, s = c_l(out)
             float(s)
             t_l = time.perf_counter() - t0
-            per_mv = min(per_mv, (t_l - t_s) / 400)
+            slope = (t_l - t_s) / 400
+            per_mv = min(per_mv, slope if slope > 0 else t_l / 500)
         nbytes = 2 * out.size * 4  # input read + output write (traffic floor)
         extras["matvec_gbps"] = round(nbytes / per_mv / 1e9, 1)
         log(f"conv matvec: {per_mv*1e3:.2f} ms -> {nbytes/per_mv/1e9:.1f} GB/s effective (I/O floor)")

@@ -81,12 +81,48 @@ def _corr_into(out, strip, h, row_off: int, col_off: int, c_hat=None):
     ].add(-block)
 
 
-def conv2d_gram_apply(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, L: Tuple[int, int]) -> jax.Array:
+def make_pad_cache(dim_shape: Tuple[int, int], filt_np: np.ndarray) -> dict:
+    """Precompute the kernel transfers used by ``conv2d_gram_apply``'s frame
+    corrections (same role as :func:`make_wrap_cache` for the wrap path):
+    each apply then spends FFTs only on the data slabs, not on the constant
+    kernel — the frame convs otherwise each pay an image-height kernel rFFT
+    per matvec inside solver loops."""
+    n0, n1 = dim_shape
+    filt = jnp.asarray(filt_np)
+    m0, m1 = filt.shape
+    o0, o1 = m0 // 2, m1 // 2
+    b0, b1 = m0 - 1 - o0, m1 - 1 - o1
+    f = filt[::-1, ::-1]
+    cache = {}
+    if o0 > 0:
+        cache["frame_top_h"] = full_transfer(filt, (min(o0, n0), n1))
+        cache["frame_top_c"] = full_transfer(f, (o0, n1 + m1 - 1))
+    if b0 > 0:
+        start0 = max(0, n0 - (m0 - 1))
+        cache["frame_bot_h"] = full_transfer(filt, (n0 - start0, n1))
+        cache["frame_bot_c"] = full_transfer(f, (b0, n1 + m1 - 1))
+    if o1 > 0:
+        cache["frame_left_h"] = full_transfer(filt, (n0, min(o1, n1)))
+        cache["frame_left_c"] = full_transfer(f, (n0, o1))
+    if b1 > 0:
+        start1 = max(0, n1 - (m1 - 1))
+        cache["frame_right_h"] = full_transfer(filt, (n0, n1 - start1))
+        cache["frame_right_c"] = full_transfer(f, (n0, b1))
+    # re/im split: complex d2h is unimplemented on some TPU runtimes
+    return {
+        k: ((jnp.real(v), jnp.imag(v)) if jnp.iscomplexobj(v) else v)
+        for k, v in cache.items()
+    }
+
+
+def conv2d_gram_apply(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, L: Tuple[int, int], cache: dict = None) -> jax.Array:
     """Exact ``A^H A x`` for 'same' 2-D convolution (centre offset m//2).
 
     ``h2_hat = |rfft2(filt, L)|^2`` must be precomputed with
-    ``L >= n + 2m - 2`` per axis.
+    ``L >= n + 2m - 2`` per axis; pass ``cache`` from :func:`make_pad_cache`
+    to skip the per-apply kernel transfers of the frame corrections.
     """
+    cache = cache or {}
     n0, n1 = x.shape
     m0, m1 = filt.shape
     o0, o1 = m0 // 2, m1 // 2
@@ -99,24 +135,25 @@ def conv2d_gram_apply(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, L: Tuple
     h = filt
     # --- boundary corrections: subtract A_full^T(frame * A_full x) --------
     if o0 > 0:
-        top = conv_full_direct(x[:o0], h)[:o0]  # full rows [0, o0)
-        g = _corr_into(g, top, h, row_off=0, col_off=0)
+        top = conv_full_direct(x[:o0], h, h_hat=_cget(cache, "frame_top_h"))[:o0]
+        g = _corr_into(g, top, h, row_off=0, col_off=0, c_hat=_cget(cache, "frame_top_c"))
     if b0 > 0:
-        xs = x[n0 - (m0 - 1) :]
-        cb = conv_full_direct(xs, h)
-        # local row r <-> global full row (n0 - m0 + 1) + r; want [o0+n0, n0+m0-1)
-        r_lo = o0 + m0 - 1
+        # clamped slab start (n0 may be < m0-1): local row r of the full
+        # conv <-> global full row start_in + r; want rows [o0+n0, n0+m0-1)
+        start0 = max(0, n0 - (m0 - 1))
+        cb = conv_full_direct(x[start0:], h, h_hat=_cget(cache, "frame_bot_h"))
+        r_lo = (o0 + n0) - start0
         bot = cb[r_lo : r_lo + b0]
-        g = _corr_into(g, bot, h, row_off=o0 + n0, col_off=0)
+        g = _corr_into(g, bot, h, row_off=o0 + n0, col_off=0, c_hat=_cget(cache, "frame_bot_c"))
     if o1 > 0:
-        ml = conv_full_direct(x[:, :o1], h)[o0 : o0 + n0, :o1]  # middle rows, left cols
-        g = _corr_into(g, ml, h, row_off=o0, col_off=0)
+        ml = conv_full_direct(x[:, :o1], h, h_hat=_cget(cache, "frame_left_h"))[o0 : o0 + n0, :o1]
+        g = _corr_into(g, ml, h, row_off=o0, col_off=0, c_hat=_cget(cache, "frame_left_c"))
     if b1 > 0:
-        xs = x[:, n1 - (m1 - 1) :]
-        cr = conv_full_direct(xs, h)
-        c_lo = o1 + m1 - 1
+        start1 = max(0, n1 - (m1 - 1))
+        cr = conv_full_direct(x[:, start1:], h, h_hat=_cget(cache, "frame_right_h"))
+        c_lo = (o1 + n1) - start1
         mr = cr[o0 : o0 + n0, c_lo : c_lo + b1]
-        g = _corr_into(g, mr, h, row_off=o0, col_off=o1 + n1)
+        g = _corr_into(g, mr, h, row_off=o0, col_off=o1 + n1, c_hat=_cget(cache, "frame_right_c"))
     return g
 
 
@@ -258,18 +295,18 @@ def conv2d_gram_apply_wrap(x: jax.Array, filt: jax.Array, h2_hat: jax.Array, cac
         top = conv_full_direct(x[:m0], h, h_hat=_cget(cache, "frame_top_h"))[:o0]
         g = _corr_into(g, top, h, row_off=0, col_off=0, c_hat=_cget(cache, "frame_top_c"))
     if b0 > 0:
-        xs = x[n0 - (m0 - 1) :]
-        cb2 = conv_full_direct(xs, h, h_hat=_cget(cache, "frame_bot_h"))
-        r_lo = o0 + m0 - 1
+        start0 = max(0, n0 - (m0 - 1))
+        cb2 = conv_full_direct(x[start0:], h, h_hat=_cget(cache, "frame_bot_h"))
+        r_lo = (o0 + n0) - start0
         bot = cb2[r_lo : r_lo + b0]
         g = _corr_into(g, bot, h, row_off=o0 + n0, col_off=0, c_hat=_cget(cache, "frame_bot_c"))
     if o1 > 0:
         ml = conv_full_direct(x[:, :o1], h, h_hat=_cget(cache, "frame_left_h"))[o0 : o0 + n0, :o1]
         g = _corr_into(g, ml, h, row_off=o0, col_off=0, c_hat=_cget(cache, "frame_left_c"))
     if b1 > 0:
-        xs = x[:, n1 - (m1 - 1) :]
-        cr2 = conv_full_direct(xs, h, h_hat=_cget(cache, "frame_right_h"))
-        c_lo = o1 + m1 - 1
+        start1 = max(0, n1 - (m1 - 1))
+        cr2 = conv_full_direct(x[:, start1:], h, h_hat=_cget(cache, "frame_right_h"))
+        c_lo = (o1 + n1) - start1
         mr = cr2[o0 : o0 + n0, c_lo : c_lo + b1]
         g = _corr_into(g, mr, h, row_off=o0, col_off=o1 + n1, c_hat=_cget(cache, "frame_right_c"))
     return g

@@ -240,3 +240,48 @@ def test_rank1_factors_nd_roundtrip(rng):
     rec = np.multiply.outer(np.multiply.outer(us[0], us[1]), us[2])
     np.testing.assert_allclose(rec, filt, rtol=1e-6, atol=1e-9)
     assert rank1_factors_nd(rng.standard_normal((3, 3, 3))) is None
+
+
+@pytest.mark.parametrize(
+    "n_shape,m_shape",
+    [((5, 40), (8, 3)), ((40, 5), (3, 8)), ((4, 40), (9, 3)), ((6, 6), (9, 9))],
+)
+def test_fft_gram_small_images(rng, n_shape, m_shape):
+    """Images smaller than the kernel reach (n < m-1 per axis): the frame
+    corrections must clamp their slab starts (silent-wrong before the fix)."""
+    h = jnp.asarray(rng.standard_normal(m_shape), jnp.float32)
+    A = Convolve2D(n_shape, h, method="fft")
+    x = jnp.asarray(rng.standard_normal(n_shape), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(A.gram(x)), np.asarray(A.adjoint(A(x))), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_gram1d_small_signal(rng):
+    from pycsou_tpu.ops.conv import Convolve1D
+
+    A = Convolve1D((4,), jnp.asarray(rng.standard_normal(9), jnp.float32), method="fft")
+    x = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(A.gram(x)), np.asarray(A.adjoint(A(x))), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_wrap_gram_rejects_small_images(rng):
+    """Explicit wrap=True on an image too small for the wraparound bands
+    must raise instead of silently returning a wrong Gram."""
+    from pycsou_tpu.ops.conv import ConvGram2D
+
+    h = jnp.asarray(rng.standard_normal((9, 9)), jnp.float32)
+    A = Convolve2D((16, 16), h, method="fft")
+    with pytest.raises(ValueError, match="2m-1"):
+        ConvGram2D(A, wrap=True)
+
+
+def test_explicit_bandg_rejects_ineligible(rng):
+    """method='bandg' with a rank-1 or shape-ineligible kernel raises a
+    clear ValueError instead of crashing on plan unpacking."""
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    h1 = np.outer(g, g).astype(np.float32)  # rank 1
+    with pytest.raises(ValueError, match="bandg"):
+        Convolve2D((512, 512), h1, method="bandg")
