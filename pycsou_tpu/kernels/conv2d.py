@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pycsou_tpu.kernels.tv import MEGA_HG, _dot_bf16x3, _split_bf16
 
-__all__ = ["make_sepconv_plan", "sepconv2d_sweep", "sepconv_sweep_available"]
+__all__ = [
+    "make_sepconv_plan_pair","make_sepconv_plan", "sepconv2d_sweep", "sepconv_sweep_available"]
 
 HG = MEGA_HG  # row-pass window halo (8-row aligned); supports reach <= HG-1
 
@@ -95,6 +96,32 @@ def _presplit(a):
     hi = a.astype(jnp.bfloat16).astype(np.float32)
     lo = (a - hi).astype(jnp.bfloat16).astype(np.float32)
     return jnp.asarray(np.stack([hi, lo]))
+
+
+def make_sepconv_plan_pair(u_taps, v_taps, shape, *, adj_scale: float = 1.0):
+    """Forward AND adjoint sweep plans for a factor stack: the adjoint is
+    the correlation — flipped taps at the complementary 'same' offsets
+    ``m - 1 - m//2`` (one shared definition of that convention; callers in
+    ops/conv.py and kernels/tvr.py).  ``adj_scale`` folds a constant (e.g.
+    the gradient's 2x) into the adjoint row band.  Returns
+    ``(Bf, Cf, Ba, Ca, r)`` or None when the shape/rank doesn't qualify."""
+    u = np.asarray(u_taps, np.float64)
+    v = np.asarray(v_taps, np.float64)
+    if u.ndim == 1:
+        u = u[:, None]
+    if v.ndim == 1:
+        v = v[:, None]
+    m0, m1 = u.shape[0], v.shape[0]
+    o0, o1 = m0 // 2, m1 // 2
+    pf = make_sepconv_plan(u, v, o0, o1, shape)
+    pa = make_sepconv_plan(
+        adj_scale * u[::-1], v[::-1], m0 - 1 - o0, m1 - 1 - o1, shape
+    )
+    if pf is None or pa is None:
+        return None
+    Bf, Cf, r = pf
+    Ba, Ca, _ = pa
+    return Bf, Cf, Ba, Ca, r
 
 
 def make_sepconv_plan(u_taps, v_taps, offset_r: int, offset_c: int, shape):

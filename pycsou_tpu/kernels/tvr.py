@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pycsou_tpu.kernels.conv2d import lane_conv_multi as _lane_conv_multi, make_sepconv_plan
+from pycsou_tpu.kernels.conv2d import lane_conv_multi as _lane_conv_multi, make_sepconv_plan_pair
 from pycsou_tpu.kernels.tv import (
     MEGA_HG,
     _dot_bf16x3,
@@ -60,21 +60,7 @@ def make_megar_plan(us, vs, shape):
     the PSF.  The adjoint row bands carry the gradient's 2x scale (the row
     pass is linear in its taps), so the kernel's adjoint row dots emit
     ``2 A^H t`` directly — mirroring make_mega_band's built-in 2x."""
-    us = np.asarray(us, np.float64)
-    vs = np.asarray(vs, np.float64)
-    if us.ndim == 1:
-        us = us[:, None]
-    if vs.ndim == 1:
-        vs = vs[:, None]
-    m0, m1 = us.shape[0], vs.shape[0]
-    o0, o1 = m0 // 2, m1 // 2
-    pf = make_sepconv_plan(us, vs, o0, o1, shape)
-    pa = make_sepconv_plan(2.0 * us[::-1], vs[::-1], m0 - 1 - o0, m1 - 1 - o1, shape)
-    if pf is None or pa is None:
-        return None
-    Bf, Cf, r = pf
-    Ba, Ca, _ = pa
-    return Bf, Cf, Ba, Ca, r
+    return make_sepconv_plan_pair(us, vs, shape, adj_scale=2.0)
 
 
 def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,

@@ -350,16 +350,11 @@ class Convolve2D(LinearOperator):
             # one-pass fused sweep matvec (TPU only; the plan is
             # shape/rank-gated — any rank <= 4 accumulates in-kernel)
             if jax.default_backend() not in ("cpu",):
-                from pycsou_tpu.kernels.conv2d import make_sepconv_plan
+                from pycsou_tpu.kernels.conv2d import make_sepconv_plan_pair
 
-                us_np = np.asarray(us)
-                pf = make_sepconv_plan(us_np, vs_np, o0, o1, dim_shape)
-                pa = make_sepconv_plan(
-                    us_np[::-1], vs_np[::-1], m0 - 1 - o0, m1 - 1 - o1, dim_shape
-                )
-                if pf is not None and pa is not None:
-                    self.mv_B, self.mv_C, self.mv_r = pf
-                    self.mv_Ba, self.mv_Ca, _ = pa
+                pp = make_sepconv_plan_pair(np.asarray(us), vs_np, dim_shape)
+                if pp is not None:
+                    self.mv_B, self.mv_C, self.mv_Ba, self.mv_Ca, self.mv_r = pp
 
     def _without_pallas(self) -> "Convolve2D":
         """GSPMD-safe twin: drop the fused-sweep matvec plans so apply/
@@ -583,7 +578,7 @@ def _grouped_sweep_plans(filt, dim_shape):
     factor groups (the sweep kernel's VMEM rings accumulate at most 4 ranks
     per pass, kernels/conv2d.py).  Returns the 8 plan matrices + tile rows,
     or None when the kernel/shape doesn't qualify."""
-    from pycsou_tpu.kernels.conv2d import make_sepconv_plan
+    from pycsou_tpu.kernels.conv2d import make_sepconv_plan_pair
 
     fac = lowrank_factors(np.asarray(filt), max_rank=8)
     if fac is None:
@@ -592,19 +587,14 @@ def _grouped_sweep_plans(filt, dim_shape):
     r = us.shape[1]
     if r <= 4:
         return None
-    m0, m1 = filt.shape
-    o0, o1 = m0 // 2, m1 // 2
     plans = []
     for sl in (slice(0, 4), slice(4, None)):
-        pf = make_sepconv_plan(us[:, sl], vs[:, sl], o0, o1, dim_shape)
-        pa = make_sepconv_plan(
-            us[::-1, sl], vs[::-1, sl], m0 - 1 - o0, m1 - 1 - o1, dim_shape
-        )
-        if pf is None or pa is None:
+        pp = make_sepconv_plan_pair(us[:, sl], vs[:, sl], dim_shape)
+        if pp is None:
             return None
-        plans.append((pf, pa))
-    (B1, C1, r1), (B1a, C1a, _) = plans[0]
-    (B2, C2, r2), (B2a, C2a, _) = plans[1]
+        plans.append(pp)
+    B1, C1, B1a, C1a, r1 = plans[0]
+    B2, C2, B2a, C2a, r2 = plans[1]
     # the sweep tile-row count depends only on (H, W) (kernels/conv2d.py),
     # so both groups always agree — apply()/adjoint() rely on it, passing
     # the single mv_r to both groups' sweeps
@@ -765,16 +755,11 @@ class SeparableConvGram2D(LinearOperator):
         # Gram is a trivial fused scale — two pallas sweeps would be pure
         # launch overhead
         if m0 * m1 > 1 and jax.default_backend() not in ("cpu",):
-            from pycsou_tpu.kernels.conv2d import make_sepconv_plan
+            from pycsou_tpu.kernels.conv2d import make_sepconv_plan_pair
 
-            us_np, vs_np = np.asarray(us), np.asarray(vs)
-            pf = make_sepconv_plan(us_np, vs_np, o0, o1, conv.dim_shape)
-            pa = make_sepconv_plan(
-                us_np[::-1], vs_np[::-1], m0 - 1 - o0, m1 - 1 - o1, conv.dim_shape
-            )
-            if pf is not None and pa is not None:
-                self.sw_Bf, self.sw_Cf, self.sw_r = pf
-                self.sw_Ba, self.sw_Ca, _ = pa
+            pp = make_sepconv_plan_pair(np.asarray(us), np.asarray(vs), conv.dim_shape)
+            if pp is not None:
+                self.sw_Bf, self.sw_Cf, self.sw_Ba, self.sw_Ca, self.sw_r = pp
 
     def _apply_fast2(self, x):
         """Rank-1 2-pass Gram: RowGram then ColGram, each one banded pass."""
