@@ -50,7 +50,21 @@ def _advance(solver, s, new):
         row = jnp.stack([rels[k] for k in sorted(rels)])
         new["var_history"] = s["var_history"].at[it - 1].set(row)
     if "obj_history" in s:
-        new["obj_history"] = s["obj_history"].at[it - 1].set(solver.objective(new["x"]))
+        new["obj_history"] = s["obj_history"].at[it - 1].set(
+            solver.objective(new[solver.primary_var])
+        )
+    return solver._constrain(new)
+
+
+def _raw_step(solver, st):
+    """One step WITHOUT bookkeeping: bump ``it``, carry the measured-stride
+    entries unchanged, re-constrain (shared by the metric_every stride loop
+    and _run_fixed's remainder loop)."""
+    new = solver._step(st)
+    new["it"] = st["it"] + getattr(solver, "iters_per_step", 1)
+    for key in ("metric", "history", "var_history", "obj_history"):
+        if key in st:
+            new[key] = st[key]
     return solver._constrain(new)
 
 
@@ -66,15 +80,7 @@ def _stride_body(solver, s):
     if every <= 1:
         return _advance(solver, s, solver._step(s))
 
-    def inner(_, st):
-        new = solver._step(st)
-        new["it"] = st["it"] + getattr(solver, "iters_per_step", 1)
-        for key in ("metric", "history", "var_history", "obj_history"):
-            if key in st:
-                new[key] = st[key]
-        return solver._constrain(new)
-
-    s = jax.lax.fori_loop(0, every - 1, inner, s)
+    s = jax.lax.fori_loop(0, every - 1, lambda _, st: _raw_step(solver, st), s)
     return _advance(solver, s, solver._step(s))
 
 
@@ -85,7 +91,12 @@ def _run_chunk(solver, state, it_stop):
     def cond(s):
         it = s["it"]
         not_done = it < it_stop
-        keep_going = jnp.logical_or(s["metric"] > solver.tol, it < solver.min_iter)
+        # NaN-safe: a diverged solve (metric = NaN) must keep iterating to
+        # max_iter, not deadlock — `NaN > tol` is False but so is
+        # `NaN <= tol`, which would spin solve()'s host loop forever
+        keep_going = jnp.logical_or(
+            jnp.logical_not(s["metric"] <= solver.tol), it < solver.min_iter
+        )
         return jnp.logical_and(not_done, keep_going)
 
     def body(s):
@@ -291,6 +302,15 @@ class IterativeSolver(Module):
 
             resumed = load_latest_state(checkpoint_dir, template=state)
             if resumed is not None:
+                sh = getattr(self, "state_shardings", None)
+                if sh:
+                    # restored leaves land on the default device; re-apply
+                    # the GSPMD shardings before the first chunk or a
+                    # mesh-sized problem OOMs device 0 on resume
+                    resumed = {
+                        k: (jax.device_put(v, sh[k]) if k in sh else v)
+                        for k, v in resumed.items()
+                    }
                 state = resumed
         # host-sync stride: every chunk boundary costs one device->host
         # roundtrip (~25-30 ms on tunnelled runtimes — docs/BENCH.md), while
@@ -303,6 +323,7 @@ class IterativeSolver(Module):
             chunk = 100
         else:
             chunk = max(100, min(self.max_iter, 1000))
+        checkpoint_every = max(1, int(checkpoint_every))
         n_chunks = 0
         t0 = time.perf_counter()
         while True:
@@ -346,7 +367,31 @@ class IterativeSolver(Module):
         a single ``lax.scan``-style computation for benchmarking and for
         embedding a solver inside a larger jitted program."""
         state = self._wrap_state(self.initial_state() if state is None else state)
+        state = self._grow_history(state, int(state["it"]) + int(n_iter))
         return _run_fixed(self, state, n_iter)
+
+    def _grow_history(self, state, upto: int):
+        """Pad the history buffers when chained run_fixed calls exceed the
+        max_iter-sized allocation (an out-of-range .at[] write is silently
+        dropped under JAX scatter semantics — rows would just vanish)."""
+        every = max(1, int(getattr(self, "metric_every", 1) or 1))
+        eff = every * max(1, int(getattr(self, "iters_per_step", 1) or 1))
+        need = (-(-upto // eff) + 1) * eff
+        cur = state["history"].shape[0]
+        if need <= cur:
+            return state
+        state = dict(state)
+        pad = need - cur
+        state["history"] = jnp.pad(state["history"], (0, pad), constant_values=jnp.nan)
+        if "var_history" in state:
+            state["var_history"] = jnp.pad(
+                state["var_history"], ((0, pad), (0, 0)), constant_values=jnp.nan
+            )
+        if "obj_history" in state:
+            state["obj_history"] = jnp.pad(
+                state["obj_history"], (0, pad), constant_values=jnp.nan
+            )
+        return state
 
     def iterates(self, n: int, stride: int = 1):
         """Generator over iterates (reference solver.py:88).  The stride is
@@ -388,14 +433,6 @@ def _run_fixed(solver, state, n_iter: int):
     rem_steps = -(-rem // ips)
     if rem_steps:
         # remainder: rem_steps-1 raw steps + one measured step
-        def inner(_, st):
-            new = solver._step(st)
-            new["it"] = st["it"] + ips
-            for key in ("metric", "history", "var_history", "obj_history"):
-                if key in st:
-                    new[key] = st[key]
-            return solver._constrain(new)
-
-        state = jax.lax.fori_loop(0, rem_steps - 1, inner, state)
+        state = jax.lax.fori_loop(0, rem_steps - 1, lambda _, st: _raw_step(solver, st), state)
         state = _advance(solver, state, solver._step(state))
     return state

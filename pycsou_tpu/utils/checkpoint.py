@@ -38,12 +38,26 @@ def load_state(path: str, template: Optional[Any] = None) -> Any:
         return restored
 
     flat_t, treedef = jax.tree_util.tree_flatten(template)
-    flat_r = jax.tree_util.tree_leaves(restored)
-    if len(flat_t) != len(flat_r):
-        raise ValueError("checkpoint does not match the template structure")
+    flat_r, treedef_r = jax.tree_util.tree_flatten(restored)
+    # structural validation: leaf-count alone can pair the WRONG leaves
+    # positionally (dicts flatten sorted-by-key) and silently cast them
+    if treedef_r != treedef:
+        raise ValueError(
+            f"checkpoint tree structure {treedef_r} does not match the "
+            f"solver template {treedef}"
+        )
     import jax.numpy as jnp
 
-    flat = [jnp.asarray(r, dtype=np.asarray(t).dtype) for r, t in zip(flat_r, flat_t)]
+    flat = []
+    for r, t in zip(flat_r, flat_t):
+        t_shape = getattr(t, "shape", np.shape(t))
+        t_dtype = getattr(t, "dtype", np.asarray(t).dtype)
+        if tuple(np.shape(r)) != tuple(t_shape):
+            raise ValueError(
+                f"checkpoint leaf shape {np.shape(r)} != template {t_shape} "
+                "(solver reconfigured? different metric_every/history sizes?)"
+            )
+        flat.append(jnp.asarray(r, dtype=t_dtype))
     return jax.tree_util.tree_unflatten(treedef, flat)
 
 

@@ -256,3 +256,64 @@ def test_jit_through_composed_operator(rng):
 
     x = jnp.asarray(rng.standard_normal(5), dtype=jnp.float32)
     np.testing.assert_allclose(run(op, x), 2 * A(x) + B(x), rtol=1e-5)
+
+
+def test_diverged_solve_terminates():
+    """A NaN stopping metric must run to max_iter and return converged=False
+    — not deadlock solve()'s host loop (NaN > tol and NaN <= tol are both
+    False)."""
+    import jax.numpy as jnp
+
+    from pycsou_tpu.core.solver import IterativeSolver
+
+    class Diverges(IterativeSolver):
+        def initial_state(self):
+            return {"x": jnp.ones(4)}
+
+        def step(self, state):
+            return {"x": state["x"] * jnp.inf}  # -> NaN rel improvement
+
+    info = Diverges(max_iter=20, min_iter=1, tol=1e-6).solve()
+    assert info.n_iter == 20 and not info.converged
+
+
+def test_run_fixed_grows_history():
+    """Chained run_fixed beyond max_iter must keep recording history (the
+    buffer is re-padded; OOB scatters would silently drop rows)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pycsou_tpu.core.solver import IterativeSolver
+
+    class Halve(IterativeSolver):
+        def initial_state(self):
+            return {"x": jnp.ones(4)}
+
+        def step(self, state):
+            return {"x": 0.5 * state["x"]}
+
+    s = Halve(max_iter=10)
+    st = s.run_fixed(8)
+    st = s.run_fixed(8, state=st)
+    assert int(st["it"]) == 16
+    hist = np.asarray(st["history"])[:16]
+    assert np.isfinite(hist).all() and hist.shape[0] == 16
+
+
+def test_checkpoint_rejects_shape_mismatch(tmp_path):
+    """A checkpoint whose leaves have different shapes (solver reconfigured)
+    must be rejected, not silently loaded positionally."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from pycsou_tpu.utils.checkpoint import load_state, save_state
+
+    good = {"x": jnp.ones((4, 4)), "it": jnp.asarray(3, jnp.int32)}
+    save_state(str(tmp_path / "step_3"), good)
+    bad_template = {"x": jnp.ones((8, 8)), "it": jnp.asarray(0, jnp.int32)}
+    with _pytest.raises(ValueError, match="shape"):
+        load_state(str(tmp_path / "step_3"), template=bad_template)
+    # different key set -> structural error
+    bad_keys = {"y": jnp.ones((4, 4)), "it": jnp.asarray(0, jnp.int32)}
+    with _pytest.raises(ValueError, match="structure"):
+        load_state(str(tmp_path / "step_3"), template=bad_keys)
