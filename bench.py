@@ -88,7 +88,7 @@ def _time_solver(solver, label, iters=TPU_ITERS, reps=TPU_REPS):
     state = solver.run_fixed(long_iters, state=state)
     jax.block_until_ready(state["x"])
     log(f"[{label}] compile long chunk: {time.perf_counter() - t0:.1f}s")
-    best = 1e9
+    slopes, means = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         state = solver.run_fixed(iters, state=state)
@@ -98,14 +98,18 @@ def _time_solver(solver, label, iters=TPU_ITERS, reps=TPU_REPS):
         state = solver.run_fixed(long_iters, state=state)
         jax.block_until_ready(state["x"])
         t_l = time.perf_counter() - t0
-        slope = (t_l - t_s) / (long_iters - iters)
-        # host-load noise can make the short chunk disproportionately slow
-        # (slope <= 0); the long-chunk mean still upper-bounds the true
-        # per-iteration time, so use it as the fallback candidate
-        best = min(best, slope if slope > 0 else t_l / long_iters)
+        slopes.append((t_l - t_s) / (long_iters - iters))
+        means.append(t_l / long_iters)
         log(f"[{label}] short {t_s*1e3:.1f} ms / long {t_l*1e3:.1f} ms")
-    ips = 1.0 / best
-    log(f"[{label}] slope {best*1e3:.3f} ms/iter -> {ips:.2f} iters/s")
+    # MEDIAN of slopes: min() latches onto any one host-load hiccup in the
+    # short chunk (a 3106-iters/s headline shipped that way once); negative
+    # slopes (hiccup in the long chunk) are discarded, and the long-chunk
+    # mean — a strict upper bound on the per-iteration time (it still
+    # carries the amortised ~27 ms dispatch constant) — caps the estimate
+    valid = [s for s in slopes if s > 0] or means
+    per_iter = min(float(np.median(valid)), min(means))
+    ips = 1.0 / per_iter
+    log(f"[{label}] slope {per_iter*1e3:.3f} ms/iter -> {ips:.2f} iters/s")
     return ips, state
 
 
@@ -157,7 +161,7 @@ def bench_tpu(h, y):
         float(s)
         out, s = c_l(out)
         float(s)
-        per_mv = 1e9
+        mv_slopes, mv_means = [], []
         for _ in range(3):
             t0 = time.perf_counter()
             out, s = c_s(out)
@@ -167,8 +171,10 @@ def bench_tpu(h, y):
             out, s = c_l(out)
             float(s)
             t_l = time.perf_counter() - t0
-            slope = (t_l - t_s) / 400
-            per_mv = min(per_mv, slope if slope > 0 else t_l / 500)
+            mv_slopes.append((t_l - t_s) / 400)
+            mv_means.append(t_l / 500)
+        mv_valid = [s for s in mv_slopes if s > 0] or mv_means
+        per_mv = min(float(np.median(mv_valid)), min(mv_means))
         nbytes = 2 * out.size * 4  # input read + output write (traffic floor)
         extras["matvec_gbps"] = round(nbytes / per_mv / 1e9, 1)
         log(f"conv matvec: {per_mv*1e3:.2f} ms -> {nbytes/per_mv/1e9:.1f} GB/s effective (I/O floor)")

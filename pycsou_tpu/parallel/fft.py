@@ -117,13 +117,18 @@ class PencilCircularConv2D(LinearOperator):
             hfull = jnp.roll(hfull, shifts, axis=(0, 1))
             h_hat = jnp.fft.rfft2(hfull)
         h_hat = jnp.asarray(h_hat)
-        lip = float(np.max(np.abs(np.asarray(h_hat))))
+        re, im = jnp.real(h_hat), jnp.imag(h_hat)
+        # d2h of the re/im PARTS only: complex d2h is unimplemented on some
+        # TPU runtimes (ops/conv.py CircularConvolve convention)
+        lip = float(np.max(np.hypot(np.asarray(re), np.asarray(im))))
         super().__init__(dim_shape, dim_shape, lipschitz=lip, dtype=dtype)
         wl = pencil_cols(W, n)
-        h_hat = jnp.pad(h_hat, ((0, 0), (0, n * wl - h_hat.shape[1])))
+        real_dt = jnp.zeros((), dtype).real.dtype
+        re = jnp.pad(re, ((0, 0), (0, n * wl - re.shape[1])))
+        im = jnp.pad(im, ((0, 0), (0, n * wl - im.shape[1])))
         sh = NamedSharding(mesh, P(None, axis))
-        self.h_re = jax.device_put(jnp.real(h_hat).astype(jnp.float32), sh)
-        self.h_im = jax.device_put(jnp.imag(h_hat).astype(jnp.float32), sh)
+        self.h_re = jax.device_put(re.astype(real_dt), sh)
+        self.h_im = jax.device_put(im.astype(real_dt), sh)
         self._mesh = mesh
         self._axis = axis
 
@@ -163,7 +168,10 @@ class PencilCircularConv2D(LinearOperator):
         mirrors ``CircularConvolve.pinv``."""
         d = float(damp)
         return self._spectral(
-            y, lambda S, h: S * jnp.conj(h) / (jnp.abs(h) ** 2 + d)
+            y,
+            # floor like CircularConvolve.pinv: spectral zeros with damp=0
+            # would give 0/0 = NaN and poison the whole irfft
+            lambda S, h: S * jnp.conj(h) / jnp.maximum(jnp.abs(h) ** 2 + d, 1e-30),
         )
 
 

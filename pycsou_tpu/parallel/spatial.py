@@ -145,6 +145,13 @@ def _os_conv(block: jax.Array, filt: jax.Array, o0: int, o1: int, axis_name: str
     m0 = filt.shape[0]
     halo_lo = m0 - 1 - o0  # rows needed from the previous block
     halo_hi = o0  # rows needed from the next block
+    if max(halo_lo, halo_hi) > block.shape[0]:
+        # block[-h:] would return FEWER than h rows and silently misalign
+        # the ext crop on every device but the first
+        raise ValueError(
+            f"local block height {block.shape[0]} < halo width "
+            f"{max(halo_lo, halo_hi)} (kernel {m0} rows over too many devices)"
+        )
     parts = []
     if halo_lo:
         parts.append(halo_from_prev(block, halo_lo, axis_name))
@@ -190,6 +197,10 @@ def sharded_conv2d_gram(block: jax.Array, filt: jax.Array, axis_name: str, acorr
     m0, m1 = filt.shape
     if hl < m0:
         raise ValueError("local block must be at least as tall as the kernel")
+    if W < 2 * m1 - 1:
+        # the right-strip slice ext[:, W-(m1-1):] needs the full unwrapped
+        # reach; narrower images would silently select wrong columns
+        raise ValueError(f"image width {W} must be >= 2*m1-1 = {2 * m1 - 1}")
     o0, o1 = m0 // 2, m1 // 2
     b0, b1 = m0 - 1 - o0, m1 - 1 - o1
     p0 = m0 - 1
@@ -206,13 +217,16 @@ def sharded_conv2d_gram(block: jax.Array, filt: jax.Array, axis_name: str, acorr
     first = (idx == 0).astype(dt)
     last = (idx == n - 1).astype(dt)
 
-    # halo-extended block for the row-coupled left/right strips
-    if n > 1:
-        ext = jnp.concatenate(
-            [halo_from_prev(block, p0, axis_name), block, halo_from_next(block, p0, axis_name)], axis=0
-        )
-    else:
-        ext = jnp.pad(block, ((p0, p0), (0, 0)))
+    # halo-extended block for the row-coupled left/right strips (dead when
+    # the kernel has no column reach — skip the extra ppermutes then)
+    ext = None
+    if o1 > 0 or b1 > 0:
+        if n > 1:
+            ext = jnp.concatenate(
+                [halo_from_prev(block, p0, axis_name), block, halo_from_next(block, p0, axis_name)], axis=0
+            )
+        else:
+            ext = jnp.pad(block, ((p0, p0), (0, 0)))
 
     # -- top rows correction (device 0) -------------------------------------
     if o0 > 0:

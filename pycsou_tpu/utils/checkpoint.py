@@ -37,7 +37,7 @@ def load_state(path: str, template: Optional[Any] = None) -> Any:
     if template is None:
         return restored
 
-    flat_t, treedef = jax.tree_util.tree_flatten(template)
+    paths_t, treedef = jax.tree_util.tree_flatten_with_path(template)
     flat_r, treedef_r = jax.tree_util.tree_flatten(restored)
     # structural validation: leaf-count alone can pair the WRONG leaves
     # positionally (dicts flatten sorted-by-key) and silently cast them
@@ -48,15 +48,30 @@ def load_state(path: str, template: Optional[Any] = None) -> Any:
         )
     import jax.numpy as jnp
 
+    _HISTORY_KEYS = ("history", "var_history", "obj_history")
     flat = []
-    for r, t in zip(flat_r, flat_t):
-        t_shape = getattr(t, "shape", np.shape(t))
+    for (path, t), r in zip(paths_t, flat_r):
+        t_shape = tuple(getattr(t, "shape", np.shape(t)))
         t_dtype = getattr(t, "dtype", np.asarray(t).dtype)
-        if tuple(np.shape(r)) != tuple(t_shape):
-            raise ValueError(
-                f"checkpoint leaf shape {np.shape(r)} != template {t_shape} "
-                "(solver reconfigured? different metric_every/history sizes?)"
+        r_shape = tuple(np.shape(r))
+        key = getattr(path[-1], "key", None) if path else None
+        if r_shape != t_shape:
+            grown = (
+                key in _HISTORY_KEYS
+                and len(r_shape) == len(t_shape)
+                and r_shape[1:] == t_shape[1:]
+                and r_shape[0] <= t_shape[0]
             )
+            if not grown:
+                raise ValueError(
+                    f"checkpoint leaf {key or path} shape {r_shape} != template "
+                    f"{t_shape} (solver reconfigured? different metric_every/"
+                    "history sizes?)"
+                )
+            # resuming with a LARGER max_iter: grow the history buffer,
+            # unmeasured rows stay NaN (the buffer's "not measured" value)
+            pad = [(0, t_shape[0] - r_shape[0])] + [(0, 0)] * (len(r_shape) - 1)
+            r = np.pad(np.asarray(r), pad, constant_values=np.nan)
         flat.append(jnp.asarray(r, dtype=t_dtype))
     return jax.tree_util.tree_unflatten(treedef, flat)
 
