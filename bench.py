@@ -21,6 +21,12 @@ import os
 import sys
 import time
 
+# pin the CPU baseline's thread pool BEFORE numpy/scipy load their BLAS/FFT
+# backends: on this shared host the unpinned baseline swung 1.9-11 s/iter
+# across rounds, making vs_baseline noise (VERDICT r3 weak #7)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "4")
+
 import numpy as np
 
 SHAPE = (4096, 4096)
@@ -28,7 +34,7 @@ KSIZE = 15
 LAM = 0.05
 TPU_ITERS = 100
 TPU_REPS = 4
-NUMPY_ITERS = 3
+NUMPY_ITERS = 5  # best-of-5: shared-host load only ever inflates a sample
 
 
 def log(*a):
@@ -78,6 +84,16 @@ def _time_solver(solver, label, iters=TPU_ITERS, reps=TPU_REPS):
     cancels the constant and reports the true per-iteration rate that long
     production solves actually see."""
     import jax
+
+    # pre-size the history allocation for the WHOLE planned bench chain:
+    # warmup (iters + 5*iters) + reps * (iters + 5*iters).  A smaller
+    # max_iter makes chained run_fixed calls grow the history buffer past the
+    # allocation, and every new buffer SHAPE recompiles _run_fixed inside the
+    # timed region (the round-3 headline regression: 576 recorded vs ~1185
+    # real).  _grow_history now also grows geometrically as a backstop.
+    total = 6 * iters * (reps + 1)
+    if solver.max_iter < total:
+        solver = solver.replace(max_iter=total)
 
     long_iters = 5 * iters
     t0 = time.perf_counter()

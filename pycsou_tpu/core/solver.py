@@ -373,15 +373,25 @@ class IterativeSolver(Module):
     def _grow_history(self, state, upto: int):
         """Pad the history buffers when chained run_fixed calls exceed the
         max_iter-sized allocation (an out-of-range .at[] write is silently
-        dropped under JAX scatter semantics — rows would just vanish)."""
+        dropped under JAX scatter semantics — rows would just vanish).
+
+        Growth is GEOMETRIC (doubling): every distinct history shape is a new
+        XLA compilation of ``_run_fixed``, and linear per-call padding made a
+        chain of benchmark chunks recompile on *every* call past ``max_iter``
+        (the round-3 headline regression — BENCH_r03 recorded 576 iters/s for
+        an engine running at ~1185).  Doubling bounds the number of shapes at
+        O(log overrun): a chain that overruns by up to 2x recompiles once."""
         every = max(1, int(getattr(self, "metric_every", 1) or 1))
         eff = every * max(1, int(getattr(self, "iters_per_step", 1) or 1))
         need = (-(-upto // eff) + 1) * eff
         cur = state["history"].shape[0]
         if need <= cur:
             return state
+        new_size = cur
+        while new_size < need:
+            new_size *= 2  # cur is a multiple of eff, so doubles stay aligned
         state = dict(state)
-        pad = need - cur
+        pad = new_size - cur
         state["history"] = jnp.pad(state["history"], (0, pad), constant_values=jnp.nan)
         if "var_history" in state:
             state["var_history"] = jnp.pad(

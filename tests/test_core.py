@@ -300,6 +300,33 @@ def test_run_fixed_grows_history():
     assert np.isfinite(hist).all() and hist.shape[0] == 16
 
 
+def test_run_fixed_growth_recompiles_at_most_once():
+    """Chained run_fixed calls past max_iter must trigger at most ONE
+    recompile (geometric history growth).  Round 3 regression: linear
+    per-call padding produced a fresh history SHAPE on every call, so the
+    benchmark recompiled _run_fixed inside every timed chunk and the
+    driver-recorded headline halved (BENCH_r03: 576 vs ~1185 iters/s)."""
+    import jax.numpy as jnp
+
+    from pycsou_tpu.core.solver import IterativeSolver, _run_fixed
+
+    class Halve(IterativeSolver):
+        def initial_state(self):
+            return {"x": jnp.ones(4)}
+
+        def step(self, state):
+            return {"x": 0.5 * state["x"]}
+
+    s = Halve(max_iter=100)
+    before = _run_fixed._cache_size()
+    st = s.run_fixed(60)          # compile 1 (initial 101-row history)
+    for _ in range(2):            # crosses the allocation once; doubling
+        st = s.run_fixed(60, state=st)  # (101 -> 202) covers both calls
+    assert int(st["it"]) == 180
+    compiles = _run_fixed._cache_size() - before
+    assert compiles <= 2, f"history growth recompiled {compiles - 1} times"
+
+
 def test_checkpoint_rejects_shape_mismatch(tmp_path):
     """A checkpoint whose leaves have different shapes (solver reconfigured)
     must be rejected, not silently loaded positionally."""
