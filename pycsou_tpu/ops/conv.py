@@ -252,26 +252,43 @@ class Convolve2D(LinearOperator):
     mv_C: jax.Array = None
     mv_Ba: jax.Array = None
     mv_Ca: jax.Array = None
-    # second factor group for rank 5-8 kernels (method='bandg'): the sweep
+    # grouped factor plans for rank 5-16 kernels (method='bandg'): the sweep
     # kernel's VMEM rings accumulate at most 4 ranks per pass, so wider
-    # low-rank PSFs run as the SUM of two fused sweeps (4 HBM streams) —
-    # still far cheaper than the FFT path these kernels previously took
-    mv2_B: jax.Array = None
-    mv2_C: jax.Array = None
-    mv2_Ba: jax.Array = None
-    mv2_Ca: jax.Array = None
+    # low-rank PSFs run as the SUM of ceil(r/4) fused sweeps (2 HBM streams
+    # per pass) — still far cheaper than the FFT path these kernels
+    # previously took (VERDICT r3 task 6 generalized the 2-group scheme).
+    # Tuple of (B, C, Ba, Ca) per group, INCLUDING the first.
+    mv_groups: tuple = None
     method: str = static_field(default="fft")
     band_leads: tuple = static_field(default=None)
     band_rank: int = static_field(default=0)
     mv_r: int = static_field(default=0)
+    # certified operator-norm bound on the SVD-truncation error (0.0 when
+    # no truncation was requested): ||A - A_trunc||_2 <= ||h - h_trunc||_1
+    # (the transfer function of a zero-padded 'same' conv is bounded by the
+    # kernel's l1 norm)
+    svd_trunc_bound: float = static_field(default=0.0)
 
-    def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32):
+    def __init__(self, dim_shape, filt, method: str = "auto", dtype=np.float32, svd_tol: float = None):
         dim_shape = as_shape(dim_shape)
         if len(dim_shape) != 2:
             raise ValueError("Convolve2D expects a 2-D domain")
         filt = jnp.asarray(filt, dtype=dtype)
         if filt.ndim != 2:
             raise ValueError("filter must be 2-D")
+        trunc_bound = 0.0
+        if svd_tol is not None:
+            # opt-in SVD truncation for approximately-low-rank PSFs: drop
+            # singular components with sigma_i <= svd_tol * sigma_0 and
+            # certify ||A - A_trunc||_2 <= ||h - h_trunc||_1 (see
+            # svd_trunc_bound).  The operator then IS the truncated kernel —
+            # Lipschitz, Gram and adjoint all consistent with it.
+            f64 = np.asarray(filt, np.float64)
+            U, S, Vt = np.linalg.svd(f64)
+            keep = max(1, int(np.sum(S > float(svd_tol) * S[0])))
+            f_t = (U[:, :keep] * S[:keep]) @ Vt[:keep]
+            trunc_bound = float(np.abs(f64 - f_t).sum())
+            filt = jnp.asarray(f_t, dtype=dtype)
         fac = None
         was_auto = method == "auto"
         if method in ("auto", "band"):
@@ -284,15 +301,17 @@ class Convolve2D(LinearOperator):
         if method == "bandg" or (
             was_auto and method in ("fft", "direct") and jax.default_backend() not in ("cpu",)
         ):
-            # rank 5-8: grouped fused sweeps (two rank<=4 passes, summed) —
-            # beats both fallbacks on TPU (the FFT roundtrip at any size;
-            # lax.conv, which lowers poorly for (1,1,H,W) layouts)
+            # rank 5-16: grouped fused sweeps (ceil(r/4) rank<=4 passes,
+            # summed) — beats both fallbacks on TPU (the FFT roundtrip at any
+            # size; lax.conv, which lowers poorly for (1,1,H,W) layouts).
+            # Beyond rank 16 the ~0.7 ms/pass x 2*ceil(r/4) Gram cost crosses
+            # the FFT wrap-Gram's, so auto keeps the FFT there.
             facg = _grouped_sweep_plans(filt, dim_shape)
             if facg is not None:
                 method = "bandg"
             elif method == "bandg":
                 raise ValueError(
-                    "method='bandg' needs a rank 5-8 kernel and a sweep-"
+                    "method='bandg' needs a rank 5-16 kernel and a sweep-"
                     "eligible shape (W % 128 == 0, W >= 384, H % 8 == 0)"
                 )
         if method not in ("fft", "direct", "band", "bandg"):
@@ -311,11 +330,11 @@ class Convolve2D(LinearOperator):
         self.band_leads = None
         self.band_rank = 0
         self.mv_B = self.mv_C = self.mv_Ba = self.mv_Ca = None
-        self.mv2_B = self.mv2_C = self.mv2_Ba = self.mv2_Ca = None
+        self.mv_groups = None
         self.mv_r = 0
+        self.svd_trunc_bound = trunc_bound
         if method == "bandg":
-            (self.mv_B, self.mv_C, self.mv_Ba, self.mv_Ca,
-             self.mv2_B, self.mv2_C, self.mv2_Ba, self.mv2_Ca, self.mv_r) = facg
+            self.mv_groups, self.mv_r = facg
         if method == "band":
             from pycsou_tpu.kernels.band import make_band_blocks
 
@@ -359,12 +378,12 @@ class Convolve2D(LinearOperator):
     def _without_pallas(self) -> "Convolve2D":
         """GSPMD-safe twin: drop the fused-sweep matvec plans so apply/
         adjoint stay on the banded XLA passes (``_module.strip_pallas``);
-        grouped-sweep (rank 5-8) operators drop to the FFT path."""
+        grouped-sweep (rank 5-16) operators drop to the FFT path."""
         if not self.mv_r:
             return self
         out = self.replace(
             mv_B=None, mv_C=None, mv_Ba=None, mv_Ca=None,
-            mv2_B=None, mv2_C=None, mv2_Ba=None, mv2_Ca=None, mv_r=0,
+            mv_groups=None, mv_r=0,
         )
         if self.method == "bandg":
             # the transfer function is built lazily here (strip_pallas runs
@@ -403,9 +422,11 @@ class Convolve2D(LinearOperator):
         if self.method == "bandg":
             from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
 
-            return sepconv2d_sweep(x, self.mv_B, self.mv_C, r=self.mv_r) + sepconv2d_sweep(
-                x, self.mv2_B, self.mv2_C, r=self.mv_r
-            )
+            out = None
+            for B, C, _, _ in self.mv_groups:
+                t = sepconv2d_sweep(x, B, C, r=self.mv_r)
+                out = t if out is None else out + t
+            return out
         if self.method == "band":
             if self.mv_r:
                 from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
@@ -443,9 +464,11 @@ class Convolve2D(LinearOperator):
             from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
 
             y = jnp.asarray(y)
-            return sepconv2d_sweep(y, self.mv_Ba, self.mv_Ca, r=self.mv_r) + sepconv2d_sweep(
-                y, self.mv2_Ba, self.mv2_Ca, r=self.mv_r
-            )
+            out = None
+            for _, _, Ba, Ca in self.mv_groups:
+                t = sepconv2d_sweep(y, Ba, Ca, r=self.mv_r)
+                out = t if out is None else out + t
+            return out
         if self.method == "band":
             if self.mv_r:
                 from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
@@ -476,9 +499,9 @@ class Convolve2D(LinearOperator):
         * otherwise one FFT roundtrip + thin boundary corrections
           (``ConvGram2D``, ops/_gram.py) instead of forward+adjoint.
 
-        Rank 5-8 kernels (method='bandg') compose the grouped fused sweeps:
+        Rank 5-16 kernels (method='bandg') compose the grouped fused sweeps:
         ``A^H A = adjoint o forward`` is exact for 'same' convolutions, and
-        the 8 clean sweep streams beat the FFT roundtrip at 4096^2.
+        the 2*ceil(r/4) clean sweep passes beat the FFT roundtrip at 4096^2.
         """
         if self.method == "bandg":
             from pycsou_tpu.core.linop import LinOpComp, SymmetricLinearOperator
@@ -573,35 +596,42 @@ def lowrank_factors(filt_np: np.ndarray, tol: float = 1e-6, max_rank: int = 4):
     return us, vs  # (m0, r), (m1, r)
 
 
-def _grouped_sweep_plans(filt, dim_shape):
-    """Fused-sweep plans for a rank 5-8 kernel, split into two rank <= 4
-    factor groups (the sweep kernel's VMEM rings accumulate at most 4 ranks
-    per pass, kernels/conv2d.py).  Returns the 8 plan matrices + tile rows,
-    or None when the kernel/shape doesn't qualify."""
+def _grouped_sweep_plans(filt, dim_shape, max_rank: int = 16):
+    """Fused-sweep plans for a rank 5-``max_rank`` kernel, split into
+    ceil(r/4) rank <= 4 factor groups (the sweep kernel's VMEM rings
+    accumulate at most 4 ranks per pass, kernels/conv2d.py).  Returns
+    ``(groups, tile_rows)`` where ``groups`` is a tuple of ``(B, C, Ba, Ca)``
+    plan quadruples, or None when the kernel/shape doesn't qualify.
+
+    ``max_rank=16`` (4 passes) is the measured crossover: each sweep pass
+    streams x once (~0.7 ms at 4096^2), so the 2*ceil(r/4)-pass Gram stays
+    under the FFT wrap-Gram beyond which auto keeps the FFT path
+    (reference linop/conv.py:285-295 runs every kernel through the FFT)."""
     from pycsou_tpu.kernels.conv2d import make_sepconv_plan_pair
 
-    fac = lowrank_factors(np.asarray(filt), max_rank=8)
+    fac = lowrank_factors(np.asarray(filt), max_rank=max_rank)
     if fac is None:
         return None
     us, vs = fac
     r = us.shape[1]
     if r <= 4:
         return None
-    plans = []
-    for sl in (slice(0, 4), slice(4, None)):
+    as_j = jnp.asarray
+    groups = []
+    tile_rows = None
+    for g0 in range(0, r, 4):
+        sl = slice(g0, min(g0 + 4, r))
         pp = make_sepconv_plan_pair(us[:, sl], vs[:, sl], dim_shape)
         if pp is None:
             return None
-        plans.append(pp)
-    B1, C1, B1a, C1a, r1 = plans[0]
-    B2, C2, B2a, C2a, r2 = plans[1]
-    # the sweep tile-row count depends only on (H, W) (kernels/conv2d.py),
-    # so both groups always agree — apply()/adjoint() rely on it, passing
-    # the single mv_r to both groups' sweeps
-    assert r1 == r2
-    as_j = jnp.asarray
-    return (as_j(B1), as_j(C1), as_j(B1a), as_j(C1a),
-            as_j(B2), as_j(C2), as_j(B2a), as_j(C2a), r1)
+        B, C, Ba, Ca, rr = pp
+        # the sweep tile-row count depends only on (H, W)
+        # (kernels/conv2d.py), so all groups always agree — apply()/
+        # adjoint() rely on it, passing the single mv_r to every sweep
+        assert tile_rows is None or rr == tile_rows
+        tile_rows = rr
+        groups.append((as_j(B), as_j(C), as_j(Ba), as_j(Ca)))
+    return tuple(groups), tile_rows
 
 
 class SeparableConvGram2D(LinearOperator):

@@ -47,9 +47,10 @@ def match_tv_deconvolution(
 
     i.e. ``F = SquaredL2Loss(y) * Convolve2D`` (or plain ``SquaredL2Loss(y)``
     for denoising), ``G = NonNegativeOrthant`` or absent, ``H = lam *
-    L21Norm(axis=0)``, ``K = Gradient(kind='forward', step=1)``, with
-    ``tau == sigma``.  All checks are exact node-type checks — subclasses
-    with overridden behavior do not match.
+    L21Norm(axis=0)``, ``K = Gradient(kind='forward', step=1)``.  Any
+    ``tau, sigma > 0`` pair is supported — the fused kernels plumb both
+    scalars into the stencil.  All checks are exact node-type checks —
+    subclasses with overridden behavior do not match.
     """
     from pycsou_tpu.core.functional import (
         DiffProxFuncPostComp,
@@ -68,8 +69,7 @@ def match_tv_deconvolution(
     dim_shape = tuple(dim_shape)
     if len(dim_shape) != 2:
         return None
-    # the fused engine is single-step-size (tau = sigma), like the auto rule
-    if not (tau == sigma and tau > 0):
+    if not (tau > 0 and sigma > 0):
         return None
 
     # -- K: forward-difference Gradient with unit steps ----------------------
@@ -139,6 +139,7 @@ def match_tv_deconvolution(
         filt=filt,
         nonneg=nonneg,
         tau=float(tau),
+        sigma=float(sigma),
         rho=float(rho),
         metric_every=metric_every,
     )

@@ -111,6 +111,7 @@ class TVDeconvolution(IterativeSolver):
         filt=None,
         nonneg: bool = True,
         tau: Optional[float] = None,
+        sigma: Optional[float] = None,
         rho: float = 0.9,
         use_pallas: str = "auto",
         stencil: str = "auto",
@@ -142,7 +143,12 @@ class TVDeconvolution(IterativeSolver):
         if tau is None:
             b = self.beta
             tau = (1.0 / L_K**2) * (-b / 4 + math.sqrt(b**2 / 16 + L_K**2))
-        self.tau = self.sigma = float(tau)
+        # the fused kernels take tau and sigma independently (every engine
+        # plumbs both scalars into the stencil) — the auto rule keeps the
+        # reference's balanced tau = sigma, an explicit sigma overrides it
+        # (VERDICT r3 task 3a: tau != sigma was a silent un-fuse before)
+        self.tau = float(tau)
+        self.sigma = float(tau) if sigma is None else float(sigma)
 
         if use_pallas == "auto":
             # Auto-on for TPU when the row count is tile-aligned; bench.py

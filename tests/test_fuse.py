@@ -101,13 +101,28 @@ def test_fused_full_rank_psf(rng):
     )
 
 
+def test_fused_tau_ne_sigma_matches_generic(rng):
+    """tau != sigma now fuses (VERDICT r3 task 3a): every kernel plumbs both
+    step sizes into the stencil, so the rewrite stays iterate-exact."""
+    _, A, y = _problem(rng)
+    fused = _pds(A, y, tau=0.08, sigma=0.21)
+    generic = _pds(A, y, fuse=False, tau=0.08, sigma=0.21)
+    assert isinstance(fused._fused, TVDeconvolution)
+    assert fused._fused.tau == 0.08 and fused._fused.sigma == 0.21
+    st_f = fused.run_fixed(60)
+    st_g = generic.run_fixed(60)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )
+    z_f = np.stack([np.asarray(st_f["z0"]), np.asarray(st_f["z1"])])
+    np.testing.assert_allclose(z_f, np.asarray(st_g["z"]), rtol=1e-4, atol=1e-5)
+
+
 def test_no_fusion_on_mismatched_patterns(rng):
     _, A, y = _problem(rng)
     H, W = y.shape
     F = SquaredL2Loss((H, W), data=y) * A
     l21 = 0.05 * L21Norm((2, H, W), axis=0)
-    # tau != sigma
-    assert PDS((H, W), F=F, H=l21, K=Gradient((H, W)), tau=0.1, sigma=0.2)._fused is None
     # backward-difference K
     assert (
         PDS((H, W), F=F, H=l21, K=Gradient((H, W), kind="backward"), tau=0.1)._fused

@@ -465,40 +465,65 @@ def test_megar_plan_gates():
                                2.0 * np.asarray(Bf[0, 0] + Bf[0, 1]), atol=1e-6)
 
 
-def test_grouped_sweep_rank6_matches_scipy(rng):
-    """Rank 5-8 kernels: two grouped rank<=4 fused sweeps sum to the exact
-    'same' convolution (ops/conv.py _grouped_sweep_plans; method='bandg')."""
+@pytest.mark.parametrize("rank", [6, 9, 12, 15])
+def test_grouped_sweep_matches_scipy(rng, rank):
+    """Rank 5-16 kernels: ceil(r/4) grouped rank<=4 fused sweeps sum to the
+    exact 'same' convolution (ops/conv.py _grouped_sweep_plans;
+    method='bandg'); rank 9-16 was the r3 FFT cliff (VERDICT r3 task 6)."""
     from scipy.signal import convolve2d
 
     from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
     from pycsou_tpu.ops.conv import _grouped_sweep_plans, lowrank_factors
 
     H, W = 64, 384
-    # random rank-6 kernel: sum of 6 outer products
-    u = rng.standard_normal((9, 6))
-    v = rng.standard_normal((7, 6))
+    # random rank-`rank` kernel: sum of `rank` outer products
+    u = rng.standard_normal((15, rank))
+    v = rng.standard_normal((15, rank))
     filt = (u @ v.T).astype(np.float32)
-    fac = lowrank_factors(filt, max_rank=8)
-    assert fac is not None and fac[0].shape[1] == 6
+    filt /= np.abs(filt).sum()
+    fac = lowrank_factors(filt, max_rank=16)
+    assert fac is not None and fac[0].shape[1] == rank
     plans = _grouped_sweep_plans(jnp.asarray(filt), (H, W))
     assert plans is not None
-    B1, C1, B1a, C1a, B2, C2, B2a, C2a, r = plans
+    groups, r = plans
+    assert len(groups) == -(-rank // 4)
 
     x = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
-    y = sepconv2d_sweep(x, B1, C1, r=r, interpret=True) + sepconv2d_sweep(
-        x, B2, C2, r=r, interpret=True
-    )
+    y = sum(sepconv2d_sweep(x, B, C, r=r, interpret=True) for B, C, _, _ in groups)
     ref = convolve2d(np.asarray(x), filt, mode="same")
-    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-5)
 
     # adjoint sweeps = correlation; dot test against the forward sweeps
     w = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
-    aw = sepconv2d_sweep(w, B1a, C1a, r=r, interpret=True) + sepconv2d_sweep(
-        w, B2a, C2a, r=r, interpret=True
-    )
+    aw = sum(sepconv2d_sweep(w, Ba, Ca, r=r, interpret=True) for _, _, Ba, Ca in groups)
     lhs = float(jnp.vdot(y, w))
     rhs = float(jnp.vdot(x, aw))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_svd_truncated_convolve2d(rng):
+    """Opt-in SVD truncation: the operator IS the truncated kernel, with a
+    certified op-norm bound ||A - A_t||_2 <= ||h - h_t||_1 on the error."""
+    from pycsou_tpu.ops.conv import Convolve2D, lowrank_factors
+
+    # nearly-rank-2 kernel with a tiny full-rank perturbation
+    u = rng.standard_normal((7, 2))
+    v = rng.standard_normal((7, 2))
+    base = (u @ v.T).astype(np.float32)
+    noise = 1e-4 * rng.standard_normal((7, 7)).astype(np.float32)
+    filt = base + noise
+    A = Convolve2D((16, 32), filt, svd_tol=1e-3)
+    # truncated kernel has rank 2 -> the banded/low-rank machinery engages
+    fac = lowrank_factors(np.asarray(A.filt))
+    assert fac is not None and fac[0].shape[1] == 2
+    assert A.svd_trunc_bound > 0.0
+    # certified: the truncation bound dominates the actual spectral error
+    x = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+    A_full = Convolve2D((16, 32), filt)
+    err = float(jnp.linalg.norm(A_full(x) - A(x)))
+    assert err <= A.svd_trunc_bound * float(jnp.linalg.norm(x)) + 1e-6
+    # no truncation requested -> bound is exactly zero
+    assert Convolve2D((16, 32), filt).svd_trunc_bound == 0.0
 
 
 def test_explicit_megar_stencil_honored_for_rank1():
