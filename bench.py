@@ -260,6 +260,19 @@ def bench_tpu(h, y):
     except Exception as e:  # diagnostics only
         log(f"generic path failed: {e!r}")
 
+    # fused LASSO (VERDICT r3 task 3b): APGD/FISTA with the Gram + prox +
+    # momentum in ONE Pallas pass (kernels/fista.py via opt/lasso.py);
+    # this is BASELINE config 1's compute path
+    try:
+        from pycsou_tpu.opt import LassoDeconvolution
+
+        ls = LassoDeconvolution(SHAPE, yj, 0.01, filt=h, max_iter=1000, metric_every=1)
+        log(f"lasso engine={ls.engine}")
+        lips, _ = _time_solver(ls, "lasso", iters=50, reps=2)
+        extras["lasso_ips"] = round(lips, 1)
+    except Exception as e:
+        log(f"lasso path failed: {e!r}")
+
     # non-Gaussian PSFs (VERDICT r2 task 5): rank-2 rides the fused sweep
     # engines (gradient = two chained pallas sweeps feeding the stencil
     # sweep); a full-rank PSF falls back to the FFT wrap Gram.  rank2_ips is

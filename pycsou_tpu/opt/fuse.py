@@ -20,9 +20,103 @@ unfused chain).  Anything unrecognised runs generically, as before.
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import numpy as np
+
+logger = logging.getLogger("pycsou_tpu.fuse")
+
+
+# -- slot predicates (each returns None when the slot matches, else a short
+# reason string — shared by the matchers and the near-miss explainers) --------
+
+
+def _why_K(K, dim_shape) -> Optional[str]:
+    from pycsou_tpu.ops.diff import Gradient
+
+    if type(K) is not Gradient:
+        return f"K is {type(K).__name__}, not a default forward Gradient"
+    if K.kind != "forward":
+        return f"K uses kind={K.kind!r} (fused engine needs 'forward')"
+    if not all(s == 1.0 for s in K.steps):
+        return f"K has non-unit steps {tuple(K.steps)}"
+    if tuple(K.dim_shape) != dim_shape:
+        return "K domain does not match the solve domain"
+    return None
+
+
+def _why_H(H, dim_shape):
+    """(lam, None) on match, (None, reason) otherwise."""
+    from pycsou_tpu.core.functional import DiffProxFuncPostComp, ProxFuncPostComp
+    from pycsou_tpu.func.penalty import L21Norm
+
+    lam = 1.0
+    h = H
+    if type(h) in (ProxFuncPostComp, DiffProxFuncPostComp):
+        try:
+            shift = float(np.asarray(h.shift))
+        except Exception:
+            return None, "H has a non-scalar shift"
+        if shift != 0.0:
+            return None, "H has a nonzero shift"
+        if not np.isscalar(h.scale) or h.scale <= 0:
+            return None, "H has a non-scalar or non-positive scale"
+        lam = float(h.scale)
+        h = h.func
+    if type(h) is not L21Norm:
+        return None, f"H wraps {type(h).__name__}, not L21Norm"
+    if not (h.mode == "axis" and h.axis == 0):
+        return None, "H's L21Norm must group over axis=0 (the gradient axis)"
+    if tuple(h.dim_shape) != (2,) + dim_shape:
+        return None, "H domain is not the (2, H, W) gradient field"
+    return lam, None
+
+
+def _why_G_nonneg(G):
+    """(nonneg, None) on match, (None, reason) otherwise."""
+    from pycsou_tpu.func.base import IndicatorFunctional, NullProximableFunctional
+    from pycsou_tpu.math.prox import proj_nonnegative_orthant
+
+    if type(G) is IndicatorFunctional and G.projection_fn is proj_nonnegative_orthant:
+        return True, None
+    if type(G) is NullProximableFunctional:
+        return False, None
+    return None, f"G is {type(G).__name__}, not the nonnegative orthant or absent"
+
+
+def _why_G_l1(G, dim_shape):
+    """(lam, None) on match, (None, reason) otherwise."""
+    from pycsou_tpu.core.functional import DiffProxFuncPostComp, ProxFuncPostComp
+    from pycsou_tpu.func.penalty import L1Norm
+
+    lam = 1.0
+    g = G
+    if type(g) in (ProxFuncPostComp, DiffProxFuncPostComp):
+        try:
+            shift = float(np.asarray(g.shift))
+        except Exception:
+            return None, "G has a non-scalar shift"
+        if shift != 0.0:
+            return None, "G has a nonzero shift"
+        if not np.isscalar(g.scale) or g.scale <= 0:
+            return None, "G has a non-scalar or non-positive scale"
+        lam = float(g.scale)
+        g = g.func
+    if type(g) is not L1Norm:
+        return None, f"G wraps {type(g).__name__}, not L1Norm"
+    if tuple(g.dim_shape) != dim_shape:
+        return None, "G domain does not match the solve domain"
+    return lam, None
+
+
+def _why_F(F, dim_shape) -> Optional[str]:
+    if _match_conv_least_squares(dim_shape, F) is None:
+        return (
+            f"F is {type(F).__name__}, not SquaredL2Loss (optionally composed "
+            "with an exact Convolve2D)"
+        )
+    return None
 
 
 def match_tv_deconvolution(
@@ -52,18 +146,6 @@ def match_tv_deconvolution(
     scalars into the stencil.  All checks are exact node-type checks —
     subclasses with overridden behavior do not match.
     """
-    from pycsou_tpu.core.functional import (
-        DiffProxFuncPostComp,
-        DiffProxFuncPreComp,
-        ProxFuncPostComp,
-        ProxFuncPreComp,
-    )
-    from pycsou_tpu.func.base import IndicatorFunctional, NullProximableFunctional
-    from pycsou_tpu.func.loss import LeastSquaresLoss
-    from pycsou_tpu.func.penalty import L21Norm, SquaredL2Norm
-    from pycsou_tpu.math.prox import proj_nonnegative_orthant
-    from pycsou_tpu.ops.conv import Convolve2D
-    from pycsou_tpu.ops.diff import Gradient
     from pycsou_tpu.opt.tv import TVDeconvolution
 
     dim_shape = tuple(dim_shape)
@@ -72,65 +154,19 @@ def match_tv_deconvolution(
     if not (tau > 0 and sigma > 0):
         return None
 
-    # -- K: forward-difference Gradient with unit steps ----------------------
-    if not (
-        type(K) is Gradient
-        and K.kind == "forward"
-        and all(s == 1.0 for s in K.steps)
-        and tuple(K.dim_shape) == dim_shape
-    ):
+    # slot predicates (shared with explain_tv_mismatch): K, H, G, F
+    if _why_K(K, dim_shape) is not None:
         return None
-
-    # -- H: lam * L21Norm(axis=0) over the (2, H, W) gradient field ----------
-    lam = 1.0
-    h = H
-    if type(h) in (ProxFuncPostComp, DiffProxFuncPostComp):
-        try:
-            shift = float(np.asarray(h.shift))
-        except Exception:
-            return None
-        if shift != 0.0 or not np.isscalar(h.scale) or h.scale <= 0:
-            return None
-        lam = float(h.scale)
-        h = h.func
-    if not (
-        type(h) is L21Norm
-        and h.mode == "axis"
-        and h.axis == 0
-        and tuple(h.dim_shape) == (2,) + dim_shape
-    ):
+    lam, h_reason = _why_H(H, dim_shape)
+    if h_reason is not None:
         return None
-
-    # -- G: i_{x >= 0} or absent (exact node types: subclasses may override
-    # prox/apply and must not be rewritten) -----------------------------------
-    if (
-        type(G) is IndicatorFunctional
-        and G.projection_fn is proj_nonnegative_orthant
-    ):
-        nonneg = True
-    elif type(G) is NullProximableFunctional:
-        nonneg = False
-    else:
+    nonneg, g_reason = _why_G_nonneg(G)
+    if g_reason is not None:
         return None
-
-    # -- F: ||A x - y||^2 (A a 2-D convolution) or ||x - y||^2 (denoising) ---
-    if type(F) is LeastSquaresLoss and type(F.op) is Convolve2D:
-        if tuple(F.op.dim_shape) != dim_shape:
-            return None
-        filt = np.asarray(F.op.filt)
-        if not np.isrealobj(filt):
-            return None
-        y = F.data
-    elif type(F) in (ProxFuncPreComp, DiffProxFuncPreComp) and type(F.func) is SquaredL2Norm:
-        # SquaredL2Loss(dim, data) == SquaredL2Norm o (x - y)
-        scale = np.asarray(F.scale)
-        if scale.ndim != 0 or float(scale) != 1.0:
-            return None
-        filt, y = None, -F.shift
-    else:
+    fy = _match_conv_least_squares(dim_shape, F)
+    if fy is None:
         return None
-    if tuple(np.shape(y)) != dim_shape:
-        return None
+    filt, y = fy
 
     return TVDeconvolution(
         dim_shape,
@@ -142,4 +178,134 @@ def match_tv_deconvolution(
         sigma=float(sigma),
         rho=float(rho),
         metric_every=metric_every,
+    )
+
+
+def _match_conv_least_squares(dim_shape, F):
+    """Shared F-matcher: ``||A x - y||^2`` with A a real 2-D Convolve2D
+    (returns ``(filt, y)``), plain ``||x - y||^2`` (returns ``(None, y)``),
+    or None when F doesn't match.  Exact node-type checks only."""
+    from pycsou_tpu.core.functional import DiffProxFuncPreComp, ProxFuncPreComp
+    from pycsou_tpu.func.loss import LeastSquaresLoss
+    from pycsou_tpu.func.penalty import SquaredL2Norm
+    from pycsou_tpu.ops.conv import Convolve2D
+
+    if type(F) is LeastSquaresLoss and type(F.op) is Convolve2D:
+        if tuple(F.op.dim_shape) != dim_shape:
+            return None
+        filt = np.asarray(F.op.filt)
+        if not np.isrealobj(filt):
+            return None
+        filt, y = filt, F.data
+    elif type(F) in (ProxFuncPreComp, DiffProxFuncPreComp) and type(F.func) is SquaredL2Norm:
+        # SquaredL2Loss(dim, data) == SquaredL2Norm o (x - y)
+        scale = np.asarray(F.scale)
+        if scale.ndim != 0 or float(scale) != 1.0:
+            return None
+        filt, y = None, -F.shift
+    else:
+        return None
+    if tuple(np.shape(y)) != dim_shape:
+        return None
+    return filt, y
+
+
+def match_lasso(
+    dim_shape,
+    F,
+    G,
+    tau: float,
+    acceleration,
+    d: float,
+    metric_every: int = 1,
+):
+    """Return a :class:`~pycsou_tpu.opt.lasso.LassoDeconvolution` computing
+    the same FISTA iterates as ``APGD(dim_shape, F, G, tau, acceleration,
+    d)``, or ``None`` when the expression does not match.
+
+    Recognised pattern (the reference's LASSO configuration,
+    /root/reference/pycsou/opt/proxalgs.py:400-625)::
+
+        min_x ||A x - y||^2 + lam ||x||_1
+
+    i.e. ``F = SquaredL2Loss(y) * Convolve2D`` (or plain ``SquaredL2Loss(y)``
+    for sparse denoising) and ``G = lam * L1Norm`` (or plain ``L1Norm``).
+    All checks are exact node-type checks — subclasses with overridden
+    behavior do not match."""
+    from pycsou_tpu.opt.lasso import LassoDeconvolution
+
+    dim_shape = tuple(dim_shape)
+    if len(dim_shape) != 2:
+        return None
+    if not tau > 0:
+        return None
+
+    lam, g_reason = _why_G_l1(G, dim_shape)
+    if g_reason is not None:
+        return None
+    fy = _match_conv_least_squares(dim_shape, F)
+    if fy is None:
+        return None
+    filt, y = fy
+
+    return LassoDeconvolution(
+        dim_shape,
+        y,
+        lam,
+        filt=filt,
+        nonneg=False,
+        tau=float(tau),
+        acceleration=acceleration,
+        d=float(d),
+        metric_every=metric_every,
+    )
+
+
+# -- near-miss diagnostics (VERDICT r3 task 3c) --------------------------------
+
+
+def explain_tv_mismatch(dim_shape, F, G, H, K) -> Optional[str]:
+    """One-line "why not fused" note for a PDS configuration that ALMOST
+    matches the TV pattern (at least half the expression slots match), or
+    None when the configuration isn't close.  Logged by PDS at construction
+    so a user one default away from the fused engine learns which knob to
+    turn (the round-3 matcher failed silently — a 4.9x cliff)."""
+    dim_shape = tuple(dim_shape)
+    if len(dim_shape) != 2:
+        return None
+    reasons = []
+    if (r := _why_K(K, dim_shape)) is not None:
+        reasons.append(r)
+    _, r = _why_H(H, dim_shape)
+    if r is not None:
+        reasons.append(r)
+    _, r = _why_G_nonneg(G)
+    if r is not None:
+        reasons.append(r)
+    if (r := _why_F(F, dim_shape)) is not None:
+        reasons.append(r)
+    if not reasons or len(reasons) > 2:  # not close: most slots differ
+        return None
+    return (
+        "PDS expression NOT fused (runs the generic chain, ~5x slower on "
+        "TV-shaped problems): " + "; ".join(reasons)
+    )
+
+
+def explain_lasso_mismatch(dim_shape, F, G) -> Optional[str]:
+    """One-line "why not fused" note for an APGD configuration that almost
+    matches the LASSO pattern, or None when it isn't close."""
+    dim_shape = tuple(dim_shape)
+    if len(dim_shape) != 2:
+        return None
+    reasons = []
+    _, r = _why_G_l1(G, dim_shape)
+    if r is not None:
+        reasons.append(r)
+    if (r := _why_F(F, dim_shape)) is not None:
+        reasons.append(r)
+    if not reasons or len(reasons) > 1:  # close = exactly one slot off
+        return None
+    return (
+        "APGD expression NOT fused (runs the generic chain): " + "; ".join(reasons)
     )

@@ -208,6 +208,14 @@ class PrimalDualSplitting(IterativeSolver):
                 self._fused = None
             if self._fused is not None:
                 self.iters_per_step = self._fused.iters_per_step
+            else:
+                # near-miss note: a user one default away from the fused
+                # engine should learn which knob to turn (opt/fuse.py)
+                from pycsou_tpu.opt.fuse import explain_tv_mismatch, logger as _flog
+
+                note = explain_tv_mismatch(dim_shape, self.F, self.G, self.H, self.K)
+                if note:
+                    _flog.info(note)
 
     # -- auto-tuning (reference proxalgs.py:246-316) -----------------------
     def set_step_sizes(self):
@@ -341,11 +349,20 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
         x  = x_temp + ((t - 1)/t+)(x_temp - x_temp_old)
 
     with auto ``tau = 1/beta`` (proxalgs.py:564-573).
+
+    ``fuse=True`` (default) pattern-matches the (F, G) expression at
+    construction (opt/fuse.py): LASSO configurations
+    (``F = SquaredL2Loss * Convolve2D``, ``G = lam * L1Norm``) delegate the
+    iteration to the fused FISTA engine (opt/lasso.py — Gram + prox +
+    momentum in one Pallas pass).  ``fuse=False`` opts out.
     """
 
     F: DifferentiableMap = None
     G: ProximableFunctional = None
     x0: jax.Array = None
+    # fused realisation of the (F, G) expression when the pattern matcher
+    # recognises one (opt/fuse.py) — step/metric delegate to it
+    _fused: object = None
     tau: float = static_field(default=1.0)
     beta: float = static_field(default=0.0)
     acceleration: Optional[str] = static_field(default="CD")
@@ -366,8 +383,10 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
         accuracy_threshold: float = 1e-3,
         verbose: Optional[int] = None,
         remat: bool = False,
+        metric_every: int = 1,
+        fuse: bool = True,
     ):
-        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose, remat=remat)
+        super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose, remat=remat, metric_every=metric_every)
         dim_shape = as_shape(dim_shape)
 
         if F is None:
@@ -395,18 +414,51 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
         # stopping metric on the feasible iterate x_temp
         self.primary_var = "x_temp"
 
+        # -- expression recognition (opt/fuse.py): LASSO configurations
+        # delegate to the fused FISTA engine (same iterates, one Pallas pass
+        # per iteration).  ``fuse=False`` opts out.
+        self._fused = None
+        if fuse and F is not None and G is not None:
+            from pycsou_tpu.opt.fuse import match_lasso
+
+            try:
+                self._fused = match_lasso(
+                    dim_shape, self.F, self.G, self.tau,
+                    self.acceleration, self.d, metric_every=metric_every,
+                )
+            except Exception as e:  # never let the fast path break the solve
+                import warnings
+
+                warnings.warn(f"expression fusion failed, running generic: {e!r}")
+                self._fused = None
+            if self._fused is None:
+                from pycsou_tpu.opt.fuse import explain_lasso_mismatch, logger as _flog
+
+                note = explain_lasso_mismatch(dim_shape, self.F, self.G)
+                if note:
+                    _flog.info(note)
+
     def initial_state(self):
         # "n" is the solver-owned iteration counter for the CD rule — the
         # step never touches the driver's bookkeeping keys (the one place
         # round 1 leaked that invariant, VERDICT weak #8)
-        return {
+        state = {
             "x": self.x0,
             "x_temp": 0 * self.x0,
             "t": jnp.asarray(1.0, jnp.float32),
             "n": jnp.asarray(0, jnp.int32),
         }
+        if self._fused is not None:
+            # same state keys; the fused engine adds its kernel-epilogue
+            # metric partial sums
+            fstate = self._fused.initial_state()
+            fstate.update(state)
+            return fstate
+        return state
 
     def step(self, state):
+        if self._fused is not None:
+            return self._fused.step(state)
         x, x_old, t_old = state["x"], state["x_temp"], state["t"]
         n = state["n"]
         x_temp = self.G.prox(x - self.tau * self.F.gradient(x), self.tau)
@@ -419,6 +471,25 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
         a = (t_old - 1) / t
         x = x_temp + a * (x_temp - x_old)
         return {"x": x, "x_temp": x_temp, "t": t, "n": n + 1}
+
+    # -- fused-path plumbing (kernel-epilogue metrics) ------------------------
+    def metric(self, old, new):
+        if self._fused is not None:
+            return self._fused.metric(old, new)
+        return super().metric(old, new)
+
+    def metrics(self, old, new):
+        if self._fused is not None:
+            return self._fused.metrics(old, new)
+        return super().metrics(old, new)
+
+    def with_shardings(self, **shardings):
+        """GSPMD solve of the *generic* expression: pallas_call does not
+        partition under sharding constraints, so the sharded copy drops the
+        fused delegate and steps the expression tree (XLA partitions it)."""
+        if self._fused is not None:
+            return self.replace(_fused=None).with_shardings(**shardings)
+        return super().with_shardings(**shardings)
 
     def objective(self, x):
         """Objective ``F(x) + G(x)`` (pure/jittable)."""

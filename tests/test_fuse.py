@@ -201,3 +201,128 @@ def test_no_fusion_for_subclassed_nodes(rng):
         H=0.05 * L21Norm((2, H, W), axis=0), K=Gradient((H, W)), tau=0.05,
     )
     assert s._fused is None
+
+
+# ---------------------------------------------------------------------------
+# LASSO / APGD fusion (VERDICT r3 task 3b)
+# ---------------------------------------------------------------------------
+
+
+def _apgd(A, y, lam=0.02, fuse=True, **kw):
+    from pycsou_tpu.func.penalty import L1Norm
+    from pycsou_tpu.opt import APGD
+
+    H, W = y.shape
+    F = SquaredL2Loss((H, W), data=y) * A
+    return APGD((H, W), F=F, G=lam * L1Norm((H, W)), max_iter=200, fuse=fuse, **kw)
+
+
+def test_apgd_auto_fuses_and_matches_generic(rng):
+    from pycsou_tpu.opt import LassoDeconvolution
+
+    _, A, y = _problem(rng)
+    fused = _apgd(A, y)
+    generic = _apgd(A, y, fuse=False)
+    assert isinstance(fused._fused, LassoDeconvolution)
+    assert generic._fused is None
+    assert fused._fused.tau == fused.tau and fused._fused.lam == 0.02
+    st_f = fused.run_fixed(80)
+    st_g = generic.run_fixed(80)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x_temp"]), np.asarray(st_g["x_temp"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_apgd_no_fusion_on_mismatch(rng):
+    from pycsou_tpu.func.penalty import L1Norm, L2Norm
+    from pycsou_tpu.opt import APGD
+
+    _, A, y = _problem(rng)
+    H, W = y.shape
+    F = SquaredL2Loss((H, W), data=y) * A
+    # G not an L1 norm
+    assert APGD((H, W), F=F, G=0.02 * L2Norm((H, W)))._fused is None
+
+    # subclassed L1 must not be rewritten
+    class MyL1(L1Norm):
+        def prox(self, x, tau):
+            return 0.5 * super().prox(x, tau)
+
+    assert APGD((H, W), F=F, G=MyL1((H, W)), tau=0.1)._fused is None
+
+
+def test_lasso_megaf_kernel_matches_gram_engine(rng):
+    """Interpret-mode fused FISTA engine == the XLA gram engine over a real
+    multi-iteration run (kernels/fista.py vs opt/lasso.py 'gram')."""
+    from pycsou_tpu.opt import LassoDeconvolution
+
+    H, W = 64, 384
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    h = np.outer(g, g).astype(np.float32)
+    h /= h.sum()
+    A = Convolve2D((H, W), h)
+    x_true = jnp.asarray(np.abs(rng.standard_normal((H, W))), jnp.float32)
+    y = A(x_true) + 0.01 * jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    mk = lambda up: LassoDeconvolution(
+        (H, W), y, 0.02, filt=h, use_pallas=up, max_iter=100
+    )
+    mega = mk("interpret")
+    gram = mk(False)
+    assert mega.engine == "megaf" and gram.engine == "gram"
+    st_m = mega.run_fixed(40)
+    st_g = gram.run_fixed(40)
+    np.testing.assert_allclose(
+        np.asarray(st_m["x_temp"]), np.asarray(st_g["x_temp"]), rtol=1e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_m["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=5e-5
+    )
+    # kernel-epilogue stats drive the metric: histories agree too
+    hist_m = np.asarray(st_m["history"])[5:40]
+    hist_g = np.asarray(st_g["history"])[5:40]
+    np.testing.assert_allclose(hist_m, hist_g, rtol=1e-3, atol=1e-6)
+
+
+def test_lasso_nonneg_shrink(rng):
+    """nonneg=True uses the one-sided shrink: iterates stay >= 0 and match
+    the explicit prox composition."""
+    from pycsou_tpu.opt import LassoDeconvolution
+
+    H, W = 32, 32
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    h = np.outer(g, g).astype(np.float32)
+    h /= h.sum()
+    A = Convolve2D((H, W), h)
+    y = A(jnp.asarray(np.abs(rng.standard_normal((H, W))), jnp.float32))
+    s = LassoDeconvolution((H, W), y, 0.02, filt=h, nonneg=True, max_iter=100)
+    st = s.run_fixed(50)
+    assert float(jnp.min(st["x_temp"])) >= 0.0
+
+
+def test_near_miss_note_logged(rng, caplog):
+    """A configuration one default away from the fused pattern logs a
+    one-line "why not fused" note (opt/fuse.py explain_*; r3 failed silently)."""
+    import logging
+
+    _, A, y = _problem(rng)
+    H, W = y.shape
+    F = SquaredL2Loss((H, W), data=y) * A
+    l21 = 0.05 * L21Norm((2, H, W), axis=0)
+    with caplog.at_level(logging.INFO, logger="pycsou_tpu.fuse"):
+        s = PDS((H, W), F=F, H=l21, K=Gradient((H, W), kind="backward"), tau=0.1)
+    assert s._fused is None
+    assert any("NOT fused" in r.message and "backward" in r.message for r in caplog.records)
+
+    # a totally unrelated config logs nothing
+    caplog.clear()
+    from pycsou_tpu.func.penalty import L2Norm
+    from pycsou_tpu.ops.basic import DenseOperator
+
+    D = DenseOperator(jnp.eye(16))
+    with caplog.at_level(logging.INFO, logger="pycsou_tpu.fuse"):
+        PDS((4, 4), F=SquaredL2Loss((4, 4), data=jnp.ones((4, 4))),
+            G=Segment((4, 4), 0.0, 1.0), H=0.1 * L2Norm((4, 4)), tau=0.1)
+    assert not any("NOT fused" in r.message for r in caplog.records)
