@@ -79,6 +79,24 @@ def main_large():
         f"iters={info.n_iter} fit rel err={rel:.3f}"
     )
 
+    # speedup evidence vs the O(m n) matrix-free backend on the same kernel
+    import time
+
+    Kmf = MappedDistanceMatrix(pts, pts, Wendland(k=2, epsilon=0.02), backend="matrix-free", block=2048)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    for op in (K, Kmf):  # warm up compiles
+        op(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r_sp = K(x)
+    r_sp.block_until_ready()
+    t_sp = (time.perf_counter() - t0) / 5
+    t0 = time.perf_counter()
+    r_mf = Kmf(x)
+    r_mf.block_until_ready()
+    t_mf = time.perf_counter() - t0
+    print(f"matvec: sparse {t_sp*1e3:.1f} ms vs matrix-free {t_mf*1e3:.1f} ms -> {t_mf/t_sp:.0f}x")
+
 
 if __name__ == "__main__":
     main()
