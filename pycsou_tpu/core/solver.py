@@ -40,13 +40,26 @@ def _rel_improvement(a_old, a_new) -> jax.Array:
 
 def _advance(solver, s, new):
     """Shared bookkeeping after one step: metrics, histories, shardings."""
-    m = solver.metric(s, new)
+    rels = None
+    if "var_history" in s:
+        rels = solver.metrics(s, new)
+    if (
+        rels is not None
+        and type(solver).metric is IterativeSolver.metric
+        and type(solver).metrics is IterativeSolver.metrics
+        and solver.primary_var in rels
+    ):
+        # the default stopping metric IS the primary entry of the default
+        # per-variable diagnostics — reuse it instead of re-reducing the
+        # primary iterand (a full extra HBM pass at 4096^2)
+        m = rels[solver.primary_var]
+    else:
+        m = solver.metric(s, new)
     it = s["it"] + getattr(solver, "iters_per_step", 1)
     new["it"] = it
     new["metric"] = m
     new["history"] = s["history"].at[it - 1].set(m)
-    if "var_history" in s:
-        rels = solver.metrics(s, new)
+    if rels is not None:
         row = jnp.stack([rels[k] for k in sorted(rels)])
         new["var_history"] = s["var_history"].at[it - 1].set(row)
     if "obj_history" in s:

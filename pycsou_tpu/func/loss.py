@@ -198,6 +198,14 @@ class LeastSquaresLoss(DifferentiableFunctional):
         return jnp.real(jnp.vdot(r, r))
 
     def jacobianT(self, x):
+        gf = getattr(self._gram, "grad_fused", None)
+        if gf is not None:
+            # fused Gram + subtraction: one pallas pass, 3 HBM streams
+            # (ops/conv.py SeparableConvGram2D.grad_fused); None when the
+            # plan doesn't qualify (CPU, GSPMD-stripped twin, odd shapes)
+            out = gf(jnp.asarray(x), self._atb)
+            if out is not None:
+                return out
         return 2.0 * (self._gram.apply(jnp.asarray(x)) - self._atb)
 
     @property

@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from pycsou_tpu.kernels.tv import MEGA_HG, _dot_bf16x3, _split_bf16
 
 __all__ = [
-    "make_sepconv_plan_pair","make_sepconv_plan", "sepconv2d_sweep", "sepconv_sweep_available"]
+    "make_sepconv_plan_pair", "make_sepconv_plan", "sepconv2d_sweep",
+    "sepgram2d_sweep", "sepconv_sweep_available"]
 
 HG = MEGA_HG  # row-pass window halo (8-row aligned); supports reach <= HG-1
 
@@ -256,6 +257,144 @@ def sepconv2d_sweep(x, B, C, *, r: int, interpret: bool = False):
         compiler_params=params,
         interpret=interpret,
     )(x, B, C)
+
+
+def _sepgram_kernel(x_ref, *refs, R, nT, H, W, RANK, with_atb):
+    """Fused ``g = A^H A x`` (optionally ``g = s (A^H A x - atb)`` with the
+    scale folded into the adjoint row band): the forward sweep, the adjoint
+    sweep and the subtraction pipelined through one grid walk — the
+    kernels/tvr.py cascade without the PDS stencil.  t = A x never touches
+    HBM; x is read once and g written once (3 streams with atb, else 2) vs
+    the two-call composition's 4."""
+    i = pl.program_id(0)
+    if with_atb:
+        (a_ref, bf_ref, cf_ref, ba_ref, ca_ref, go,
+         s_lv, s_lvt, s_la, s_lat) = refs
+    else:
+        (bf_ref, cf_ref, ba_ref, ca_ref, go,
+         s_lv, s_lvt, s_la, s_lat) = refs
+    cur_x = x_ref[...]
+    dt = cur_x.dtype
+
+    # stage 1: forward lane passes of the x tile being streamed (tile i)
+    lv = lane_conv_multi(cur_x, cf_ref, W, RANK)
+
+    @pl.when(i > 0)
+    def _stages():
+        # stage 2: t tile (i-1) = forward row dots on the lv rings, then its
+        # adjoint lane passes — t lives only in VMEM this step
+        last1 = jnp.where(i == nT, 0.0, 1.0).astype(dt)
+        t = None
+        for k in range(RANK):
+            win = jnp.concatenate(
+                [
+                    s_lvt[k * HG : (k + 1) * HG],
+                    s_lv[k * R : (k + 1) * R],
+                    (lv[k] * last1)[:HG],
+                ],
+                axis=0,
+            )
+            tk = _dot_bf16x3((bf_ref[k, 0], bf_ref[k, 1]), _split_bf16(win))
+            t = tk[:R] if t is None else t + tk[:R]
+        la = lane_conv_multi(t.astype(dt), ca_ref, W, RANK)
+
+        @pl.when(i > 1)
+        def _emit():
+            # stage 3: g tile (i-2) via the adjoint row dots
+            last2 = jnp.where(i == nT + 1, 0.0, 1.0).astype(dt)
+            gsum = None
+            for k in range(RANK):
+                win = jnp.concatenate(
+                    [
+                        s_lat[k * HG : (k + 1) * HG],
+                        s_la[k * R : (k + 1) * R],
+                        (la[k] * last2)[:HG],
+                    ],
+                    axis=0,
+                )
+                gk = _dot_bf16x3((ba_ref[k, 0], ba_ref[k, 1]), _split_bf16(win))
+                gsum = gk if gsum is None else gsum + gk
+            g = gsum[:R].astype(dt)
+            if with_atb:
+                go[...] = g - 2.0 * a_ref[...]  # Ba carries the 2x scale
+            else:
+                go[...] = g
+
+        @pl.when(i > 1)
+        def _tail_la():
+            for k in range(RANK):
+                s_lat[k * HG : (k + 1) * HG] = s_la[(k + 1) * R - HG : (k + 1) * R]
+
+        @pl.when(i < nT + 1)
+        def _carry_la():
+            for k in range(RANK):
+                s_la[k * R : (k + 1) * R] = la[k]
+
+    @pl.when(i == 0)
+    def _init():
+        s_lvt[...] = jnp.zeros((RANK * HG, W), jnp.float32)
+        s_lat[...] = jnp.zeros((RANK * HG, W), jnp.float32)
+
+    @pl.when(i > 0)
+    def _tail_lv():
+        for k in range(RANK):
+            s_lvt[k * HG : (k + 1) * HG] = s_lv[(k + 1) * R - HG : (k + 1) * R]
+
+    @pl.when(i < nT)
+    def _carry_lv():
+        for k in range(RANK):
+            s_lv[k * R : (k + 1) * R] = lv[k]
+
+
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+def sepgram2d_sweep(x, B, C, Ba, Ca, *, r: int, atb=None, interpret: bool = False):
+    """One-pass fused rank<=4 Gram ``A^H A x`` — or, with ``atb`` given and
+    the 2x scale folded into ``Ba`` (``make_sepconv_plan_pair(adj_scale=2)``),
+    the full least-squares data gradient ``2 (A^H A x - atb)``.
+
+    vs ``sepconv2d_sweep(sepconv2d_sweep(x, fwd), adj)``: the intermediate
+    ``t = A x`` never leaves VMEM, halving the gram's HBM traffic (4 -> 2
+    streams; the fused-gradient form also folds the ``- 2 atb`` read-modify
+    into the same output pass)."""
+    H, W = x.shape
+    rank = B.shape[0]
+    nT = H // r
+    x_spec = pl.BlockSpec((r, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    a_spec = pl.BlockSpec((r, W), lambda i: (jnp.clip(i - 2, 0, nT - 1), 0))
+    b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0, 0, 0))
+    c_spec = pl.BlockSpec(tuple(C.shape), lambda i: (0, 0, 0, 0))
+    out_spec = pl.BlockSpec((r, W), lambda i: (jnp.clip(i - 2, 0, nT - 1), 0))
+    with_atb = atb is not None
+    kern = functools.partial(
+        _sepgram_kernel, R=r, nT=nT, H=H, W=W, RANK=rank, with_atb=with_atb
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    try:
+        params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # pragma: no cover
+        params = cp(dimension_semantics=("arbitrary",))
+    in_specs = [x_spec]
+    inputs = [x]
+    if with_atb:
+        in_specs.append(a_spec)
+        inputs.append(atb)
+    in_specs += [b_spec, c_spec, b_spec, c_spec]
+    inputs += [B, C, Ba, Ca]
+    return pl.pallas_call(
+        kern,
+        grid=(nT + 2,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rank * r, W), jnp.float32),   # s_lv
+            pltpu.VMEM((rank * HG, W), jnp.float32),  # s_lvt
+            pltpu.VMEM((rank * r, W), jnp.float32),   # s_la
+            pltpu.VMEM((rank * HG, W), jnp.float32),  # s_lat
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(*inputs)
 
 
 def sepconv_sweep_available() -> bool:

@@ -815,16 +815,35 @@ class SeparableConvGram2D(LinearOperator):
             g = g.at[:, -Km1:].add(jnp.matmul(y[:, -L_c:], Eb.T, precision=prec))
         return g
 
+    def grad_fused(self, x, atb):
+        """Least-squares data gradient ``2 (A^H A x - atb)`` in ONE pallas
+        pass, or None when no sweep plan qualifies: the forward sweep, the
+        adjoint sweep (its row band scaled by the exact power-of-two 2x) and
+        the ``- 2 atb`` subtraction pipelined through one grid walk — 3 HBM
+        streams vs the unfused route's 5 (consumed by
+        :class:`pycsou_tpu.func.loss.LeastSquaresLoss`)."""
+        if not self.sw_r:
+            return None
+        from pycsou_tpu.kernels.conv2d import sepgram2d_sweep
+
+        return sepgram2d_sweep(
+            jnp.asarray(x), self.sw_Bf, self.sw_Cf, 2.0 * self.sw_Ba, self.sw_Ca,
+            r=self.sw_r, atb=atb,
+        )
+
     def apply(self, x):
         from pycsou_tpu.kernels.band import band_conv_cols, band_conv_rows
 
         if self.sw_r:
-            # adjoint-sweep o forward-sweep: 4 HBM streams, any rank <= 4;
-            # measured 1.8x faster than the 2-pass acorr band at 4096^2
-            from pycsou_tpu.kernels.conv2d import sepconv2d_sweep
+            # fused adjoint-sweep o forward-sweep: t = A x stays in VMEM, so
+            # the Gram is 2 HBM streams for any rank <= 4 (the two-call
+            # composition paid 4; the 2-pass acorr band 1.8x more than that)
+            from pycsou_tpu.kernels.conv2d import sepgram2d_sweep
 
-            t = sepconv2d_sweep(jnp.asarray(x), self.sw_Bf, self.sw_Cf, r=self.sw_r)
-            return sepconv2d_sweep(t, self.sw_Ba, self.sw_Ca, r=self.sw_r)
+            return sepgram2d_sweep(
+                jnp.asarray(x), self.sw_Bf, self.sw_Cf, self.sw_Ba, self.sw_Ca,
+                r=self.sw_r,
+            )
         if self.g_meta is not None:
             return self._apply_fast2(x)
         from pycsou_tpu.kernels.band import chanconv_cols

@@ -107,6 +107,12 @@ class PrimalDualSplitting(IterativeSolver):
     rho: float = static_field(default=1.0)
     beta: float = static_field(default=0.0)
     _has_H: bool = static_field(default=True)
+    # compute the stopping/diagnostic partial sums INSIDE step() on the same
+    # operands the momentum pass reads (metric_every=1 only): XLA multi-
+    # output-fuses the reductions with the update, where the separate
+    # old-vs-new state reductions cost full extra HBM passes (the r3 trace
+    # put them at 31% of the generic chain's iteration time)
+    _instats: bool = static_field(default=False)
 
     def __init__(
         self,
@@ -192,6 +198,7 @@ class PrimalDualSplitting(IterativeSolver):
         # step/metric to the specialised solver — same Condat-Vu iterates
         # (tests/test_fuse.py), ~6x throughput on the flagship problem.
         # ``fuse=False`` opts out (e.g. to benchmark the generic chain).
+        self._instats = int(metric_every) == 1
         self._fused = None
         if fuse and self._has_H:
             from pycsou_tpu.opt.fuse import match_tv_deconvolution
@@ -246,28 +253,52 @@ class PrimalDualSplitting(IterativeSolver):
             state["x"] = self.x0
             state["z0"], state["z1"] = self.z0[0], self.z0[1]
             return state
-        return {"x": self.x0, "z": self.z0}
+        state = {"x": self.x0, "z": self.z0}
+        if self._instats:
+            state["_gstats"] = jnp.zeros((4,), jnp.float32)
+        return state
 
     def step(self, state):
         if self._fused is not None:
             return self._fused.step(state)
-        x, z = state["x"], state["z"]
+        x_old, z_old = state["x"], state["z"]
         tau, sigma, rho = self.tau, self.sigma, self.rho
-        grad = self.F.gradient(x)
+        grad = self.F.gradient(x_old)
         if self._has_H:
-            x_temp = self.G.prox(x - tau * grad - tau * self.K.adjoint(z), tau)
-            u = 2 * x_temp - x
-            z_temp = self.H.fenchel_prox(z + sigma * self.K.apply(u), sigma)
-            z = rho * z_temp + (1 - rho) * z
+            x_temp = self.G.prox(x_old - tau * grad - tau * self.K.adjoint(z_old), tau)
+            u = 2 * x_temp - x_old
+            z_temp = self.H.fenchel_prox(z_old + sigma * self.K.apply(u), sigma)
+            z = rho * z_temp + (1 - rho) * z_old
         else:
-            x_temp = self.G.prox(x - tau * grad, tau)
-        x = rho * x_temp + (1 - rho) * x
-        return {"x": x, "z": z}
+            x_temp = self.G.prox(x_old - tau * grad, tau)
+            z = z_old
+        x = rho * x_temp + (1 - rho) * x_old
+        out = {"x": x, "z": z}
+        if self._instats:
+            # the stopping/diagnostic sums, reduced over the momentum pass's
+            # own INPUTS (``dx = rho (x_temp - x_old)``, not ``x_new - x_old``
+            # which would read the momentum OUTPUT): sibling fusions with
+            # identical operands, which XLA's multi-output fusion merges into
+            # the update pass — the separate old-vs-new state reductions cost
+            # full extra HBM passes (31% of the r3 generic chain)
+            def _ss(a):
+                return jnp.real(jnp.vdot(a, a)).astype(jnp.float32)
+
+            rho2 = jnp.float32(rho * rho)
+            dz2 = rho2 * _ss(z_temp - z_old) if self._has_H else jnp.float32(0.0)
+            out["_gstats"] = jnp.stack(
+                [rho2 * _ss(x_temp - x_old), _ss(x_old), dz2, _ss(z_old)]
+            )
+        return out
 
     # -- fused-path plumbing (kernel-epilogue metrics, state layout) ---------
     def metric(self, old, new):
         if self._fused is not None:
             return self._fused.metric(old, new)
+        if "_gstats" in new:
+            from pycsou_tpu.opt.tv import TVDeconvolution as _TV
+
+            return _TV._rel_from_stats(new["_gstats"][0], new["_gstats"][1])
         return super().metric(old, new)
 
     def diagnostics_vars(self, state):
@@ -285,6 +316,14 @@ class PrimalDualSplitting(IterativeSolver):
         so the reference's per-variable diagnostics frame
         (proxalgs.py:366-394) is preserved bit-for-bit."""
         if self._fused is None:
+            if "_gstats" in new:
+                from pycsou_tpu.opt.tv import TVDeconvolution as _TV
+
+                st = new["_gstats"]
+                return {
+                    "x": _TV._rel_from_stats(st[0], st[1]),
+                    "z": _TV._rel_from_stats(st[2], st[3]),
+                }
             return super().metrics(old, new)
         from pycsou_tpu.core.solver import _rel_improvement
 
@@ -367,6 +406,8 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
     beta: float = static_field(default=0.0)
     acceleration: Optional[str] = static_field(default="CD")
     d: float = static_field(default=75.0)
+    # in-step stopping/diagnostic partial sums (see PrimalDualSplitting)
+    _instats: bool = static_field(default=False)
 
     def __init__(
         self,
@@ -413,6 +454,7 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
         self.x0 = jnp.zeros(dim_shape, dtype=jnp.float32) if x0 is None else jnp.asarray(x0)
         # stopping metric on the feasible iterate x_temp
         self.primary_var = "x_temp"
+        self._instats = int(metric_every) == 1
 
         # -- expression recognition (opt/fuse.py): LASSO configurations
         # delegate to the fused FISTA engine (same iterates, one Pallas pass
@@ -454,6 +496,8 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
             fstate = self._fused.initial_state()
             fstate.update(state)
             return fstate
+        if self._instats:
+            state["_gstats"] = jnp.zeros((4,), jnp.float32)
         return state
 
     def step(self, state):
@@ -469,18 +513,43 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
         else:
             t = t_old = jnp.asarray(1.0, jnp.float32)
         a = (t_old - 1) / t
-        x = x_temp + a * (x_temp - x_old)
-        return {"x": x, "x_temp": x_temp, "t": t, "n": n + 1}
+        x_new = x_temp + a * (x_temp - x_old)
+        out = {"x": x_new, "x_temp": x_temp, "t": t, "n": n + 1}
+        if self._instats:
+            # stopping metric tracks x_temp (the feasible iterate); the "x"
+            # diagnostic tracks the extrapolated point — both reduced on the
+            # update pass's own INPUTS so XLA's multi-output fusion merges
+            # them into the momentum pass (see PrimalDualSplitting.step)
+            def _ss(a_):
+                return jnp.real(jnp.vdot(a_, a_)).astype(jnp.float32)
+
+            dxt = x_temp - x_old
+            out["_gstats"] = jnp.stack(
+                [_ss(dxt), _ss(x_old), _ss(x_temp + a * dxt - x), _ss(x)]
+            )
+        return out
 
     # -- fused-path plumbing (kernel-epilogue metrics) ------------------------
     def metric(self, old, new):
         if self._fused is not None:
             return self._fused.metric(old, new)
+        if "_gstats" in new:
+            from pycsou_tpu.opt.tv import TVDeconvolution as _TV
+
+            return _TV._rel_from_stats(new["_gstats"][0], new["_gstats"][1])
         return super().metric(old, new)
 
     def metrics(self, old, new):
         if self._fused is not None:
             return self._fused.metrics(old, new)
+        if "_gstats" in new:
+            from pycsou_tpu.opt.tv import TVDeconvolution as _TV
+
+            st = new["_gstats"]
+            return {
+                "x": _TV._rel_from_stats(st[2], st[3]),
+                "x_temp": _TV._rel_from_stats(st[0], st[1]),
+            }
         return super().metrics(old, new)
 
     def with_shardings(self, **shardings):

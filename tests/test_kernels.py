@@ -576,3 +576,81 @@ def test_element_tiling_infeasible_raises():
     assert _pick_block_rows(20, 128) == 0
     assert not element_available(20, 128)
     assert element_available(64, 128)
+
+
+@pytest.mark.parametrize("rank", [1, 2, 3])
+def test_sepgram_sweep_one_pass(rng, rank):
+    """Fused one-pass Gram cascade (kernels/conv2d.py sepgram2d_sweep) is
+    BITWISE the adjoint-sweep o forward-sweep composition, and the
+    fused-gradient form equals ``2 (A^H A x - atb)``."""
+    from pycsou_tpu.kernels.conv2d import (
+        make_sepconv_plan_pair,
+        sepconv2d_sweep,
+        sepgram2d_sweep,
+    )
+
+    H, W = 96, 384
+    u = rng.standard_normal((11, rank))
+    v = rng.standard_normal((13, rank))
+    pp = make_sepconv_plan_pair(u, v, (H, W))
+    assert pp is not None
+    Bf, Cf, Ba, Ca, r = pp
+    x = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    t = sepconv2d_sweep(x, Bf, Cf, r=r, interpret=True)
+    oracle = sepconv2d_sweep(t, Ba, Ca, r=r, interpret=True)
+    g = sepgram2d_sweep(x, Bf, Cf, Ba, Ca, r=r, interpret=True)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(oracle))
+
+    pp2 = make_sepconv_plan_pair(u, v, (H, W), adj_scale=2.0)
+    Bf2, Cf2, Ba2, Ca2, r2 = pp2
+    atb = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    grad = sepgram2d_sweep(x, Bf2, Cf2, Ba2, Ca2, r=r2, atb=atb, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(2.0 * (oracle - atb)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pds_instats_matches_state_reductions(rng):
+    """The generic PDS in-step metric partial sums reproduce the old
+    old-vs-new state reductions (same stopping metric and per-variable
+    diagnostics), and iterates are unchanged."""
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.opt import PDS
+
+    shape = (16, 16)
+    h = rng.standard_normal((3, 3)).astype(np.float32)
+    h /= np.abs(h).sum()
+    y = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    A = Convolve2D(shape, h)
+    mk = lambda me: PDS(
+        shape,
+        F=SquaredL2Loss(shape, data=y) * A,
+        G=NonNegativeOrthant(shape),
+        H=0.1 * L21Norm((2,) + shape, axis=0),
+        K=Gradient(shape),
+        max_iter=40,
+        min_iter=5,
+        accuracy_threshold=0.0,
+        fuse=False,
+        metric_every=me,
+    )
+    fast = mk(1)
+    assert fast._instats
+    info_f = fast.solve()
+    # metric_every=2 disables the in-step sums -> the old reduction path;
+    # compare on the rows both measured
+    slow = mk(2)
+    assert not slow._instats
+    info_s = slow.solve()
+    np.testing.assert_allclose(
+        np.asarray(info_f["x"]), np.asarray(info_s["x"]), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        info_f.history[1::2], info_s.history[1::2], rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        info_f.diagnostics["z"][1::2], info_s.diagnostics["z"][1::2], rtol=1e-4, atol=1e-7
+    )
