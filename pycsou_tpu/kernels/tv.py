@@ -846,16 +846,38 @@ def _mega_row_gram(w_tail, w_body, w_head, b_mat, corr, first_f, lastj_f, R, W, 
     return gsum + lastj_f * bot
 
 
-def _pds_stencil(xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg):
+def _pds_stencil(xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam,
+                 nonneg, col0=None, W_global=None):
     """Masked TV PDS stencil chain on an (R+8)-row window; returns the R-row
-    (x_new, z0_new, z1_new) tiles.  Identical math to _tv_sweep_kernel."""
+    (x_new, z0_new, z1_new) tiles.  Identical math to _tv_sweep_kernel.
+
+    ``col0``/``W_global`` (2-D spatial mesh, kernels/tvr.py shard2d): the
+    window's lanes are a lane-halo-extended slice of a GLOBALLY W_global-wide
+    image starting at global column ``col0`` — the first/last-column masks
+    key off global columns, and the lane-roll neighbour reads are correct on
+    every core lane (the rolls only wrap at the ext edges, which the caller
+    crops).  Default (None): lanes are the full image width W."""
     dt = xw.dtype
     Rw = R + 8
+
+    if col0 is None:
+        lc_Rw = _lastcol_mask(Rw, W, dt)
+        fc_Rw = _firstcol_mask(Rw, W, dt)
+        lc_R = _lastcol_mask(R, W, dt)
+    else:
+        def _gc_mask(nrows, target):
+            colw = jax.lax.broadcasted_iota(jnp.int32, (nrows, W), 1) + col0
+            return jnp.where(colw == target, 0.0, 1.0).astype(dt)
+
+        lc_Rw = _gc_mask(Rw, W_global - 1)
+        fc_Rw = _gc_mask(Rw, 0)
+        lc_R = _gc_mask(R, W_global - 1)
+
     z0w = z0w * _row_mask_last_zero(H, row0, Rw, W, dt)
     z0up = z0up * _row_mask_last_zero(H, row0 - 1, Rw, W, dt)
-    z1w = z1w * _lastcol_mask(Rw, W, dt)
+    z1w = z1w * lc_Rw
 
-    z1_left = _roll_lanes(z1w, 1) * _firstcol_mask(Rw, W, dt)
+    z1_left = _roll_lanes(z1w, 1) * fc_Rw
     div = (z0up - z0w) + (z1_left - z1w)
 
     x_t = xw - tau * gw - tau * div
@@ -865,7 +887,6 @@ def _pds_stencil(xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, no
     u = 2.0 * x_t - xw
     du_r = (u[1 : 1 + R] - u[:R]) * _row_mask_last_zero(H, row0, R, W, dt)
     uc = u[:R]
-    lc_R = _lastcol_mask(R, W, dt)
     u_right = _roll_lanes(uc, -1) * lc_R
     du_c = (u_right - uc) * lc_R
 

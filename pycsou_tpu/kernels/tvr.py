@@ -48,7 +48,12 @@ from pycsou_tpu.kernels.tv import (
     _stats_update,
 )
 
-__all__ = ["make_megar_plan", "tv_pds_megar_step", "tv_pds_megar_shard_step"]
+__all__ = [
+    "make_megar_plan",
+    "tv_pds_megar_step",
+    "tv_pds_megar_shard_step",
+    "tv_pds_megar_shard2d_step",
+]
 
 HG = MEGA_HG
 
@@ -64,16 +69,27 @@ def make_megar_plan(us, vs, shape):
 
 
 def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
-                     RANK, core_lo, core_hi, shard):
+                     RANK, core_lo, core_hi, shard, W_global=None, CORE_L=0,
+                     W_core=None):
     """Single-chip AND shard-aware fused rank-r step.  ``off_ref`` (SMEM,
-    (1,) i32): GLOBAL row of (ext) local row 0 (0 single-chip; shard callers
-    pass ``device_row0 - R``).  ``H`` is the GLOBAL height.  ``nT``: ext
-    tiles the sweep walks (body + 2 halo tiles in shard mode); ``core_lo``/
-    ``core_hi``: inclusive ext-output-tile range written/stats-accumulated.
-    Shard mode takes six (R, W) halo inputs stitched in-VMEM (see
-    kernels/tv.py _tv_mega2_kernel — same convention)."""
+    (2,) i32): GLOBAL (row, col) of (ext) local (0, 0) ((0, 0) single-chip;
+    shard callers pass ``device_row0 - R``; 2-D-mesh callers additionally
+    ``device_col0 - 128``).  ``H``/``W_global`` are the GLOBAL image dims.
+    ``nT``: ext tiles the sweep walks (body + 2 halo tiles in shard mode);
+    ``core_lo``/``core_hi``: inclusive ext-output-tile range
+    written/stats-accumulated.  Shard mode takes six (R, W) halo inputs
+    stitched in-VMEM (see kernels/tv.py _tv_mega2_kernel — same convention).
+
+    2-D spatial mesh (``CORE_L`` > 0): every streamed block is LANE-halo
+    extended (width W = 128 + W_core + 128; ppermute zeros at the global
+    column edges make the sweeps' zero boundary automatic), the 'same'-crop
+    masks key off global columns, and only the core lanes
+    [CORE_L, CORE_L + W_core) of each output tile are written."""
     i = pl.program_id(0)
     off = off_ref[0]
+    off_c = off_ref[1]
+    Wg = W if W_global is None else W_global
+    Wc = W if W_core is None else W_core
     if shard:
         (x_ref, a_ref, z0_ref, z1_ref, xt_r, xb_r, z0t_r, z0b_r, z1t_r, z1b_r,
          bf_ref, cf_ref, ba_ref, ca_ref, xo, z0o, z1o, so,
@@ -115,12 +131,18 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
             )
             tk = _dot_bf16x3((bf_ref[k, 0], bf_ref[k, 1]), _split_bf16(win))
             t = tk[:R] if t is None else t + tk[:R]
-        # the 'same' crop: t = A x exists only on GLOBAL rows [0, H) — halo
-        # tiles outside carry uncropped conv values the adjoint must not see
-        # (single-chip imposes this via the ring zero-inits; shard halo
-        # tiles need the explicit global-row mask)
+        # the 'same' crop: t = A x exists only on GLOBAL rows [0, H) and
+        # cols [0, Wg) — halo tiles/lanes outside carry uncropped conv
+        # values the adjoint must not see (single-chip imposes this via the
+        # ring zero-inits; shard halos need the explicit global masks)
         trow = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0) + (i - 1) * R + off
-        t = t * jnp.where(jnp.logical_and(trow >= 0, trow < H), 1.0, 0.0)
+        tmask = jnp.logical_and(trow >= 0, trow < H)
+        if CORE_L:
+            tcol = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) + off_c
+            tmask = jnp.logical_and(
+                tmask, jnp.logical_and(tcol >= 0, tcol < Wg)
+            )
+        t = t * jnp.where(tmask, 1.0, 0.0)
         la = _lane_conv_multi(t.astype(dt), ca_ref, W, RANK)
 
         @pl.when(i > 1)
@@ -150,7 +172,8 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
             z0up = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
             z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
             x_n, z0_n, z1_n = _pds_stencil(
-                xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg
+                xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam,
+                nonneg, col0=(off_c if CORE_L else None), W_global=Wg,
             )
             in_core = jnp.logical_and(j2 >= core_lo, j2 <= core_hi)
 
@@ -159,10 +182,18 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
                 # shard mode: halo output tiles are SKIPPED — their out-block
                 # index clamps onto a core block written at an adjacent step,
                 # and an unwritten revisit preserves the real content
-                xo[...] = x_n
-                z0o[...] = z0_n
-                z1o[...] = z1_n
-                _stats_update(so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])])
+                cl, ch = CORE_L, CORE_L + Wc
+                xo[...] = x_n[:, cl:ch]
+                z0o[...] = z0_n[:, cl:ch]
+                z1o[...] = z1_n[:, cl:ch]
+                _stats_update(
+                    so,
+                    [
+                        (x_n[:, cl:ch], xw[:R, cl:ch]),
+                        (z0_n[:, cl:ch], z0w[:R, cl:ch]),
+                        (z1_n[:, cl:ch], z1w[:R, cl:ch]),
+                    ],
+                )
 
         # second-stage ring updates (after the stencil consumed them); the
         # tail shift waits until the ring holds a real tile (i >= 2) so the
@@ -209,12 +240,16 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
 
 def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
                 core_hi, tau, sigma, rho, lam, nonneg, interpret, vma=None,
-                halos=None):
+                halos=None, W_global=None, core_l=0):
     """Shared pallas_call for the single-chip and shard-aware megar paths
     (the kernels/tv.py _mega2_call convention: in shard mode x/z0/z1 are the
     device's CORE (h_loc, W) blocks, ``atb`` the halo-EXTENDED
     (h_loc + 2R, W) block, and the six (R, W) ``halos`` are stitched
-    in-VMEM; outputs are core-shaped)."""
+    in-VMEM; outputs are core-shaped).
+
+    2-D spatial mesh (``core_l`` > 0): x/z0/z1/atb/halos are LANE-halo
+    extended (width = core_l + w_core + core_l), ``W_global`` is the global
+    image width, and the outputs are (h_loc, w_core) core blocks."""
     shard = halos is not None
     Hl, W = x.shape
     if Hl % R:
@@ -222,6 +257,7 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
     if W < 384 or W % 128:
         raise ValueError(f"megar needs W % 128 == 0 and W >= 384, got {W}")
     rank = Bf.shape[0]
+    Wc = W - 2 * core_l  # core lanes (== W when core_l == 0)
     nTc = Hl // R  # body tiles
     nT = nTc + 2 if shard else nTc  # ext tiles the sweep walks
     off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -234,11 +270,11 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
             (R, W), lambda i: (jnp.clip(jnp.clip(i - 1, 0, nT - 1) - 1, 0, nTc - 1), 0)
         )
         halo_spec = pl.BlockSpec((R, W), lambda i: (0, 0))
-        out_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 3, 0, nTc - 1), 0))
+        out_spec = pl.BlockSpec((R, Wc), lambda i: (jnp.clip(i - 3, 0, nTc - 1), 0))
     else:
         x_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
         a_spec = z_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 1, 0, nT - 1), 0))
-        out_spec = pl.BlockSpec((R, W), lambda i: (jnp.clip(i - 2, 0, nT - 1), 0))
+        out_spec = pl.BlockSpec((R, Wc), lambda i: (jnp.clip(i - 2, 0, nT - 1), 0))
     b_spec = pl.BlockSpec(tuple(Bf.shape), lambda i: (0, 0, 0, 0))
     c_spec = pl.BlockSpec(tuple(Cf.shape), lambda i: (0, 0, 0, 0))
     stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
@@ -247,6 +283,8 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
         tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam),
         nonneg=bool(nonneg), RANK=rank,
         core_lo=int(core_lo), core_hi=int(core_hi), shard=shard,
+        W_global=(None if W_global is None else int(W_global)),
+        CORE_L=int(core_l), W_core=Wc,
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     try:
@@ -266,9 +304,11 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
         grid=(nT + 2,),
         in_specs=in_specs,
         out_specs=[out_spec] * 3 + [stats_spec],
-        out_shape=[sds((Hl, W), x.dtype)] * 3 + [sds((8, 128), jnp.float32)],
-        # in-place x/z0/z1 (see _mega2_call): kills the while-carry copies
-        input_output_aliases={1: 0, 3: 1, 4: 2},
+        out_shape=[sds((Hl, Wc), x.dtype)] * 3 + [sds((8, 128), jnp.float32)],
+        # in-place x/z0/z1 (see _mega2_call): kills the while-carry copies.
+        # The 2-D-mesh path cannot alias (ext inputs vs core outputs differ
+        # in shape) — it pays the carry copies instead
+        input_output_aliases=({1: 0, 3: 1, 4: 2} if core_l == 0 else {}),
         scratch_shapes=[
             pltpu.VMEM((R, W), jnp.float32),       # s_x1 (tile i-1)
             pltpu.VMEM((R, W), jnp.float32),       # s_x2 (tile i-2)
@@ -303,7 +343,7 @@ def tv_pds_megar_step(x, z0, z1, atb, Bf, Cf, Ba, Ca, *, tau: float, sigma: floa
     H, W = x.shape
     R = int(mega_r)
     return _megar_call(
-        x, atb, z0, z1, Bf, Cf, Ba, Ca, jnp.zeros((1,), jnp.int32),
+        x, atb, z0, z1, Bf, Cf, Ba, Ca, jnp.zeros((2,), jnp.int32),
         R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
     )
@@ -330,9 +370,49 @@ def tv_pds_megar_shard_step(x, z0, z1, atb_ext, halos, Bf, Cf, Ba, Ca, off, *,
     h_loc, W = x.shape
     R = int(mega_r)
     nTc = h_loc // R
+    if off.shape[0] == 1:  # legacy (row-only) offset
+        off = jnp.concatenate([off, jnp.zeros((1,), off.dtype)])
     return _megar_call(
         x, atb_ext, z0, z1, Bf, Cf, Ba, Ca, off,
         R=R, H_global=int(H_global), core_lo=1, core_hi=nTc,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg,
         interpret=interpret, vma=vma, halos=halos,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret",
+                     "mega_r", "H_global", "W_global", "vma"),
+)
+def tv_pds_megar_shard2d_step(x_ext, z0_ext, z1_ext, atb_ext, halos, Bf, Cf,
+                              Ba, Ca, off, *, H_global: int, W_global: int,
+                              tau: float, sigma: float, rho: float, lam: float,
+                              nonneg: bool = True, interpret: bool = False,
+                              mega_r: int = 32, vma=None):
+    """Fused rank-r PDS step for a TRUE 2-D spatial mesh (callable INSIDE a
+    ``shard_map`` over ``(sp0, sp1)``): the device's (h_loc, w_loc) block
+    with ONE-chunk (128-lane) column halos and R-row row halos.
+
+    ``x_ext``/``z0_ext``/``z1_ext``: (h_loc, w_loc + 256) lane-halo-extended
+    local blocks (ppermute along sp1; mesh-edge zeros ARE the sweeps' zero
+    boundary); ``atb_ext``: (h_loc + 2R, w_loc + 256) fully-extended
+    iteration constant; ``halos``: six (R, w_loc + 256) row-halo blocks
+    ``(xt, xb, z0t, z0b, z1t, z1b)`` taken from the NEIGHBOURS' lane-extended
+    blocks (so the diagonal corners ride along); ``off``: (2,) i32 global
+    (row, col) of ext (0, 0) = ``(device_row0 - R, device_col0 - 128)``.
+
+    Outputs are CORE-shaped (h_loc, w_loc).  The 128-lane halo covers one
+    iteration's column reach (gram m1 - 1 plus the stencil's 1) for any
+    PSF the sweep plans accept; rows reuse the 1-D shard argument
+    (R = 32 >= 2*HG pipeline reach)."""
+    h_loc, W_ext = x_ext.shape
+    R = int(mega_r)
+    nTc = h_loc // R
+    return _megar_call(
+        x_ext, atb_ext, z0_ext, z1_ext, Bf, Cf, Ba, Ca, off,
+        R=R, H_global=int(H_global), core_lo=1, core_hi=nTc,
+        tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg,
+        interpret=interpret, vma=vma, halos=halos,
+        W_global=int(W_global), core_l=128,
     )

@@ -808,11 +808,16 @@ class Spatial2DTVDeconv2D(IterativeSolver):
 
     For very wide meshes a 1-D row split leaves blocks thinner than the
     kernel halo; the 2-D split keeps blocks square-ish so halo traffic per
-    device scales as the block *perimeter*.  Requires a rank-1 (separable)
-    PSF: every data-term Gram pass is a banded MXU matmul
-    (kernels/band.py) with (K-1)-wide ``ppermute`` halos along BOTH mesh
-    axes — zero FFTs, zero global collectives inside an iteration.
+    device scales as the block *perimeter*.  Two engines (VERDICT r3 task 2):
 
+    * ``megar2d`` (default on TPU, any rank <= 4 PSF): the single-chip fused
+      forward-sweep + adjoint-sweep + stencil kernel (kernels/tvr.py) runs
+      per shard with 128-lane column halos and 32-row row halos stitched
+      in-VMEM — the sp0 x sp1 analogue of the 1-D mesh's megarsp engine;
+    * pure-XLA banded chain (rank-1 PSF only): per-axis banded MXU Gram
+      passes with (K-1)-wide ``ppermute`` halos along BOTH mesh axes.
+
+    Zero FFTs, zero global collectives inside an iteration either way.
     Same mathematics as :class:`DistributedTVDeconv2D` (Condat-Vu PDS,
     reference update rule /root/reference/pycsou/opt/proxalgs.py:343-355);
     first-class ``IterativeSolver`` (stopping metric, history, checkpoint).
@@ -834,6 +839,18 @@ class Spatial2DTVDeconv2D(IterativeSolver):
     shape: Tuple[int, int] = static_field(default=None)
     _band_meta: tuple = static_field(default=None)  # (lead_r, L_r, lead_c, L_c)
     _y2: float = static_field(default=0.0)
+    rank: int = static_field(default=1)
+    # per-shard fused engine ("megar2d") or "" = pure-XLA banded chain
+    _sp_engine: str = static_field(default="")
+    _sp_r: int = static_field(default=0)
+    _pallas_interpret: bool = static_field(default=False)
+    _megar_Bf: jax.Array = None
+    _megar_Cf: jax.Array = None
+    _megar_Ba: jax.Array = None
+    _megar_Ca: jax.Array = None
+    _atb_ext: jax.Array = None  # fully halo-extended A^H y (megar2d)
+    # per-rank forward/adjoint band plans (atb init + rank >= 2 objective)
+    _rank_plans: tuple = static_field(default=None)
 
     def __init__(
         self,
@@ -850,6 +867,7 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         min_iter: int = 10,
         accuracy_threshold: float = 1e-6,
         verbose: Optional[int] = None,
+        use_pallas: str = "auto",
     ):
         super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
         H, W = shape
@@ -876,11 +894,14 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         from pycsou_tpu.ops.conv import lowrank_factors
 
         fac = lowrank_factors(np.asarray(filt))
-        if fac is None or fac[0].shape[1] != 1:
+        if fac is None:
             raise ValueError(
-                "Spatial2DTVDeconv2D requires a rank-1 (separable) PSF; use "
-                "DistributedTVDeconv2D (1-D row sharding, FFT Gram) otherwise"
+                "Spatial2DTVDeconv2D requires a rank <= 4 (sum-separable) "
+                "PSF; use DistributedTVDeconv2D (1-D row sharding, FFT Gram) "
+                "otherwise"
             )
+        rank = fac[0].shape[1]
+        self.rank = rank
         h_loc, w_loc = H // n0, W // n1
         need_r, need_c = max(m0 - 1, 2 * m0 - 2), max(m1 - 1, 2 * m1 - 2)
         if h_loc < need_r or w_loc < need_c or H < 3 * m0 or W < 3 * m1:
@@ -910,9 +931,47 @@ class Spatial2DTVDeconv2D(IterativeSolver):
             Eb = None if Eb is None else jnp.asarray(Eb)
             return (jnp.asarray(b0), jnp.asarray(b1), Et, Eb), lead, L
 
-        self._band_rows, lead_r, L_r = _jn(make_gram_band(us[:, 0], H))
-        self._band_cols, lead_c, L_c = _jn(make_gram_band(vs[:, 0], W))
-        self._band_meta = (lead_r, L_r, lead_c, L_c)
+        self._band_rows = self._band_cols = None
+        if rank == 1:
+            self._band_rows, lead_r, L_r = _jn(make_gram_band(us[:, 0], H))
+            self._band_cols, lead_c, L_c = _jn(make_gram_band(vs[:, 0], W))
+            self._band_meta = (lead_r, L_r, lead_c, L_c)
+
+        # ---- per-shard fused megar2d engine (VERDICT r3 task 2) ----------
+        self._megar_Bf = self._megar_Cf = self._megar_Ba = self._megar_Ca = None
+        self._atb_ext = None
+        self._sp_engine, self._sp_r = "", 0
+        self._pallas_interpret = use_pallas == "interpret"
+        pallas_on = (
+            use_pallas == "interpret"
+            or bool(use_pallas is True)
+            or (use_pallas == "auto" and jax.default_backend() not in ("cpu",))
+        )
+        if (
+            pallas_on
+            and not jnp.issubdtype(filt.dtype, jnp.complexfloating)
+            and h_loc % 32 == 0
+            and w_loc % 128 == 0
+            and m1 <= 128  # the 128-lane halo must cover one iteration's
+            # column reach (gram m1 - 1 plus the stencil's 1)
+            and (n1 > 1 or w_loc >= 384)  # n1 == 1 runs the un-extended
+            # 1-D kernel path, whose width gate is the raw w_loc
+        ):
+            from pycsou_tpu.kernels.tvr import make_megar_plan
+
+            w_ext = w_loc + (256 if n1 > 1 else 0)
+            plan = make_megar_plan(fac[0], fac[1], (h_loc + 64, max(w_ext, 384)))
+            if plan is not None and plan[4] == 32:
+                self._sp_engine, self._sp_r = "megar2d", 32
+                (self._megar_Bf, self._megar_Cf, self._megar_Ba,
+                 self._megar_Ca, _) = plan
+        if rank > 1 and not self._sp_engine:
+            raise ValueError(
+                f"rank-{rank} PSF on the 2-D mesh needs the fused megar2d "
+                "engine (TPU, h_loc % 32 == 0, w_loc % 128 == 0, taps within "
+                "the sweep gates); this configuration does not qualify — use "
+                "DistributedTVDeconv2D (1-D row sharding) instead"
+            )
 
         spec_x = NamedSharding(self.mesh, PartitionSpec(self.ax_r, self.ax_c))
         self.y = jax.device_put(jnp.asarray(y, dtype), spec_x)
@@ -920,18 +979,37 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         # iteration uses — no step ever materialises a full image on one
         # device (VERDICT r2 task 8).  Adjoint of the separable 'same' conv =
         # per-axis banded Toeplitz transposes: flipped taps at the
-        # complementary offset, exactly (no edge corrections).
+        # complementary offset, exactly (no edge corrections); rank >= 2
+        # sums the per-rank separable adjoints.
         from pycsou_tpu.kernels.band import make_band_blocks
         from pycsou_tpu.parallel.spatial import sharded_sepconv2d_adjoint_2d
 
-        u1 = np.asarray(us[:, 0], np.float64)
-        v1 = np.asarray(vs[:, 0], np.float64)
-        rp = (make_band_blocks(u1[::-1], m0 - 1 - m0 // 2), m0 - 1)
-        cp = (make_band_blocks(v1[::-1], m1 - 1 - m1 // 2), m1 - 1)
+        rank_plans = []
+        for i in range(rank):
+            ui = np.asarray(us[:, i], np.float64)
+            vi = np.asarray(vs[:, i], np.float64)
+            fwd = (
+                (make_band_blocks(ui, m0 // 2), m0 - 1),
+                (make_band_blocks(vi, m1 // 2), m1 - 1),
+            )
+            adj = (
+                (make_band_blocks(ui[::-1], m0 - 1 - m0 // 2), m0 - 1),
+                (make_band_blocks(vi[::-1], m1 - 1 - m1 // 2), m1 - 1),
+            )
+            rank_plans.append((fwd, adj))
+        self._rank_plans = tuple(rank_plans)
         P = PartitionSpec
+
+        def _atb_local(yb):
+            out = None
+            for (_, (rp, cp)) in self._rank_plans:
+                g = sharded_sepconv2d_adjoint_2d(yb, rp, cp, self.ax_r, self.ax_c)
+                out = g if out is None else out + g
+            return out
+
         atb_fn = jax.jit(
             jax.shard_map(
-                lambda yb: sharded_sepconv2d_adjoint_2d(yb, rp, cp, self.ax_r, self.ax_c),
+                _atb_local,
                 mesh=self.mesh,
                 in_specs=P(self.ax_r, self.ax_c),
                 out_specs=P(self.ax_r, self.ax_c),
@@ -939,6 +1017,49 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         )
         self.atb = atb_fn(self.y)
         self._y2 = float(jnp.vdot(self.y, self.y))
+        if self._sp_engine:
+            R = self._sp_r
+            if n1 == 1:
+                # row-halo extension only (the 1-D kernel path)
+                local_ext = lambda a: self._row_ext_local(a, R)
+            else:
+                local_ext = lambda a: self._row_ext_local(self._lane_ext_local(a), R)
+            ext_fn = jax.jit(
+                jax.shard_map(
+                    local_ext,
+                    mesh=self.mesh,
+                    in_specs=P(self.ax_r, self.ax_c),
+                    out_specs=P(self.ax_r, self.ax_c),
+                    check_vma=False,
+                )
+            )
+            self._atb_ext = ext_fn(self.atb)
+
+    # -- halo helpers (megar2d engine; all called INSIDE shard_map) ----------
+    def _lane_ext_local(self, a):
+        """(h, w_loc + 256) lane-halo-extended local block: one 128-lane
+        chunk from each column neighbour (``ppermute`` zeros at the global
+        column edges = the sweeps' zero boundary)."""
+        ac = self.ax_c
+        n1 = self.mesh.devices.shape[1]
+        left = jax.lax.ppermute(a[:, -128:], ac, [(i, i + 1) for i in range(n1 - 1)])
+        right = jax.lax.ppermute(a[:, :128], ac, [(i + 1, i) for i in range(n1 - 1)])
+        return jnp.concatenate([left, a, right], axis=1)
+
+    def _row_halos_local(self, a, R: int):
+        """(top, bottom) (R, w) row-halo blocks along ``ax_r``.  Taking them
+        from LANE-EXTENDED blocks carries the diagonal corners: the row
+        neighbour's lane halo came from ITS column neighbour — this
+        device's diagonal."""
+        ar = self.ax_r
+        n0 = self.mesh.devices.shape[0]
+        top = jax.lax.ppermute(a[-R:], ar, [(i, i + 1) for i in range(n0 - 1)])
+        bot = jax.lax.ppermute(a[:R], ar, [(i + 1, i) for i in range(n0 - 1)])
+        return top, bot
+
+    def _row_ext_local(self, a, R: int):
+        top, bot = self._row_halos_local(a, R)
+        return jnp.concatenate([top, a, bot], axis=0)
 
     # -- sharding specs ------------------------------------------------------
     def _spec_x(self):
@@ -954,6 +1075,66 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         g_rows = ((rb0, rb1, lead_r), rEt, rEb, L_r)
         g_cols = ((cb0, cb1, lead_c), cEt, cEb, L_c)
         return g_rows, g_cols
+
+    # -- per-shard fused megar2d iteration (inside shard_map) ----------------
+    def _local_step_megar2d(self, x, z0, z1, atb_ext):
+        """One full rank-r PDS iteration fused per shard on the 2-D mesh:
+        lane halos ride ``ppermute`` along sp1, row halos (of the
+        lane-extended blocks, corners included) along sp0, and the
+        forward+adjoint sweeps + stencil run in one kernel pass
+        (kernels/tvr.py tv_pds_megar_shard2d_step)."""
+        from pycsou_tpu.kernels.tvr import (
+            tv_pds_megar_shard_step,
+            tv_pds_megar_shard2d_step,
+        )
+
+        ar, ac = self.ax_r, self.ax_c
+        R = self._sp_r
+        H, W = self.shape
+        n0, n1 = self.mesh.devices.shape
+        h_loc, w_loc = H // n0, W // n1
+        if n1 == 1:
+            # columns unsharded: lane halos would be all-zero machinery —
+            # take the 1-D (row-halo-only) kernel path, which io-aliases
+            # x/z0/z1 in place (the lane-ext path cannot: ext inputs and
+            # core outputs differ in shape)
+            xt, xb = self._row_halos_local(x, R)
+            z0t, z0b = self._row_halos_local(z0, R)
+            z1t, z1b = self._row_halos_local(z1, R)
+            off = jnp.stack(
+                [jax.lax.axis_index(ar) * h_loc - R, jnp.zeros((), jnp.int32)]
+            ).astype(jnp.int32)
+            xn, z0n, z1n, st = tv_pds_megar_shard_step(
+                x, z0, z1, atb_ext, (xt, xb, z0t, z0b, z1t, z1b),
+                self._megar_Bf, self._megar_Cf, self._megar_Ba, self._megar_Ca,
+                off, H_global=H, mega_r=R, interpret=self._pallas_interpret,
+                tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
+                nonneg=self.nonneg,
+            )
+            st = jax.lax.psum(jax.lax.psum(st[0, :6], ar), ac)
+            return xn, z0n, z1n, st
+        xe = self._lane_ext_local(x)
+        z0e = self._lane_ext_local(z0)
+        z1e = self._lane_ext_local(z1)
+        xt, xb = self._row_halos_local(xe, R)
+        z0t, z0b = self._row_halos_local(z0e, R)
+        z1t, z1b = self._row_halos_local(z1e, R)
+        off = jnp.stack(
+            [
+                jax.lax.axis_index(ar) * h_loc - R,
+                jax.lax.axis_index(ac) * w_loc - 128,
+            ]
+        ).astype(jnp.int32)
+        xn, z0n, z1n, st = tv_pds_megar_shard2d_step(
+            xe, z0e, z1e, atb_ext, (xt, xb, z0t, z0b, z1t, z1b),
+            self._megar_Bf, self._megar_Cf, self._megar_Ba, self._megar_Ca,
+            off, H_global=H, W_global=W, mega_r=R,
+            interpret=self._pallas_interpret,
+            tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
+            nonneg=self.nonneg,
+        )
+        st = jax.lax.psum(jax.lax.psum(st[0, :6], ar), ac)
+        return xn, z0n, z1n, st
 
     # -- one PDS iteration on LOCAL blocks (inside a 2-D shard_map) ---------
     def _local_step(self, x, z, atb_loc):
@@ -980,10 +1161,29 @@ class Spatial2DTVDeconv2D(IterativeSolver):
     def initial_state(self):
         H, W = self.shape
         x0 = jax.device_put(jnp.zeros((H, W), jnp.float32), NamedSharding(self.mesh, self._spec_x()))
+        if self._sp_engine:
+            zs = NamedSharding(self.mesh, self._spec_x())
+            return {
+                "x": x0,
+                "z0": jax.device_put(jnp.zeros((H, W), jnp.float32), zs),
+                "z1": jax.device_put(jnp.zeros((H, W), jnp.float32), zs),
+                "_stats": jnp.zeros((6,), jnp.float32),
+            }
         z0 = jax.device_put(jnp.zeros((2, H, W), jnp.float32), NamedSharding(self.mesh, self._spec_z()))
         return {"x": x0, "z": z0}
 
     def step(self, state):
+        P = PartitionSpec
+        if self._sp_engine:
+            smapped = jax.shard_map(
+                self._local_step_megar2d,
+                mesh=self.mesh,
+                in_specs=(self._spec_x(),) * 4,
+                out_specs=(self._spec_x(),) * 3 + (P(),),
+                check_vma=False,
+            )
+            x, z0, z1, st = smapped(state["x"], state["z0"], state["z1"], self._atb_ext)
+            return {"x": x, "z0": z0, "z1": z1, "_stats": st}
         smapped = jax.shard_map(
             self._local_step,
             mesh=self.mesh,
@@ -993,8 +1193,37 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         x, z = smapped(state["x"], state["z"], self.atb)
         return {"x": x, "z": z}
 
+    # -- kernel-epilogue metrics (megar2d; zero extra HBM passes) ------------
+    def metric(self, old, new):
+        if self._sp_engine and "_stats" in new:
+            from pycsou_tpu.opt.tv import TVDeconvolution
+
+            st = new["_stats"]
+            return TVDeconvolution._rel_from_stats(st[0], st[1])
+        return super().metric(old, new)
+
+    def metrics(self, old, new):
+        if self._sp_engine and "_stats" in new:
+            from pycsou_tpu.opt.tv import TVDeconvolution
+
+            st = new["_stats"]
+            return {
+                "x": TVDeconvolution._rel_from_stats(st[0], st[1]),
+                "z0": TVDeconvolution._rel_from_stats(st[2], st[3]),
+                "z1": TVDeconvolution._rel_from_stats(st[4], st[5]),
+            }
+        return super().metrics(old, new)
+
     def run(self, n_iters: int, x=None, z=None):
         """Fixed-iteration API (benchmarks); returns (x, z) still sharded."""
+        if self._sp_engine:
+            state = dict(self.initial_state())
+            if x is not None:
+                state["x"] = x
+            if z is not None:
+                state["z0"], state["z1"] = z[0], z[1]
+            state = self.run_fixed(n_iters, state=self._wrap_state(state))
+            return state["x"], jnp.stack([state["z0"], state["z1"]], axis=0)
         state = None
         if x is not None or z is not None:
             init = self.initial_state()
@@ -1004,16 +1233,37 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         state = self.run_fixed(n_iters, state=state)
         return state["x"], state["z"]
 
+    def _gram_local(self, b):
+        """Per-shard ``A^H A`` block: the rank-1 banded Gram when available,
+        else the per-rank forward-then-adjoint composition (exact for any
+        rank — the sweeps are exact 'same' convolutions)."""
+        from pycsou_tpu.parallel.spatial import (
+            sharded_sepconv2d_2d,
+            sharded_sepconv2d_adjoint_2d,
+            sharded_sepgram_rank1_2d,
+        )
+
+        if self._band_rows is not None:
+            g_rows, g_cols = self._gplans()
+            return sharded_sepgram_rank1_2d(b, g_rows, g_cols, self.ax_r, self.ax_c)
+        t = None
+        for ((rp, cp), _) in self._rank_plans:
+            ti = sharded_sepconv2d_2d(b, rp, cp, self.ax_r, self.ax_c)
+            t = ti if t is None else t + ti
+        g = None
+        for (_, (rp, cp)) in self._rank_plans:
+            gi = sharded_sepconv2d_adjoint_2d(t, rp, cp, self.ax_r, self.ax_c)
+            g = gi if g is None else g + gi
+        return g
+
     def objective(self, x) -> jax.Array:
         """Global objective via the Gram identity
         ``||Ax-y||^2 = <x, A^H A x> - 2 <x, A^H y> + ||y||^2`` (pure/jittable;
         GSPMD reduces over the mesh)."""
         from pycsou_tpu.ops.diff import fdiff_forward
-        from pycsou_tpu.parallel.spatial import sharded_sepgram_rank1_2d
 
-        g_rows, g_cols = self._gplans()
         smapped = jax.shard_map(
-            lambda b: sharded_sepgram_rank1_2d(b, g_rows, g_cols, self.ax_r, self.ax_c),
+            self._gram_local,
             mesh=self.mesh,
             in_specs=(self._spec_x(),),
             out_specs=self._spec_x(),

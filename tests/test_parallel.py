@@ -412,7 +412,7 @@ def test_spatial2d_rejects_full_rank(rng):
 
     mesh2 = make_mesh((2, 4), ("sp0", "sp1"))
     h = jnp.asarray(rng.standard_normal((5, 5)), dtype=jnp.float32)
-    with pytest.raises(ValueError, match="rank-1"):
+    with pytest.raises(ValueError, match="rank <= 4"):
         Spatial2DTVDeconv2D((32, 64), h, jnp.zeros((32, 64)), 0.05, mesh=mesh2)
 
 

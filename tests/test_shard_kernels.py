@@ -184,3 +184,90 @@ def test_megarsp_matches_single_device_oracle(rng):
     x2, _ = s.run(6)
     st = oracle.run_fixed(6)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(st["x"]), rtol=3e-5, atol=3e-6)
+
+
+def _mesh2d(shape):
+    n = shape[0] * shape[1]
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(shape), ("sp0", "sp1"))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 2), (2, 1), (2, 4)])
+def test_megar2d_matches_xla_2d_path(rng, mesh_shape):
+    """Fused per-shard megar2d engine on the TRUE 2-D spatial mesh ==
+    the pure-XLA banded 2-D chain (VERDICT r3 task 2), iterates and duals,
+    across mesh shapes (incl. degenerate 1-D rows/cols)."""
+    from pycsou_tpu.parallel.solvers import Spatial2DTVDeconv2D
+
+    H, W = 128, 512
+    filt = np.outer(_gauss(7), _gauss(7)).astype(np.float32)
+    y = _problem(rng, H, W, filt)
+    mesh = _mesh2d(mesh_shape)
+    ref = Spatial2DTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas=False)
+    assert ref._sp_engine == ""
+    s = Spatial2DTVDeconv2D((H, W), filt, y, 0.05, mesh=mesh, use_pallas="interpret")
+    assert s._sp_engine == "megar2d"
+    x1, z1 = ref.run(6)
+    x2, z2 = s.run(6)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=3e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=3e-5, atol=1e-5)
+
+
+def test_megar2d_rank2_matches_single_device_oracle(rng):
+    """Rank-2 PSF on the 2-D mesh (lifted restriction, VERDICT r3 task 2):
+    megar2d iterates == the single-device TVDeconvolution XLA chain."""
+    from pycsou_tpu.opt.tv import TVDeconvolution
+    from pycsou_tpu.parallel.solvers import Spatial2DTVDeconv2D
+
+    H, W = 128, 512
+    h2 = np.outer(_gauss(7), _gauss(7)) + 0.35 * np.outer(
+        _gauss(7, 0.8), _gauss(7, 3.0)
+    )
+    h2 = (h2 / h2.sum()).astype(np.float32)
+    y = _problem(rng, H, W, h2)
+    oracle = TVDeconvolution((H, W), y, 0.05, filt=h2, nonneg=True, use_pallas=False, max_iter=50)
+    st = oracle.run_fixed(6)
+    z_ref = st["z"] if "z" in st else jnp.stack([st["z0"], st["z1"]], 0)
+    s = Spatial2DTVDeconv2D(
+        (H, W), h2, y, 0.05, mesh=_mesh2d((2, 2)), use_pallas="interpret",
+        tau=oracle.tau, rho=oracle.rho,
+    )
+    assert s._sp_engine == "megar2d" and s.rank == 2
+    x2, z2 = s.run(6)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(st["x"]), rtol=3e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z_ref), rtol=3e-5, atol=1e-5)
+
+
+def test_megar2d_solve_stats_metric(rng):
+    """megar2d's kernel-epilogue stats drive solve()'s stopping metric and
+    per-variable diagnostics on the 2-D mesh (psum over BOTH axes)."""
+    from pycsou_tpu.parallel.solvers import Spatial2DTVDeconv2D
+
+    H, W = 128, 512
+    filt = np.outer(_gauss(7), _gauss(7)).astype(np.float32)
+    y = _problem(rng, H, W, filt)
+    mesh = _mesh2d((2, 2))
+    s = Spatial2DTVDeconv2D(
+        (H, W), filt, y, 0.05, mesh=mesh, use_pallas="interpret",
+        max_iter=12, min_iter=3, accuracy_threshold=0.0,
+    )
+    ref = Spatial2DTVDeconv2D(
+        (H, W), filt, y, 0.05, mesh=mesh, use_pallas=False,
+        max_iter=12, min_iter=3, accuracy_threshold=0.0,
+    )
+    info_s, info_r = s.solve(), ref.solve()
+    np.testing.assert_allclose(info_s.history, info_r.history, rtol=2e-3, atol=1e-6)
+    assert set(info_s.diagnostics) == {"x", "z0", "z1"}
+
+
+def test_megar2d_rank2_without_engine_raises(rng):
+    """A rank >= 2 PSF on the 2-D mesh without the fused engine must raise
+    (the XLA banded fallback is rank-1 only)."""
+    from pycsou_tpu.parallel.solvers import Spatial2DTVDeconv2D
+
+    h2 = np.outer(_gauss(7), _gauss(7)) + 0.35 * np.outer(
+        _gauss(7, 0.8), _gauss(7, 3.0)
+    )
+    h2 = (h2 / h2.sum()).astype(np.float32)
+    y = _problem(rng, 128, 512, h2)
+    with pytest.raises(ValueError, match="megar2d"):
+        Spatial2DTVDeconv2D((128, 512), h2, y, 0.05, mesh=_mesh2d((2, 2)), use_pallas=False)
