@@ -155,7 +155,21 @@ def make_sepconv_plan(u_taps, v_taps, offset_r: int, offset_c: int, shape):
     if r == 0 or H // r < 1:
         return None
     B = np.stack([np.asarray(_presplit(make_row_band_mat(u[:, i], offset_r, r))) for i in range(rank)])
-    C = np.stack([np.asarray(_presplit(make_lane_band_mats(v[:, i], offset_c))) for i in range(rank)])
+    # lane reach <= 64: the C_-1/C_+1 blocks' nonzero rows are DISJOINT
+    # (lanes >= 128 - reach vs < reach), so both neighbour-chunk dots
+    # collapse into ONE dot against Cc = C_-1 + C_+1 with the operand
+    # lane-selected at 64 — exact, and 1/3 of the lane MXU passes
+    # disappear.  Merged plans ship as [Cc; C_0] (256 rows); the kernels
+    # dispatch on the STATIC row count (legacy 384 = 3-dot path).
+    reach_c = max(offset_c, v.shape[0] - 1 - offset_c)
+
+    def _lane_mats(taps):
+        full = make_lane_band_mats(taps, offset_c)
+        if reach_c <= 64:
+            return np.concatenate([full[:128] + full[256:], full[128:256]], axis=0)
+        return full
+
+    C = np.stack([np.asarray(_presplit(_lane_mats(v[:, i]))) for i in range(rank)])
     return jnp.asarray(B), jnp.asarray(C), r
 
 
@@ -163,22 +177,46 @@ def lane_conv_multi(x_tile, c_ref, W: int, RANK: int):
     """Per-rank raw 'same' lane convolutions of one (R, W) tile off a single
     shared bf16 split + neighbour-chunk rolls — the lane stage of every
     fused sweep kernel (this file's matvec sweep AND the rank-r TV engine,
-    kernels/tvr.py)."""
+    kernels/tvr.py).  Merged [Cc; C_0] plans (static row count 256, reach
+    <= 64; see :func:`make_sepconv_plan`) run TWO dots per rank instead of
+    three."""
     dt = x_tile.dtype
     R = x_tile.shape[0]
     tile = 128
     nC = W // tile
+    merged = c_ref.shape[2] == 2 * tile
     xv = jnp.reshape(x_tile, (R * nC, tile))
     fidx = jax.lax.broadcasted_iota(jnp.int32, (R * nC, tile), 0)
+    xh, xl = _split_bf16(xv)
+    out = []
+    if merged:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R * nC, tile), 1)
+        m_lo = jnp.where(
+            jnp.logical_and(fidx % nC != nC - 1, lane < 64), 1.0, 0.0
+        ).astype(dt)
+        m_hi = jnp.where(
+            jnp.logical_and(fidx % nC != 0, lane >= 64), 1.0, 0.0
+        ).astype(dt)
+        xc = (
+            pltpu.roll(xh, R * nC - 1, axis=0) * m_lo + pltpu.roll(xh, 1, axis=0) * m_hi,
+            pltpu.roll(xl, R * nC - 1, axis=0) * m_lo + pltpu.roll(xl, 1, axis=0) * m_hi,
+        )
+        for k in range(RANK):
+            ch = c_ref[k, 0]
+            cl = c_ref[k, 1]
+            ok = (
+                _dot_bf16x3(xc, (ch[:tile], cl[:tile]))
+                + _dot_bf16x3((xh, xl), (ch[tile:], cl[tile:]))
+            ).astype(dt)
+            out.append(jnp.reshape(ok, (R, W)))
+        return out
     m_first = jnp.where(fidx % nC == 0, 0.0, 1.0).astype(dt)
     m_last = jnp.where(fidx % nC == nC - 1, 0.0, 1.0).astype(dt)
-    xh, xl = _split_bf16(xv)
     xm = (pltpu.roll(xh, 1, axis=0) * m_first, pltpu.roll(xl, 1, axis=0) * m_first)
     xp = (
         pltpu.roll(xh, R * nC - 1, axis=0) * m_last,
         pltpu.roll(xl, R * nC - 1, axis=0) * m_last,
     )
-    out = []
     for k in range(RANK):
         ch = c_ref[k, 0]
         cl = c_ref[k, 1]

@@ -737,37 +737,51 @@ def _lane_gram_tile(x_tile, c_mat, f_mat, W: int):
     nC = W // tile
     xv = jnp.reshape(x_tile, (R * nC, tile))
     fidx = jax.lax.broadcasted_iota(jnp.int32, (R * nC, tile), 0)
-    m_first = jnp.where(fidx % nC == 0, 0.0, 1.0).astype(dt)
-    m_last = jnp.where(fidx % nC == nC - 1, 0.0, 1.0).astype(dt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R * nC, tile), 1)
+    # the two off-diagonal blocks' nonzero ROWS are disjoint (C_+1 uses input
+    # lanes < reach, C_-1 lanes >= 128 - reach; the plan gates 2*reach <= 128)
+    # so both neighbour-chunk dots collapse into ONE dot against
+    # Cc = C_-1 + C_+1 with the operand lane-selected at 64: EXACT, and 1/3
+    # of the lane-gram MXU passes disappear (measured 0.846 -> ~0.78 ms/iter
+    # at 4096^2; removing the off-diag dots entirely bounds this at 0.699)
+    m_lo = jnp.where(
+        jnp.logical_and(fidx % nC != nC - 1, lane < 64), 1.0, 0.0
+    ).astype(dt)  # xp (next chunk) feeds Cc's C_+1 rows
+    m_hi = jnp.where(
+        jnp.logical_and(fidx % nC != 0, lane >= 64), 1.0, 0.0
+    ).astype(dt)  # xm (previous chunk) feeds Cc's C_-1 rows
     HIP = jax.lax.Precision.HIGHEST
+    cc = c_mat[:tile] + c_mat[2 * tile :]
     if LANE_GRAM_PRECISION == "bf16x3":
         xh, xl = _split_bf16(xv)
         # chunk c+-1 = flat row shift, masked at chunk-group (row) edges;
-        # 0/1 masks and rolls are exact on the bf16 halves
-        xm = (pltpu.roll(xh, 1, axis=0) * m_first, pltpu.roll(xl, 1, axis=0) * m_first)
-        xp = (
-            pltpu.roll(xh, R * nC - 1, axis=0) * m_last,
-            pltpu.roll(xl, R * nC - 1, axis=0) * m_last,
+        # 0/1 masks, selects and rolls are exact on the bf16 halves
+        xc = (
+            pltpu.roll(xh, R * nC - 1, axis=0) * m_lo + pltpu.roll(xh, 1, axis=0) * m_hi,
+            pltpu.roll(xl, R * nC - 1, axis=0) * m_lo + pltpu.roll(xl, 1, axis=0) * m_hi,
         )
-        c1 = _split_bf16(c_mat[:tile])
-        c2 = _split_bf16(c_mat[tile : 2 * tile])
-        c3 = _split_bf16(c_mat[2 * tile :])
         out = (
-            _dot_bf16x3(xm, c1) + _dot_bf16x3((xh, xl), c2) + _dot_bf16x3(xp, c3)
+            _dot_bf16x3(xc, _split_bf16(cc)) + _dot_bf16x3((xh, xl), _split_bf16(c_mat[tile : 2 * tile]))
         ).astype(dt)
     else:
-        xm = pltpu.roll(xv, 1, axis=0) * m_first
-        xp = pltpu.roll(xv, R * nC - 1, axis=0) * m_last
+        xc = pltpu.roll(xv, R * nC - 1, axis=0) * m_lo + pltpu.roll(xv, 1, axis=0) * m_hi
         out = (
-            jnp.dot(xm, c_mat[:tile], precision=HIP, preferred_element_type=jnp.float32)
+            jnp.dot(xc, cc, precision=HIP, preferred_element_type=jnp.float32)
             + jnp.dot(xv, c_mat[tile : 2 * tile], precision=HIP, preferred_element_type=jnp.float32)
-            + jnp.dot(xp, c_mat[2 * tile :], precision=HIP, preferred_element_type=jnp.float32)
         ).astype(dt)
     acc = jnp.reshape(out, (R, W))
-    xcat = jnp.concatenate([x_tile[:, :128], x_tile[:, W - 128 :]], axis=1)
-    fix = jnp.dot(xcat, f_mat, precision=HIP, preferred_element_type=jnp.float32).astype(dt)
+    # F is BLOCK-DIAGONAL (the W >= 384 support assert in
+    # make_mega2_lane_plan: edge corrections are local, so the cross blocks
+    # vanish) — two (R, 128) @ (128, 128) dots, half the fix FLOPs of the
+    # stacked (R, 256) @ (256, 256) form and no operand concat
+    fix1 = jnp.dot(
+        x_tile[:, :128], f_mat[:128, :128], precision=HIP, preferred_element_type=jnp.float32
+    ).astype(dt)
+    fix2 = jnp.dot(
+        x_tile[:, W - 128 :], f_mat[128:, 128:], precision=HIP, preferred_element_type=jnp.float32
+    ).astype(dt)
     zmid = jnp.zeros((R, W - 256), dt)
-    return acc + jnp.concatenate([fix[:, :128], zmid, fix[:, 128:]], axis=1)
+    return acc + jnp.concatenate([fix1, zmid, fix2], axis=1)
 
 
 
