@@ -86,9 +86,13 @@ def main_large():
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     for op in (K, Kmf):  # warm up compiles
         op(x).block_until_ready()
+    # CHAIN the matvecs (K is square) so every dispatch sees a new input —
+    # repeated identical dispatches are memoized on some TPU runtimes and
+    # would fake the timing (CLAUDE.md microbenchmark caveat)
+    r_sp = x
     t0 = time.perf_counter()
     for _ in range(5):
-        r_sp = K(x)
+        r_sp = K(r_sp)
     r_sp.block_until_ready()
     t_sp = (time.perf_counter() - t0) / 5
     t0 = time.perf_counter()

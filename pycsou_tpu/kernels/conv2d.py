@@ -297,7 +297,7 @@ def sepconv2d_sweep(x, B, C, *, r: int, interpret: bool = False):
     )(x, B, C)
 
 
-def _sepgram_kernel(x_ref, *refs, R, nT, H, W, RANK, with_atb):
+def _sepgram_kernel(x_ref, *refs, R, nT, W, RANK, with_atb):
     """Fused ``g = A^H A x`` (optionally ``g = s (A^H A x - atb)`` with the
     scale folded into the adjoint row band): the forward sweep, the adjoint
     sweep and the subtraction pipelined through one grid walk — the
@@ -404,7 +404,7 @@ def sepgram2d_sweep(x, B, C, Ba, Ca, *, r: int, atb=None, interpret: bool = Fals
     out_spec = pl.BlockSpec((r, W), lambda i: (jnp.clip(i - 2, 0, nT - 1), 0))
     with_atb = atb is not None
     kern = functools.partial(
-        _sepgram_kernel, R=r, nT=nT, H=H, W=W, RANK=rank, with_atb=with_atb
+        _sepgram_kernel, R=r, nT=nT, W=W, RANK=rank, with_atb=with_atb
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     try:

@@ -637,12 +637,14 @@ def tv_pds_mega_step(x, z, w, atb, corr, B, *, tau: float, sigma: float, rho: fl
 def make_mega2_lane_plan(col_taps, W: int):
     """(C, F) matrices for the in-kernel MXU lane Gram.
 
-    ``C`` is the (384, 128) stack [C_-1; C_0; C_+1] of the band's
+    ``C`` is the (256, 128) MERGED stack [Cc; C_0] of the band's
     block-tridiagonal 128-chunk form — viewing the lane axis as
     (W/128, 128) chunks, the zero-boundary banded Toeplitz pass is
-    ``out_chunk[c] = sum_d x_chunk[c+d] @ C_d`` (three (R*W/128, 128) @
-    (128, 128) MXU matmuls on the flat lane-split view; VPU roll pairs
-    measured 3x slower, docs/BENCH.md).  ``F`` is the (256, 256)
+    ``out_chunk[c] = sum_d x_chunk[c+d] @ C_d`` with the two off-diagonal
+    dots collapsed into one against ``Cc = C_-1 + C_+1`` (their nonzero
+    rows are disjoint for reach <= 64; the operand is lane-selected at 64
+    — two (R*W/128, 128) @ (128, 128) MXU matmuls per tile instead of
+    three; VPU roll pairs measured 3x slower, docs/BENCH.md).  ``F`` is the (256, 256)
     corner-fix: ``exact(x) = band(x) + scatter([x[:, :128] | x[:, -128:]]
     @ F)`` — the 'same'-crop deviations from Toeplitz, confined to the
     first/last K-1 lanes, landing on lanes [0, 128) and [W-128, W).
@@ -662,13 +664,18 @@ def make_mega2_lane_plan(col_taps, W: int):
     tile = 128
     i = np.arange(tile)[:, None]
     ll = np.arange(tile)[None, :]
-    C = np.zeros((3 * tile, tile), np.float32)
+    C3 = np.zeros((3 * tile, tile), np.float32)
     for d in (-1, 0, 1):
         m = tile * d + i - ll  # out[p] = sum_m a_m x[p+m]
         valid = np.abs(m) <= K1
-        C[(d + 1) * tile : (d + 2) * tile] = np.where(
+        C3[(d + 1) * tile : (d + 2) * tile] = np.where(
             valid, taps[np.clip(K1 + m, 0, 2 * K1)], 0.0
         )
+    # ship the MERGED [Cc; C_0] stack (reach <= 64 is guaranteed by the
+    # 2*K1 <= 128 gate above): C_-1/C_+1 have disjoint nonzero rows, so the
+    # kernel runs TWO dots per tile instead of three — merged host-side
+    # once, like make_sepconv_plan, not per grid step in the kernel
+    C = np.concatenate([C3[:tile] + C3[2 * tile :], C3[tile : 2 * tile]], axis=0)
     # exact 'same'-conv Gram vs the clipped banded Toeplitz on a witness
     # width: the difference is edge-local, hence identical for every W >= 384
     Wt = 384
@@ -751,7 +758,11 @@ def _lane_gram_tile(x_tile, c_mat, f_mat, W: int):
         jnp.logical_and(fidx % nC != 0, lane >= 64), 1.0, 0.0
     ).astype(dt)  # xm (previous chunk) feeds Cc's C_-1 rows
     HIP = jax.lax.Precision.HIGHEST
-    cc = c_mat[:tile] + c_mat[2 * tile :]
+    if c_mat.shape[0] == 2 * tile:
+        # merged [Cc; C_0] plan (make_mega2_lane_plan)
+        cc, c0 = c_mat[:tile], c_mat[tile:]
+    else:  # legacy 3-block [C_-1; C_0; C_+1] stack
+        cc, c0 = c_mat[:tile] + c_mat[2 * tile :], c_mat[tile : 2 * tile]
     if LANE_GRAM_PRECISION == "bf16x3":
         xh, xl = _split_bf16(xv)
         # chunk c+-1 = flat row shift, masked at chunk-group (row) edges;
@@ -761,13 +772,13 @@ def _lane_gram_tile(x_tile, c_mat, f_mat, W: int):
             pltpu.roll(xl, R * nC - 1, axis=0) * m_lo + pltpu.roll(xl, 1, axis=0) * m_hi,
         )
         out = (
-            _dot_bf16x3(xc, _split_bf16(cc)) + _dot_bf16x3((xh, xl), _split_bf16(c_mat[tile : 2 * tile]))
+            _dot_bf16x3(xc, _split_bf16(cc)) + _dot_bf16x3((xh, xl), _split_bf16(c0))
         ).astype(dt)
     else:
         xc = pltpu.roll(xv, R * nC - 1, axis=0) * m_lo + pltpu.roll(xv, 1, axis=0) * m_hi
         out = (
             jnp.dot(xc, cc, precision=HIP, preferred_element_type=jnp.float32)
-            + jnp.dot(xv, c_mat[tile : 2 * tile], precision=HIP, preferred_element_type=jnp.float32)
+            + jnp.dot(xv, c0, precision=HIP, preferred_element_type=jnp.float32)
         ).astype(dt)
     acc = jnp.reshape(out, (R, W))
     # F is BLOCK-DIAGONAL (the W >= 384 support assert in
@@ -1051,7 +1062,7 @@ def _mega2_call(x, atb, z0, z1, corr, B, C, F, off, *, R, H_global, core_lo, cor
         out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
     corr_spec = pl.BlockSpec((2 * MEGA_HG, W), lambda i: (0, 0))
     b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
-    c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
+    c_spec = pl.BlockSpec(tuple(C.shape), lambda i: (0, 0))
     f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
     stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
     kern = functools.partial(
@@ -1108,7 +1119,7 @@ def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float
     costs ~0.4 ms/iter of hidden copies at 4096^2 (measured; XLA cannot
     alias slices across a pallas_call boundary).
 
-    ``C`` is the (384, 128) block-tridiagonal lane-band stack and ``F`` the
+    ``C`` is the (256, 128) merged [Cc; C_0] lane-band stack and ``F`` the
     (256, 256) corner-fix matrix, both from :func:`make_mega2_lane_plan`;
     ``corr`` the (2*MEGA_HG, W) x2-scaled row-Gram edge correction (computed
     from the first/last rows of x by the caller); ``B`` from
@@ -1370,7 +1381,7 @@ def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma:
     nT = H // R
     in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
     b_spec = pl.BlockSpec(tuple(B.shape), lambda i: (0, 0))
-    c_spec = pl.BlockSpec((384, 128), lambda i: (0, 0))
+    c_spec = pl.BlockSpec(tuple(C.shape), lambda i: (0, 0))
     f_spec = pl.BlockSpec((256, 256), lambda i: (0, 0))
     e_spec = pl.BlockSpec((MEGA_HG, 32), lambda i: (0, 0))
     out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 2, 0), 0))

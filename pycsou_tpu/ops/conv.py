@@ -283,6 +283,10 @@ class Convolve2D(LinearOperator):
             # certify ||A - A_trunc||_2 <= ||h - h_trunc||_1 (see
             # svd_trunc_bound).  The operator then IS the truncated kernel —
             # Lipschitz, Gram and adjoint all consistent with it.
+            if jnp.issubdtype(filt.dtype, jnp.complexfloating):
+                # np.asarray(complex, float64) would silently keep only the
+                # real part — a wrong operator, not an approximation
+                raise ValueError("svd_tol truncation supports real filters only")
             f64 = np.asarray(filt, np.float64)
             U, S, Vt = np.linalg.svd(f64)
             keep = max(1, int(np.sum(S > float(svd_tol) * S[0])))

@@ -16,7 +16,6 @@ fused Gram — the CPU / ineligible-shape path).
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

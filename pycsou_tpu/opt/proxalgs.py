@@ -222,7 +222,11 @@ class PrimalDualSplitting(IterativeSolver):
 
                 note = explain_tv_mismatch(dim_shape, self.F, self.G, self.H, self.K)
                 if note:
-                    _flog.info(note)
+                    # WARNING level: the whole point of the note is that a
+                    # user one default away from the fused engine LEARNS it
+                    # (a 4.9x cliff); info-level records are dropped by the
+                    # default unconfigured-logging setup
+                    _flog.warning(note)
 
     # -- auto-tuning (reference proxalgs.py:246-316) -----------------------
     def set_step_sizes(self):
@@ -478,7 +482,11 @@ class AcceleratedProximalGradientDescent(IterativeSolver):
 
                 note = explain_lasso_mismatch(dim_shape, self.F, self.G)
                 if note:
-                    _flog.info(note)
+                    # WARNING level: the whole point of the note is that a
+                    # user one default away from the fused engine LEARNS it
+                    # (a 4.9x cliff); info-level records are dropped by the
+                    # default unconfigured-logging setup
+                    _flog.warning(note)
 
     def initial_state(self):
         # "n" is the solver-owned iteration counter for the CD rule — the

@@ -988,9 +988,15 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         for i in range(rank):
             ui = np.asarray(us[:, i], np.float64)
             vi = np.asarray(vs[:, i], np.float64)
+            # forward plans feed only the rank >= 2 Gram composition
+            # (_gram_local); rank-1 rides the banded _band_rows path
             fwd = (
-                (make_band_blocks(ui, m0 // 2), m0 - 1),
-                (make_band_blocks(vi, m1 // 2), m1 - 1),
+                (
+                    (make_band_blocks(ui, m0 // 2), m0 - 1),
+                    (make_band_blocks(vi, m1 // 2), m1 - 1),
+                )
+                if rank > 1
+                else None
             )
             adj = (
                 (make_band_blocks(ui[::-1], m0 - 1 - m0 // 2), m0 - 1),
