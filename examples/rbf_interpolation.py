@@ -95,10 +95,15 @@ def main_large():
         r_sp = K(r_sp)
     r_sp.block_until_ready()
     t_sp = (time.perf_counter() - t0) / 5
+    # the matrix-free leg is chained the same way (every dispatch sees a new
+    # input) — a single repeated-input dispatch can be memoized by the relay
+    # and block_until_ready has been seen not to fence it (ADVICE r4)
+    r_mf = x
     t0 = time.perf_counter()
-    r_mf = Kmf(x)
+    for _ in range(2):
+        r_mf = Kmf(r_mf)
     r_mf.block_until_ready()
-    t_mf = time.perf_counter() - t0
+    t_mf = (time.perf_counter() - t0) / 2
     print(f"matvec: sparse {t_sp*1e3:.1f} ms vs matrix-free {t_mf*1e3:.1f} ms -> {t_mf/t_sp:.0f}x")
 
 

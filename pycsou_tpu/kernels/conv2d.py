@@ -130,9 +130,12 @@ def make_sepconv_plan(u_taps, v_taps, offset_r: int, offset_c: int, shape):
     (or None when the shape/reach/rank doesn't qualify).  ``u_taps``/
     ``v_taps``: (K,) rank-1 taps or (K, rank) stacked factors, rank <= 4.
     ``offset_*``: the 'same' crop offsets (``K//2`` forward; ``K-1-K//2``
-    for the adjoint/correlation).  B is (rank, 2, R+8, R+2HG) and C is
-    (rank, 2, 384, 128) — per-rank row/lane matrices with their bf16 hi/lo
-    splits on the second axis."""
+    for the adjoint/correlation).  B is (rank, 2, R+8, R+2HG); C is
+    (rank, 2, 256, 128) in the merged-corner form (column reach <= 64, the
+    common case: the off-diagonal blocks C_-1/C_+1 have disjoint nonzero
+    rows and collapse into one [Cc; C0] plan) or the (rank, 2, 384, 128)
+    three-block legacy form otherwise — per-rank row/lane matrices with
+    their bf16 hi/lo splits on the second axis."""
     H, W = shape
     u = np.asarray(u_taps, np.float64)
     v = np.asarray(v_taps, np.float64)

@@ -58,7 +58,22 @@ def _row_mask_last_zero(n_rows_global: int, row0, tile_rows: int, width: int, dt
     return jnp.where(rows == n_rows_global - 1, 0.0, 1.0).astype(dtype)
 
 
-def _tv_kernel(x_ref, g_ref, z0_ref, z1_ref, xo_ref, z0o_ref, z1o_ref, *, R, H, W, tau, sigma, rho, lam, nonneg):
+def _dual_prox(v0, v1, lam, iso: bool):
+    """Per-pixel projection onto the dual ball of the TV seminorm: the
+    radius-``lam`` L2 ball JOINTLY over (v0, v1) for ISOTROPIC TV (L21 over
+    the gradient axis — the flagship configuration), or the ``[-lam, lam]``
+    box independently per component for ANISOTROPIC TV (``lam * L1Norm o
+    Gradient`` — the reference's own PDS doc example,
+    /root/reference/pycsou/opt/proxalgs.py:91-119).  ``iso`` is static, so
+    each variant compiles to its own kernel with zero overhead."""
+    if iso:
+        mag = jnp.sqrt(v0 * v0 + v1 * v1)
+        scale = lam / jnp.maximum(mag, lam)
+        return v0 * scale, v1 * scale
+    return jnp.clip(v0, -lam, lam), jnp.clip(v1, -lam, lam)
+
+
+def _tv_kernel(x_ref, g_ref, z0_ref, z1_ref, xo_ref, z0o_ref, z1o_ref, *, R, H, W, tau, sigma, rho, lam, nonneg, iso=True):
     i = pl.program_id(0)
     row0 = i * R  # global row of the first core row
 
@@ -112,10 +127,7 @@ def _tv_kernel(x_ref, g_ref, z0_ref, z1_ref, xo_ref, z0o_ref, z1o_ref, *, R, H, 
 
     v0 = z0w[:R] + sigma * du_r
     v1 = z1w[:R] + sigma * du_c
-    mag = jnp.sqrt(v0 * v0 + v1 * v1)
-    scale = lam / jnp.maximum(mag, lam)
-    z0_t = v0 * scale
-    z1_t = v1 * scale
+    z0_t, z1_t = _dual_prox(v0, v1, lam, iso)
 
     xo_ref[...] = rho * x_t[:R] + (1.0 - rho) * xw[:R]
     z0o_ref[...] = rho * z0_t + (1.0 - rho) * z0w[:R]
@@ -141,9 +153,9 @@ def element_available(H: int, W: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "iso")
 )
-def tv_pds_stencil_step(x, z, g, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False):
+def tv_pds_stencil_step(x, z, g, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, iso: bool = True):
     """Fused stencil/prox part of one TV PDS iteration (Pallas TPU kernel).
 
     x: (H, W); z: (2, H, W); g = grad of the data term at x.
@@ -169,7 +181,7 @@ def tv_pds_stencil_step(x, z, g, *, tau: float, sigma: float, rho: float, lam: f
     out_spec = pl.BlockSpec((R, W), lambda i: (i, 0))
 
     kern = functools.partial(
-        _tv_kernel, R=R, H=H, W=W, tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg)
+        _tv_kernel, R=R, H=H, W=W, tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg), iso=bool(iso)
     )
     x_new, z0_new, z1_new = pl.pallas_call(
         kern,
@@ -211,7 +223,7 @@ def _pick_sweep_rows(H: int, W: int) -> int:
 
 
 def _tv_sweep_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
-                     core_lo, core_hi, shard):
+                     core_lo, core_hi, shard, iso=True):
     """Single-chip AND shard-aware fused stencil sweep.  ``off_ref`` (SMEM,
     (1,) i32) = GLOBAL row of local row 0 (0 single-chip); ``H`` the GLOBAL
     height; ``core_lo``/``core_hi`` the inclusive output-tile range that is
@@ -259,7 +271,8 @@ def _tv_sweep_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
         z0up = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)  # rows - 1
         z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
         x_n, z0_n, z1_n = _pds_stencil(
-            xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg
+            xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg,
+            iso=iso,
         )
         in_core = jnp.logical_and(j >= core_lo, j <= core_hi)
 
@@ -295,7 +308,8 @@ def _tv_sweep_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
 
 
 def _sweep_call(x, g, z0, z1, off, *, R, H_global, core_lo, core_hi,
-                tau, sigma, rho, lam, nonneg, interpret, vma=None, halos=None):
+                tau, sigma, rho, lam, nonneg, interpret, vma=None, halos=None,
+                iso=True):
     """Shared pallas_call for the single-chip and shard-aware sweep paths.
     Shard mode (``halos = (xt, xb, gt, gb, z0t, z0b, z1t, z1b)``): inputs
     are core blocks, halo stitching happens in-VMEM, outputs core-shaped."""
@@ -317,7 +331,7 @@ def _sweep_call(x, g, z0, z1, off, *, R, H_global, core_lo, core_hi,
     kern = functools.partial(
         _tv_sweep_kernel, R=R, nT=nT, H=int(H_global), W=W,
         tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
-        core_lo=int(core_lo), core_hi=int(core_hi), shard=shard,
+        core_lo=int(core_lo), core_hi=int(core_hi), shard=shard, iso=bool(iso),
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     try:
@@ -353,9 +367,9 @@ def _sweep_call(x, g, z0, z1, off, *, R, H_global, core_lo, core_hi,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "iso")
 )
-def tv_pds_stencil_step_sweep(x, z, g, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False):
+def tv_pds_stencil_step_sweep(x, z, g, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, iso: bool = True):
     """Software-pipelined sweep version of :func:`tv_pds_stencil_step`
     (identical mathematics, ~2x faster: every array streams exactly once).
 
@@ -370,15 +384,17 @@ def tv_pds_stencil_step_sweep(x, z, g, *, tau: float, sigma: float, rho: float, 
         x, g, z[0], z[1], jnp.zeros((1,), jnp.int32),
         R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
+        iso=iso,
     )
     return xn, jnp.stack([z0n, z1n], axis=0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "iso")
 )
 def tv_pds_sweep_step_stats(x, z0, z1, g, *, tau: float, sigma: float, rho: float,
-                            lam: float, nonneg: bool = True, interpret: bool = False):
+                            lam: float, nonneg: bool = True, interpret: bool = False,
+                            iso: bool = True):
     """Split-dual sweep step that RETURNS the kernel-epilogue metric partial
     sums the kernel computes anyway (``_stats_update``) — the sweep-engine
     analogue of the mega2/3/megar convention: ``metric_every=1`` costs no
@@ -392,12 +408,124 @@ def tv_pds_sweep_step_stats(x, z0, z1, g, *, tau: float, sigma: float, rho: floa
         x, g, z0, z1, jnp.zeros((1,), jnp.int32),
         R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
+        iso=iso,
     )
+
+
+def _tv_sweepm_kernel(off_ref, x_ref, m_ref, a_ref, z0_ref, z1_ref,
+                      xo, z0o, z1o, so, s_x, s_m, s_a, s_z0, s_z1,
+                      *, R, nT, H, W, tau, sigma, rho, lam, nonneg, iso):
+    """Masked-Gram fused sweep: ONE pass computing the data-term gradient
+    ``g = 2 (m * x - atb)`` IN-kernel from the mask/atb streams and feeding
+    it straight into the PDS stencil chain.  ``m = A^H A``'s diagonal (a
+    sampling operator's Gram is diagonal: Masking/DownSampling/SubSampling
+    — inpainting and super-resolution data terms, reference
+    sampling.py:125-196) and ``atb = A^H y``, both iteration constants.
+    Same scratch-carry pipeline as ``_tv_sweep_kernel``; 8 HBM streams
+    per iteration (vs 7 for the conv mega engines — the mask replaces the
+    in-kernel band Gram)."""
+    i = pl.program_id(0)
+
+    cur_x = x_ref[...]
+    cur_m = m_ref[...]
+    cur_a = a_ref[...]
+    cur_z0 = z0_ref[...]
+    cur_z1 = z1_ref[...]
+
+    @pl.when(i > 0)
+    def _compute():
+        j = i - 1
+        row0 = j * R
+        xw = jnp.concatenate([s_x[...], cur_x[:8]], axis=0)
+        mw = jnp.concatenate([s_m[...], cur_m[:8]], axis=0)
+        aw = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
+        gw = 2.0 * (mw * xw - aw)
+        z0w = jnp.concatenate([s_z0[8:], cur_z0[:8]], axis=0)
+        z0up = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
+        z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
+        x_n, z0_n, z1_n = _pds_stencil(
+            xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg,
+            iso=iso,
+        )
+        xo[...] = x_n
+        z0o[...] = z0_n
+        z1o[...] = z1_n
+        _stats_update(so, [(x_n, xw[:R]), (z0_n, z0w[:R]), (z1_n, z1w[:R])])
+
+    @pl.when(i == 0)
+    def _init():
+        s_z0[:8] = jnp.zeros((8, W), cur_z0.dtype)
+        so[...] = jnp.zeros((8, 128), jnp.float32)
+
+    @pl.when(i > 0)
+    def _tail():
+        s_z0[:8] = s_z0[R : R + 8]
+
+    @pl.when(i < nT)
+    def _carry():
+        s_x[...] = cur_x
+        s_m[...] = cur_m
+        s_a[...] = cur_a
+        s_z0[8:] = cur_z0
+        s_z1[...] = cur_z1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "iso")
+)
+def tv_pds_sweepm_step_stats(x, z0, z1, m, atb, *, tau: float, sigma: float,
+                             rho: float, lam: float, nonneg: bool = True,
+                             interpret: bool = False, iso: bool = True):
+    """One FULL masked-TV PDS iteration (diagonal Gram + stencil + prox +
+    momentum + metric partial sums) in one kernel pass — the fused engine
+    behind inpainting / zero-fill super-resolution TV problems
+    (``min ||M x - y||^2 + lam TV(x)``).  Returns ``(x, z0, z1, stats)``
+    with the (8, 128) epilogue stats block (``_stats_update`` convention)."""
+    H, W = x.shape
+    R = _pick_sweep_rows(H, W)
+    if R == 0:
+        raise ValueError(f"no sweep tiling for H={H}, W={W}")
+    nT = H // R
+    off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
+    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    kern = functools.partial(
+        _tv_sweepm_kernel, R=R, nT=nT, H=H, W=W,
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam),
+        nonneg=bool(nonneg), iso=bool(iso),
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    try:
+        params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # pragma: no cover - older pallas without the knob
+        params = cp(dimension_semantics=("arbitrary",))
+    return pl.pallas_call(
+        kern,
+        grid=(nT + 1,),
+        in_specs=[off_spec] + [in_spec] * 5,
+        out_specs=[out_spec] * 3 + [stats_spec],
+        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3
+        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        # in-place x/z0/z1 (see _sweep_call): output tile i-1 is written
+        # strictly after its input was scratch-carried
+        input_output_aliases={1: 0, 4: 1, 5: 2},
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R + 8, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(jnp.zeros((1,), jnp.int32), x, m, atb, z0, z1)
 
 
 def tv_pds_sweep_shard_step(x, g, z0, z1, halos, off, *, H_global: int,
                             R: int, tau: float, sigma: float, rho: float, lam: float,
-                            nonneg: bool = True, interpret: bool = False, vma=None):
+                            nonneg: bool = True, interpret: bool = False, vma=None,
+                            iso: bool = True):
     """Shard-local fused stencil sweep for a row-sharded image (called
     INSIDE ``shard_map``).  Inputs are the device's CORE (h_loc, W) blocks
     — including ``g``, the data-term gradient computed by the caller's
@@ -415,7 +543,7 @@ def tv_pds_sweep_shard_step(x, g, z0, z1, halos, off, *, H_global: int,
         x, g, z0, z1, off,
         R=R, H_global=H_global, core_lo=1, core_hi=nT - 2,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
-        vma=vma, halos=halos,
+        vma=vma, halos=halos, iso=iso,
     )
 
 
@@ -473,7 +601,7 @@ def make_mega_band(acorr, r: int = None) -> "np.ndarray":
 
 def _tv_mega_kernel(w_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref,
                     xo, z0o, z1o, s_x, s_a, s_z0, s_z1, s_w, s_wt,
-                    *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
+                    *, R, nT, H, W, tau, sigma, rho, lam, nonneg, iso=True):
     i = pl.program_id(0)
     HG = MEGA_HG
 
@@ -540,12 +668,11 @@ def _tv_mega_kernel(w_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref,
 
         v0 = z0w[:R] + sigma * du_r
         v1 = z1w[:R] + sigma * du_c
-        mag = jnp.sqrt(v0 * v0 + v1 * v1)
-        scale = lam / jnp.maximum(mag, lam)
+        z0_t, z1_t = _dual_prox(v0, v1, lam, iso)
 
         xo[...] = rho * x_t[:R] + (1.0 - rho) * xw[:R]
-        z0o[...] = rho * (v0 * scale) + (1.0 - rho) * z0w[:R]
-        z1o[...] = rho * (v1 * scale) + (1.0 - rho) * z1w[:R]
+        z0o[...] = rho * z0_t + (1.0 - rho) * z0w[:R]
+        z1o[...] = rho * z1_t + (1.0 - rho) * z1w[:R]
 
     @pl.when(i == 0)
     def _init():
@@ -567,9 +694,9 @@ def _tv_mega_kernel(w_ref, x_ref, a_ref, z0_ref, z1_ref, corr_ref, b_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret")
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "iso")
 )
-def tv_pds_mega_step(x, z, w, atb, corr, B, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False):
+def tv_pds_mega_step(x, z, w, atb, corr, B, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, iso: bool = True):
     """One full TV PDS iteration with the row-direction Gram fused into the
     sweep stencil kernel.
 
@@ -594,7 +721,7 @@ def tv_pds_mega_step(x, z, w, atb, corr, B, *, tau: float, sigma: float, rho: fl
     out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 1, 0), 0))
     kern = functools.partial(
         _tv_mega_kernel, R=R, nT=nT, H=H, W=W,
-        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg), iso=bool(iso),
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     xn, z0n, z1n = pl.pallas_call(
@@ -872,7 +999,7 @@ def _mega_row_gram(w_tail, w_body, w_head, b_mat, corr, first_f, lastj_f, R, W, 
 
 
 def _pds_stencil(xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam,
-                 nonneg, col0=None, W_global=None):
+                 nonneg, col0=None, W_global=None, iso=True):
     """Masked TV PDS stencil chain on an (R+8)-row window; returns the R-row
     (x_new, z0_new, z1_new) tiles.  Identical math to _tv_sweep_kernel.
 
@@ -917,17 +1044,16 @@ def _pds_stencil(xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam,
 
     v0 = z0w[:R] + sigma * du_r
     v1 = z1w[:R] + sigma * du_c
-    mag = jnp.sqrt(v0 * v0 + v1 * v1)
-    scale = lam / jnp.maximum(mag, lam)
+    z0_t, z1_t = _dual_prox(v0, v1, lam, iso)
 
     x_new = rho * x_t[:R] + (1.0 - rho) * xw[:R]
-    z0_new = rho * (v0 * scale) + (1.0 - rho) * z0w[:R]
-    z1_new = rho * (v1 * scale) + (1.0 - rho) * z1w[:R]
+    z0_new = rho * z0_t + (1.0 - rho) * z0w[:R]
+    z1_new = rho * z1_t + (1.0 - rho) * z1w[:R]
     return x_new, z0_new, z1_new
 
 
 def _tv_mega2_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
-                     core_lo, core_hi, shard):
+                     core_lo, core_hi, shard, iso=True):
     """Single-chip AND shard-aware mega2 step.  ``off_ref`` (SMEM, (1,) i32)
     holds the GLOBAL row index of local row 0 (0 single-chip; shard callers
     pass ``device_row0 - R``).  ``H`` is the GLOBAL height — every boundary
@@ -991,7 +1117,8 @@ def _tv_mega2_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
         z0up = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
         z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
         x_n, z0_n, z1_n = _pds_stencil(
-            xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg
+            xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam, nonneg,
+            iso=iso,
         )
         in_core = jnp.logical_and(j >= core_lo, j <= core_hi)
 
@@ -1031,7 +1158,8 @@ def _tv_mega2_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
 
 
 def _mega2_call(x, atb, z0, z1, corr, B, C, F, off, *, R, H_global, core_lo, core_hi,
-                tau, sigma, rho, lam, nonneg, interpret, vma=None, halos=None):
+                tau, sigma, rho, lam, nonneg, interpret, vma=None, halos=None,
+                iso=True):
     """Shared pallas_call for the single-chip and shard-aware mega2 paths.
 
     Single-chip (``halos=None``): ``x``&co are the full (H, W) arrays.
@@ -1068,7 +1196,7 @@ def _mega2_call(x, atb, z0, z1, corr, B, C, F, off, *, R, H_global, core_lo, cor
     kern = functools.partial(
         _tv_mega2_kernel, R=R, nT=nT, H=int(H_global), W=W,
         tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
-        core_lo=int(core_lo), core_hi=int(core_hi), shard=shard,
+        core_lo=int(core_lo), core_hi=int(core_hi), shard=shard, iso=bool(iso),
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     # the R=32 working set + stats block slightly exceeds the 16MB scoped-
@@ -1108,9 +1236,9 @@ def _mega2_call(x, atb, z0, z1, corr, B, C, F, off, *, R, H_global, core_lo, cor
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r")
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r", "iso")
 )
-def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, mega_r: int = None):
+def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, mega_r: int = None, iso: bool = True):
     """One full TV PDS iteration with BOTH Gram directions fused into the
     sweep stencil kernel — no separate ColGram pass, no w HBM array.
 
@@ -1137,13 +1265,14 @@ def tv_pds_mega2_step(x, z0, z1, atb, corr, B, C, F, *, tau: float, sigma: float
         x, atb, z0, z1, corr, B, C, F, jnp.zeros((1,), jnp.int32),
         R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
+        iso=iso,
     )
 
 
 def tv_pds_mega2_shard_step(x, z0, z1, atb_ext, halos, corr, B, C, F, off, *,
                             H_global: int, tau: float, sigma: float, rho: float,
                             lam: float, nonneg: bool = True, interpret: bool = False,
-                            mega_r: int = None, vma=None):
+                            mega_r: int = None, vma=None, iso: bool = True):
     """Shard-local mega2 step for a row-sharded image (called INSIDE
     ``shard_map``; the distributed realisation of the reference's hot loop,
     /root/reference/pycsou/opt/proxalgs.py:343-355).
@@ -1176,7 +1305,7 @@ def tv_pds_mega2_shard_step(x, z0, z1, atb_ext, halos, corr, B, C, F, off, *,
         x, atb_ext, z0, z1, corr, B, C, F, off,
         R=R, H_global=H_global, core_lo=1, core_hi=nT - 2,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
-        vma=vma, halos=halos,
+        vma=vma, halos=halos, iso=iso,
     )
 
 
@@ -1219,7 +1348,7 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
                      et_ref, eb_ref, xo, z0o, z1o, so,
                      s_x, s_a0, s_a1, s_z0, s_z1, s_w, s_wt,
                      s_x1, s_z01, s_z11, s_w1, s_w1t, s_corr, s_corr0,
-                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg):
+                     *, R, nT, H, W, tau, sigma, rho, lam, nonneg, iso=True):
     i = pl.program_id(0)
     HG = MEGA_HG
 
@@ -1277,7 +1406,8 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
     z0up1 = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
     z1w1 = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
     x1, z01, z11 = _pds_stencil(
-        xw1, gw1, z0w1, z0up1, z1w1, row1, R, H, W, tau, sigma, rho, lam, nonneg
+        xw1, gw1, z0w1, z0up1, z1w1, row1, R, H, W, tau, sigma, rho, lam, nonneg,
+        iso=iso,
     )
     w1 = _lane_gram_tile(x1, c_mat, f_mat, W)
 
@@ -1308,7 +1438,8 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
     z0up2 = jnp.concatenate([s_z01[7 : R + 8], z01[:7]], axis=0)
     z1w2 = jnp.concatenate([s_z11[...], z11[:8]], axis=0)
     x2, z02, z12 = _pds_stencil(
-        xw2, gw2, z0w2, z0up2, z1w2, row2, R, H, W, tau, sigma, rho, lam, nonneg
+        xw2, gw2, z0w2, z0up2, z1w2, row2, R, H, W, tau, sigma, rho, lam, nonneg,
+        iso=iso,
     )
     xo[...] = x2
     z0o[...] = z02
@@ -1356,9 +1487,9 @@ def _tv_mega3_kernel(x_ref, a_ref, z0_ref, z1_ref, b_ref, c_ref, f_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r")
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r", "iso")
 )
-def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, mega_r: int = 32):
+def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma: float, rho: float, lam: float, nonneg: bool = True, interpret: bool = False, mega_r: int = 32, iso: bool = True):
     """TWO full TV PDS iterations in one fused sweep (see module comment).
 
     Inputs as :func:`tv_pds_mega2_step` plus the padded corr matrices from
@@ -1388,7 +1519,7 @@ def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma:
     stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
     kern = functools.partial(
         _tv_mega3_kernel, R=R, nT=nT, H=H, W=W,
-        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg),
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam), nonneg=bool(nonneg), iso=bool(iso),
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     tile = lambda rows: pltpu.VMEM((rows, W), jnp.float32)
@@ -1422,7 +1553,7 @@ def tv_pds_mega3_step(x, z0, z1, atb, B, C, F, Et_p, Eb_p, *, tau: float, sigma:
     return xn, z0n, z1n, stats
 
 
-def tv_pds_stencil_step_xla(x, z, g, *, tau, sigma, rho, lam, nonneg=True):
+def tv_pds_stencil_step_xla(x, z, g, *, tau, sigma, rho, lam, nonneg=True, iso=True):
     """Pure-XLA twin of the fused kernel (correctness oracle / CPU path)."""
     from pycsou_tpu.ops.diff import fdiff_forward, fdiff_forward_adjoint
 
@@ -1432,8 +1563,11 @@ def tv_pds_stencil_step_xla(x, z, g, *, tau, sigma, rho, lam, nonneg=True):
         x_t = jnp.maximum(x_t, 0.0)
     u = 2.0 * x_t - x
     v = z + sigma * jnp.stack([fdiff_forward(u, 0), fdiff_forward(u, 1)], axis=0)
-    mag = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
-    z_t = v * (lam / jnp.maximum(mag, lam))
+    if iso:
+        mag = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+        z_t = v * (lam / jnp.maximum(mag, lam))
+    else:
+        z_t = jnp.clip(v, -lam, lam)
     x_new = rho * x_t + (1.0 - rho) * x
     z_new = rho * z_t + (1.0 - rho) * z
     return x_new, z_new

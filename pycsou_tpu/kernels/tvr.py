@@ -70,7 +70,7 @@ def make_megar_plan(us, vs, shape):
 
 def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
                      RANK, core_lo, core_hi, shard, W_global=None, CORE_L=0,
-                     W_core=None):
+                     W_core=None, iso=True):
     """Single-chip AND shard-aware fused rank-r step.  ``off_ref`` (SMEM,
     (2,) i32): GLOBAL (row, col) of (ext) local (0, 0) ((0, 0) single-chip;
     shard callers pass ``device_row0 - R``; 2-D-mesh callers additionally
@@ -173,7 +173,7 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
             z1w = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
             x_n, z0_n, z1_n = _pds_stencil(
                 xw, gw, z0w, z0up, z1w, row0, R, H, W, tau, sigma, rho, lam,
-                nonneg, col0=(off_c if CORE_L else None), W_global=Wg,
+                nonneg, col0=(off_c if CORE_L else None), W_global=Wg, iso=iso,
             )
             in_core = jnp.logical_and(j2 >= core_lo, j2 <= core_hi)
 
@@ -240,7 +240,7 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
 
 def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
                 core_hi, tau, sigma, rho, lam, nonneg, interpret, vma=None,
-                halos=None, W_global=None, core_l=0):
+                halos=None, W_global=None, core_l=0, iso=True):
     """Shared pallas_call for the single-chip and shard-aware megar paths
     (the kernels/tv.py _mega2_call convention: in shard mode x/z0/z1 are the
     device's CORE (h_loc, W) blocks, ``atb`` the halo-EXTENDED
@@ -284,7 +284,7 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
         nonneg=bool(nonneg), RANK=rank,
         core_lo=int(core_lo), core_hi=int(core_hi), shard=shard,
         W_global=(None if W_global is None else int(W_global)),
-        CORE_L=int(core_l), W_core=Wc,
+        CORE_L=int(core_l), W_core=Wc, iso=bool(iso),
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     try:
@@ -327,11 +327,11 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r")
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r", "iso")
 )
 def tv_pds_megar_step(x, z0, z1, atb, Bf, Cf, Ba, Ca, *, tau: float, sigma: float,
                       rho: float, lam: float, nonneg: bool = True,
-                      interpret: bool = False, mega_r: int = 32):
+                      interpret: bool = False, mega_r: int = 32, iso: bool = True):
     """One full TV PDS iteration with the ENTIRE rank-r Gram (forward +
     adjoint sweeps) fused into the stencil kernel — the rank >= 2 analogue
     of :func:`pycsou_tpu.kernels.tv.tv_pds_mega2_step` (same 7 HBM streams,
@@ -346,6 +346,7 @@ def tv_pds_megar_step(x, z0, z1, atb, Bf, Cf, Ba, Ca, *, tau: float, sigma: floa
         x, atb, z0, z1, Bf, Cf, Ba, Ca, jnp.zeros((2,), jnp.int32),
         R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
+        iso=iso,
     )
 
 

@@ -47,9 +47,14 @@ def _why_K(K, dim_shape) -> Optional[str]:
 
 
 def _why_H(H, dim_shape):
-    """(lam, None) on match, (None, reason) otherwise."""
+    """(lam, iso, None) on match, (None, None, reason) otherwise.
+
+    Both TV flavours match: ``L21Norm(axis=0)`` over the gradient field is
+    ISOTROPIC TV (the flagship), a plain ``L1Norm`` over the same field is
+    ANISOTROPIC TV — the reference's own PDS doc example
+    (/root/reference/pycsou/opt/proxalgs.py:91-119 uses L1 o Gradient)."""
     from pycsou_tpu.core.functional import DiffProxFuncPostComp, ProxFuncPostComp
-    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.func.penalty import L1Norm, L21Norm
 
     lam = 1.0
     h = H
@@ -57,20 +62,27 @@ def _why_H(H, dim_shape):
         try:
             shift = float(np.asarray(h.shift))
         except Exception:
-            return None, "H has a non-scalar shift"
+            return None, None, "H has a non-scalar shift"
         if shift != 0.0:
-            return None, "H has a nonzero shift"
+            return None, None, "H has a nonzero shift"
         if not np.isscalar(h.scale) or h.scale <= 0:
-            return None, "H has a non-scalar or non-positive scale"
+            return None, None, "H has a non-scalar or non-positive scale"
         lam = float(h.scale)
         h = h.func
-    if type(h) is not L21Norm:
-        return None, f"H wraps {type(h).__name__}, not L21Norm"
-    if not (h.mode == "axis" and h.axis == 0):
-        return None, "H's L21Norm must group over axis=0 (the gradient axis)"
+    if type(h) is L21Norm:
+        if not (h.mode == "axis" and h.axis == 0):
+            return None, None, "H's L21Norm must group over axis=0 (the gradient axis)"
+        iso = True
+    elif type(h) is L1Norm:
+        iso = False
+    else:
+        return None, None, (
+            f"H wraps {type(h).__name__}, not L21Norm (isotropic TV) or "
+            "L1Norm (anisotropic TV)"
+        )
     if tuple(h.dim_shape) != (2,) + dim_shape:
-        return None, "H domain is not the (2, H, W) gradient field"
-    return lam, None
+        return None, None, "H domain is not the (2, H, W) gradient field"
+    return lam, iso, None
 
 
 def _why_G_nonneg(G):
@@ -111,10 +123,14 @@ def _why_G_l1(G, dim_shape):
 
 
 def _why_F(F, dim_shape) -> Optional[str]:
-    if _match_conv_least_squares(dim_shape, F) is None:
+    if (
+        _match_conv_least_squares(dim_shape, F) is None
+        and _match_sampling_least_squares(dim_shape, F) is None
+    ):
         return (
             f"F is {type(F).__name__}, not SquaredL2Loss (optionally composed "
-            "with an exact Convolve2D)"
+            "with an exact Convolve2D or a sampling operator "
+            "(Masking/DownSampling/SubSampling))"
         )
     return None
 
@@ -157,27 +173,42 @@ def match_tv_deconvolution(
     # slot predicates (shared with explain_tv_mismatch): K, H, G, F
     if _why_K(K, dim_shape) is not None:
         return None
-    lam, h_reason = _why_H(H, dim_shape)
+    lam, iso, h_reason = _why_H(H, dim_shape)
     if h_reason is not None:
         return None
     nonneg, g_reason = _why_G_nonneg(G)
     if g_reason is not None:
         return None
     fy = _match_conv_least_squares(dim_shape, F)
-    if fy is None:
+    if fy is not None:
+        filt, y = fy
+        return TVDeconvolution(
+            dim_shape,
+            y,
+            lam,
+            filt=filt,
+            nonneg=nonneg,
+            tau=float(tau),
+            sigma=float(sigma),
+            rho=float(rho),
+            metric_every=metric_every,
+            isotropic=iso,
+        )
+    my = _match_sampling_least_squares(dim_shape, F)
+    if my is None:
         return None
-    filt, y = fy
-
+    mask, y_img = my
     return TVDeconvolution(
         dim_shape,
-        y,
+        y_img,
         lam,
-        filt=filt,
+        mask=mask,
         nonneg=nonneg,
         tau=float(tau),
         sigma=float(sigma),
         rho=float(rho),
         metric_every=metric_every,
+        isotropic=iso,
     )
 
 
@@ -208,6 +239,32 @@ def _match_conv_least_squares(dim_shape, F):
     if tuple(np.shape(y)) != dim_shape:
         return None
     return filt, y
+
+
+def _match_sampling_least_squares(dim_shape, F):
+    """``||A x - y||^2`` with A a sampling operator whose Gram is DIAGONAL
+    (Masking / DownSampling / SubSampling: ``A^H A = diag(A^H 1)`` — gather
+    adjoints scatter-accumulate, so the diagonal is the per-pixel sample
+    count).  Returns ``(mask, y_img)`` with ``mask = A^H(1)`` and ``y_img =
+    A^H y`` (the zero-filled back-projection), the exact inputs of
+    :class:`~pycsou_tpu.opt.tv.TVDeconvolution`'s diagonal-Gram mode —
+    inpainting / zero-fill super-resolution (reference sampling.py:125-196).
+    None when F doesn't match.  Exact node-type checks only."""
+    import jax.numpy as jnp
+
+    from pycsou_tpu.func.loss import LeastSquaresLoss
+    from pycsou_tpu.ops.sampling import DownSampling, Masking, SubSampling
+
+    if type(F) is not LeastSquaresLoss:
+        return None
+    if type(F.op) not in (Masking, DownSampling, SubSampling):
+        return None
+    if tuple(F.op.dim_shape) != tuple(dim_shape):
+        return None
+    ones = jnp.ones(F.op.codim_shape, jnp.float32)
+    mask = F.op.adjoint(ones)
+    y_img = F.op.adjoint(F.data)
+    return mask, y_img
 
 
 def match_lasso(
@@ -276,7 +333,7 @@ def explain_tv_mismatch(dim_shape, F, G, H, K) -> Optional[str]:
     reasons = []
     if (r := _why_K(K, dim_shape)) is not None:
         reasons.append(r)
-    _, r = _why_H(H, dim_shape)
+    _, _, r = _why_H(H, dim_shape)
     if r is not None:
         reasons.append(r)
     _, r = _why_G_nonneg(G)

@@ -48,6 +48,10 @@ __all__ = ["TVDeconvolution"]
 class TVDeconvolution(IterativeSolver):
     """``min_x ||A x - y||^2 + lam ||grad x||_{2,1} (+ i_{x>=0})`` with
     Condat-Vu PDS; ``A`` is a 2-D convolution (or identity for denoising).
+    ``isotropic=False`` swaps the L21 group norm for the ANISOTROPIC
+    ``lam * ||grad x||_1`` (the reference's own PDS doc example,
+    /root/reference/pycsou/opt/proxalgs.py:91-119) — same fused engines,
+    per-component box projection instead of the L2-ball dual prox.
 
     Example — denoise a piecewise-constant image::
 
@@ -66,17 +70,30 @@ class TVDeconvolution(IterativeSolver):
 
     # engines whose kernels emit the stopping-metric partial sums from
     # their epilogue (``_stats`` state entry; metric_every=1 is free)
-    _STATS_ENGINES = ("mega2", "mega3", "megar", "sweep")
+    _STATS_ENGINES = ("mega2", "mega3", "megar", "sweep", "sweepm")
 
     y: jax.Array = None
     gram: object = None
     atb: jax.Array = None
+    # diagonal-Gram mode (``mask`` given): A is a sampling operator whose
+    # Gram is diag(mask) — inpainting / zero-fill super-resolution.  The
+    # fused 'sweepm' engine streams the mask instead of running band Grams
+    mask: jax.Array = None
+    # the raw PSF (conv mode): kept so a sharded PDS can re-dispatch this
+    # problem onto the per-shard fused distributed engines (VERDICT r4
+    # task 3 — opt/proxalgs.py PrimalDualSplitting.with_shardings)
+    filt: jax.Array = None
     lam: float = static_field(default=0.1)
     tau: float = static_field(default=0.1)
     sigma: float = static_field(default=0.1)
     rho: float = static_field(default=0.9)
     beta: float = static_field(default=2.0)
     nonneg: bool = static_field(default=True)
+    # isotropic (L21 o Gradient, the flagship) vs anisotropic (L1 o Gradient
+    # — the reference's own PDS doc example, proxalgs.py:91-119) TV: the
+    # engines only differ in the per-pixel dual projection (kernels/tv.py
+    # _dual_prox), so EVERY stencil engine supports both
+    iso: bool = static_field(default=True)
     use_pallas: bool = static_field(default=False)
     # "mega3" (TWO iterations per pass, both Gram directions in-kernel,
     # fastest), "mega2" (one iteration, both Gram directions fused),
@@ -89,7 +106,10 @@ class TVDeconvolution(IterativeSolver):
     # (conservative vs single-step).
     stencil_mode: str = static_field(default="xla")
     mega_B: jax.Array = None  # (R+8, R+2*HG) fused row-Gram band matrix
-    mega_C: jax.Array = None  # (384, 128) mega2 block-tridiag lane band
+    # mega2 lane band: (256, 128) merged [Cc; C0] form when the column
+    # reach <= 64 (corner dots collapse, kernels/conv2d.py), else the
+    # (384, 128) three-block legacy form
+    mega_C: jax.Array = None
     mega_F: jax.Array = None  # (256, 256) mega2 lane corner-fix matrix
     # mega2 tile rows: 32 when feasible (halves the sequential grid's
     # per-step overhead: 2.34 -> see docs/BENCH.md), else 16
@@ -120,24 +140,49 @@ class TVDeconvolution(IterativeSolver):
         accuracy_threshold: float = 1e-6,
         verbose: Optional[int] = None,
         metric_every: int = 1,
+        isotropic: bool = True,
+        mask=None,
     ):
         super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose, metric_every=metric_every)
         shape = as_shape(shape)
         self.y = jnp.asarray(y, jnp.float32)
         self.lam = float(lam)
         self.nonneg = bool(nonneg)
+        self.iso = bool(isotropic)
         self.rho = float(rho)
 
-        if filt is None:
-            # denoising (A = I) as the identity 1x1 convolution: bitwise the
-            # same math (gram = I, atb = y, beta = 2) but the rank-1 banded
-            # machinery then qualifies the fused mega engines — 4096^2 TV
-            # denoising runs the same ~1.7 ms/iter kernel as deconvolution
-            filt = np.ones((1, 1), np.float32)
-        A = Convolve2D(shape, filt)
-        self.gram = A.gram
-        self.atb = A.adjoint(self.y)
-        self.beta = 2.0 * A.lipschitz**2
+        self.mask = None
+        if mask is not None:
+            # diagonal-Gram (sampling forward operator) mode: A^H A =
+            # diag(mask) with mask = A^H(1) — Masking/DownSampling/
+            # SubSampling data terms (inpainting, zero-fill superres;
+            # reference sampling.py:125-196).  ``y`` here is the
+            # BACK-PROJECTED data A^H y (the zero-filled observed image).
+            if filt is not None:
+                raise ValueError(
+                    "mask mode models a diagonal sampling forward operator; "
+                    "pass filt=None (blurred+masked forward operators are "
+                    "not fused yet)"
+                )
+            m = jnp.asarray(mask, jnp.float32)
+            if m.shape != tuple(shape):
+                raise ValueError(f"mask shape {m.shape} != image shape {tuple(shape)}")
+            self.mask = m
+            self.gram = None
+            self.atb = self.y
+            self.beta = 2.0 * float(jnp.max(m))
+        else:
+            if filt is None:
+                # denoising (A = I) as the identity 1x1 convolution: bitwise
+                # the same math (gram = I, atb = y, beta = 2) but the rank-1
+                # banded machinery then qualifies the fused mega engines —
+                # 4096^2 TV denoising runs the same kernel as deconvolution
+                filt = np.ones((1, 1), np.float32)
+            A = Convolve2D(shape, filt)
+            self.filt = jnp.asarray(filt, jnp.float32)
+            self.gram = A.gram
+            self.atb = A.adjoint(self.y)
+            self.beta = 2.0 * A.lipschitz**2
 
         L_K = math.sqrt(8.0)
         if tau is None:
@@ -171,7 +216,7 @@ class TVDeconvolution(IterativeSolver):
         # the shape/PSF doesn't qualify (ADVICE r2).
         from pycsou_tpu.kernels.tv import element_available, sweep_available
 
-        _STENCILS = ("auto", "mega3", "mega2", "megar", "mega", "sweep", "element", "xla")
+        _STENCILS = ("auto", "mega3", "mega2", "megar", "mega", "sweep", "sweepm", "element", "xla")
         if stencil not in _STENCILS:
             raise ValueError(f"unknown stencil {stencil!r}; expected one of {_STENCILS}")
 
@@ -190,6 +235,18 @@ class TVDeconvolution(IterativeSolver):
                 )
             self.use_pallas = False
             self.stencil_mode = "xla"
+        elif self.mask is not None:
+            # diagonal-Gram mode: the masked fused sweep is the only Pallas
+            # engine (band/mega plans don't apply to a per-pixel Gram)
+            if stencil not in ("auto", "sweepm"):
+                raise ValueError(
+                    "mask mode supports stencil 'auto', 'sweepm' or 'xla'"
+                )
+            if sweep_available(*shape):
+                self.stencil_mode = "sweepm"
+            else:
+                self.stencil_mode = "xla"
+                self.use_pallas = False
         else:
             H, W = shape
             mega_ok = self._mega_eligible(shape)
@@ -235,6 +292,7 @@ class TVDeconvolution(IterativeSolver):
                     self.use_pallas = False
             _need = {"mega3": mega3_ok, "mega2": mega2_ok, "megar": megar_ok,
                      "mega": mega_ok, "sweep": sweep_available(*shape),
+                     "sweepm": False,  # needs mask mode
                      "element": element_available(*shape)}
             if not _need.get(mode, True):
                 raise ValueError(
@@ -301,6 +359,8 @@ class TVDeconvolution(IterativeSolver):
 
     # -- iteration ---------------------------------------------------------
     def _grad(self, x):
+        if self.mask is not None:
+            return 2.0 * (self.mask * x - self.atb)
         if self.gram is None:
             return 2.0 * (x - self.y)
         return 2.0 * (self.gram.apply(x) - self.atb)
@@ -323,7 +383,7 @@ class TVDeconvolution(IterativeSolver):
 
     def step(self, state):
         x, z0, z1 = state["x"], state["z0"], state["z1"]
-        kw = dict(tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam, nonneg=self.nonneg)
+        kw = dict(tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam, nonneg=self.nonneg, iso=self.iso)
         if self.stencil_mode == "mega3":
             x, z0, z1, stats = tv_pds_mega3_step(
                 x, z0, z1, self.atb, self.mega_B, self.mega_C, self.mega_F,
@@ -343,6 +403,13 @@ class TVDeconvolution(IterativeSolver):
             x, z0, z1, stats = tv_pds_mega2_step(
                 x, z0, z1, self.atb, corr, self.mega_B, self.mega_C, self.mega_F,
                 mega_r=self.mega_r, **kw,
+            )
+            return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
+        if self.stencil_mode == "sweepm":
+            from pycsou_tpu.kernels.tv import tv_pds_sweepm_step_stats
+
+            x, z0, z1, stats = tv_pds_sweepm_step_stats(
+                x, z0, z1, self.mask, self.atb, **kw
             )
             return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
         if self.stencil_mode == "sweep":

@@ -260,6 +260,15 @@ class DistributedTVDeconv2D(IterativeSolver):
         self._megar_Bf = self._megar_Cf = self._megar_Ba = self._megar_Ca = None
         self._sp_engine, self._sp_r = "", 0
         self._pallas_interpret = use_pallas == "interpret"
+        if use_pallas is True and jax.default_backend() in ("cpu",):
+            # a compiled (non-interpret) Mosaic kernel cannot lower on the
+            # CPU backend — fail at construction with the fix named instead
+            # of at compile time with a Mosaic internal error (ADVICE r4)
+            raise ValueError(
+                "use_pallas=True forces the compiled TPU engine but the "
+                "active backend is CPU; pass use_pallas='interpret' for "
+                "CPU meshes or leave the default 'auto'"
+            )
         pallas_on = (
             use_pallas == "interpret"
             or bool(use_pallas is True)
@@ -942,6 +951,15 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         self._atb_ext = None
         self._sp_engine, self._sp_r = "", 0
         self._pallas_interpret = use_pallas == "interpret"
+        if use_pallas is True and jax.default_backend() in ("cpu",):
+            # a compiled (non-interpret) Mosaic kernel cannot lower on the
+            # CPU backend — fail at construction with the fix named instead
+            # of at compile time with a Mosaic internal error (ADVICE r4)
+            raise ValueError(
+                "use_pallas=True forces the compiled TPU engine but the "
+                "active backend is CPU; pass use_pallas='interpret' for "
+                "CPU meshes or leave the default 'auto'"
+            )
         pallas_on = (
             use_pallas == "interpret"
             or bool(use_pallas is True)

@@ -160,3 +160,25 @@ def test_nonsymmetric_eigenvals_arnoldi(rng):
     np.testing.assert_allclose(
         np.sort(np.asarray(ev).real), np.sort(want.real), rtol=1e-3, atol=1e-4
     )
+
+
+def test_dct_fft_path_matches_scipy(rng):
+    """The TPU DCT path (length-4N odd-embedding rFFT + linear_transpose
+    inverse — jax.scipy dctn is UNIMPLEMENTED on the axon TPU backend)
+    reproduces scipy's orthonormal DCT-II/III exactly."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.fft import dctn as sdctn, idctn as sidctn
+
+    from pycsou_tpu.ops.transform import _dct2_1d_fft
+
+    x = rng.standard_normal((8, 12)).astype(np.float32)
+    y = _dct2_1d_fft(_dct2_1d_fft(jnp.asarray(x), 0), 1)
+    np.testing.assert_allclose(
+        np.asarray(y), sdctn(x, type=2, norm="ortho"), atol=2e-6
+    )
+    fwd = lambda v: _dct2_1d_fft(_dct2_1d_fft(v, 0), 1)
+    (xi,) = jax.linear_transpose(fwd, jnp.zeros((8, 12)))(jnp.asarray(y))
+    np.testing.assert_allclose(
+        np.asarray(xi), sidctn(np.asarray(y), type=2, norm="ortho"), atol=2e-6
+    )

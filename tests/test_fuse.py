@@ -150,12 +150,15 @@ def test_no_fusion_on_mismatched_patterns(rng):
 
 
 def test_fused_with_shardings_drops_to_generic(rng):
-    """GSPMD sharding of a fused PDS steps the generic expression (pallas
-    does not partition); iterates equal the single-device generic chain."""
+    """GSPMD sharding of a fused PDS that the distributed engines can NOT
+    take (tau != sigma) steps the generic expression (pallas does not
+    partition); iterates equal the single-device generic chain.  (A
+    routable request now re-dispatches onto the per-shard engines instead —
+    tests/test_generic_sharded.py.)"""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     _, A, y = _problem(rng)
-    fused = _pds(A, y)
+    fused = _pds(A, y, tau=0.08, sigma=0.05)
     assert fused._fused is not None
     mesh = Mesh(np.array(jax.devices()[:2]), ("sp",))
     sh = NamedSharding(mesh, P("sp", None))
@@ -163,7 +166,7 @@ def test_fused_with_shardings_drops_to_generic(rng):
     sharded = fused.with_shardings(x=sh, z=shz)
     assert sharded._fused is None
     st_s = sharded.run_fixed(30)
-    st_g = _pds(A, y, fuse=False).run_fixed(30)
+    st_g = _pds(A, y, fuse=False, tau=0.08, sigma=0.05).run_fixed(30)
     np.testing.assert_allclose(
         np.asarray(st_s["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
     )
@@ -326,3 +329,47 @@ def test_near_miss_note_logged(rng, caplog):
         PDS((4, 4), F=SquaredL2Loss((4, 4), data=jnp.ones((4, 4))),
             G=Segment((4, 4), 0.0, 1.0), H=0.1 * L2Norm((4, 4)), tau=0.1)
     assert not any("NOT fused" in r.message for r in caplog.records)
+
+
+def test_fbs_routes_to_fused_fista(rng):
+    """FBS (PDS with H=None) at rho=1 is plain proximal gradient == FISTA
+    with zero momentum: the matcher routes it onto the fused LASSO engine
+    and the iterates match the generic chain exactly (VERDICT r4 task 2)."""
+    from pycsou_tpu.func.penalty import L1Norm
+    from pycsou_tpu.opt import FBS
+    from pycsou_tpu.opt.lasso import LassoDeconvolution
+
+    h, A, y = _problem(rng)
+    Hs = y.shape
+    mk = lambda fuse: FBS(
+        Hs, F=SquaredL2Loss(Hs, data=y) * A, G=0.02 * L1Norm(Hs),
+        rho=1.0, max_iter=200, fuse=fuse,
+    )
+    fused, generic = mk(True), mk(False)
+    assert isinstance(fused._fused, LassoDeconvolution)
+    assert fused._fused.acceleration is None
+    assert generic._fused is None
+    st_f = fused.run_fixed(40)
+    st_g = generic.run_fixed(40)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )
+    # solve() keeps working end-to-end on the delegate state layout
+    info = mk(True).solve()
+    assert info.n_iter > 0
+
+
+def test_fbs_rho_relaxation_stays_generic(rng, caplog):
+    """rho != 1 blends with the previous iterate — not expressible in the
+    fused FISTA kernel, so the matcher declines and says why."""
+    import logging
+
+    from pycsou_tpu.func.penalty import L1Norm
+    from pycsou_tpu.opt import FBS
+
+    h, A, y = _problem(rng)
+    Hs = y.shape
+    with caplog.at_level(logging.WARNING, logger="pycsou_tpu.fuse"):
+        solver = FBS(Hs, F=SquaredL2Loss(Hs, data=y) * A, G=0.02 * L1Norm(Hs), max_iter=50)
+    assert solver._fused is None
+    assert any("rho" in r.message for r in caplog.records)

@@ -230,3 +230,117 @@ def test_with_shardings_strips_pallas_plans(rng):
     )
     convs = [l for l in leaves if isinstance(l, Convolve2D)]
     assert convs and all(c.mv_r == 0 for c in convs)
+
+
+# ---------------------------------------------------------------------------
+# Sharded fused routing (VERDICT r4 task 3): a fused TV expression +
+# spatial shardings re-dispatches onto the per-shard distributed engines
+# ---------------------------------------------------------------------------
+
+
+def _tv_pds_fused(shape, y, filt, **kw):
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.opt import PDS
+
+    A = Convolve2D(shape, filt)
+    return PDS(
+        shape,
+        F=SquaredL2Loss(shape, data=y) * A,
+        G=NonNegativeOrthant(shape),
+        H=0.05 * L21Norm((2,) + shape, axis=0),
+        K=Gradient(shape),
+        fuse=True,
+        **kw,
+    )
+
+
+def test_sharded_pds_routes_to_distributed_engine(rng):
+    """with_shardings on a fused TV expression with a row partition
+    delegates to DistributedTVDeconv2D (per-shard engines) and computes the
+    generic chain's iterates exactly."""
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.parallel.solvers import DistributedTVDeconv2D
+
+    shape = (64, 64)
+    filt = _gauss(7, 1.5)
+    x_true = jnp.asarray(np.abs(rng.standard_normal(shape)), jnp.float32)
+    y = Convolve2D(shape, filt)(x_true)
+
+    mesh = make_mesh(axis_names=("sp",))
+    sharded = _tv_pds_fused(shape, y, filt, max_iter=100).with_shardings(
+        x=NamedSharding(mesh, P("sp", None)),
+        z=NamedSharding(mesh, P(None, "sp", None)),
+    )
+    assert isinstance(sharded._fused, DistributedTVDeconv2D)
+
+    ref = _tv_pds(shape, y, filt, max_iter=100).run_fixed(30)
+    st = sharded.run_fixed(30)
+    np.testing.assert_allclose(
+        np.asarray(st["x"]), np.asarray(ref["x"]), rtol=2e-4, atol=2e-5
+    )
+    z_s = (
+        np.stack([np.asarray(st["z0"]), np.asarray(st["z1"])])
+        if "z0" in st
+        else np.asarray(st["z"])
+    )
+    np.testing.assert_allclose(z_s, np.asarray(ref["z"]), rtol=2e-4, atol=2e-5)
+    # the sharded state actually lives on the mesh
+    assert len(st["x"].sharding.device_set) == jax.device_count()
+    # end-to-end: solve() works on the delegate state layout
+    info = _tv_pds_fused(shape, y, filt, max_iter=60).with_shardings(
+        x=NamedSharding(mesh, P("sp", None)),
+    ).solve()
+    assert info.n_iter > 0 and "z" in info.iterand
+
+
+def test_sharded_pds_routes_to_spatial2d_engine(rng):
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.parallel.solvers import Spatial2DTVDeconv2D
+
+    shape = (64, 128)
+    filt = _gauss(7, 1.5)
+    x_true = jnp.asarray(np.abs(rng.standard_normal(shape)), jnp.float32)
+    y = Convolve2D(shape, filt)(x_true)
+
+    mesh = make_mesh((2, 4), ("sp0", "sp1"))
+    sharded = _tv_pds_fused(shape, y, filt, max_iter=100).with_shardings(
+        x=NamedSharding(mesh, P("sp0", "sp1")),
+    )
+    assert isinstance(sharded._fused, Spatial2DTVDeconv2D)
+    ref = _tv_pds(shape, y, filt, max_iter=100).run_fixed(25)
+    st = sharded.run_fixed(25)
+    np.testing.assert_allclose(
+        np.asarray(st["x"]), np.asarray(ref["x"]), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_sharded_routing_declines_gracefully(rng):
+    """tau != sigma / anisotropic / unroutable specs fall back to the
+    generic GSPMD chain (state_shardings set, no delegate)."""
+    from pycsou_tpu.func import SquaredL2Loss
+    from pycsou_tpu.func.penalty import L1Norm
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.opt import PDS
+
+    shape = (64, 64)
+    filt = _gauss(7, 1.5)
+    y = Convolve2D(shape, filt)(jnp.ones(shape))
+    mesh = make_mesh(axis_names=("sp",))
+    xsh = NamedSharding(mesh, P("sp", None))
+
+    tau_ne = _tv_pds_fused(shape, y, filt, tau=0.1, sigma=0.05, max_iter=50)
+    assert tau_ne._fused is not None
+    sh1 = tau_ne.with_shardings(x=xsh)
+    assert sh1._fused is None and sh1.state_shardings
+
+    aniso = PDS(
+        shape, F=SquaredL2Loss(shape, data=y) * Convolve2D(shape, filt),
+        H=0.05 * L1Norm((2,) + shape), K=Gradient(shape), max_iter=50,
+    )
+    assert aniso._fused is not None and not aniso._fused.iso
+    sh2 = aniso.with_shardings(x=xsh)
+    assert sh2._fused is None and sh2.state_shardings

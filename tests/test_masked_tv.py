@@ -1,0 +1,130 @@
+"""Masked (diagonal-Gram) TV: inpainting / zero-fill super-resolution.
+
+``min ||A x - y||^2 + lam TV(x)`` with A a sampling operator
+(Masking/DownSampling/SubSampling, reference sampling.py:125-196) has
+``A^H A = diag(A^H 1)`` — the fused 'sweepm' engine streams that diagonal
+and computes the whole PDS iteration in one kernel pass.  The expression
+matcher recognises ``SquaredL2Loss * Masking`` (etc.) and rewrites onto it.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pycsou_tpu.kernels.tv import tv_pds_stencil_step_xla
+
+
+@pytest.mark.parametrize("iso", [True, False])
+@pytest.mark.parametrize("nonneg", [True, False])
+def test_sweepm_kernel_matches_xla(rng, iso, nonneg):
+    from pycsou_tpu.kernels.tv import tv_pds_sweepm_step_stats
+
+    H, W = 64, 256
+    kw = dict(tau=0.05, sigma=0.05, rho=0.9, lam=0.05, nonneg=nonneg, iso=iso)
+    x = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, H, W)), jnp.float32) * 0.1
+    z = z.at[0, -1].set(0.0).at[1, :, -1].set(0.0)
+    m = jnp.asarray((rng.random((H, W)) < 0.4).astype(np.float32))
+    atb = m * jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    g = 2.0 * (m * x - atb)
+    x2, z2 = tv_pds_stencil_step_xla(x, z, g, **kw)
+    x1, z0n, z1n, stats = tv_pds_sweepm_step_stats(
+        x, z[0], z[1], m, atb, interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(z0n), np.asarray(z2[0]), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(z1n), np.asarray(z2[1]), rtol=3e-5, atol=3e-6)
+    want = [
+        float(jnp.sum((x1 - x) ** 2)), float(jnp.sum(x * x)),
+        float(jnp.sum((z0n - z[0]) ** 2)), float(jnp.sum(z[0] ** 2)),
+        float(jnp.sum((z1n - z[1]) ** 2)), float(jnp.sum(z[1] ** 2)),
+    ]
+    np.testing.assert_allclose(np.asarray(stats[0, :6]), want, rtol=1e-4)
+
+
+def test_masked_solver_matches_generic_pds(rng):
+    """PDS(F = SquaredL2Loss * Masking, H = lam L21 o Gradient) fuses onto
+    the diagonal-Gram TVDeconvolution and computes the generic chain's
+    iterates exactly (inpainting oracle)."""
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.ops.sampling import Masking
+    from pycsou_tpu.opt import PDS, TVDeconvolution
+
+    H, W = 32, 32
+    keep = rng.random((H, W)) < 0.5
+    M = Masking((H, W), keep)
+    x_true = jnp.asarray(np.abs(rng.standard_normal((H, W))), jnp.float32)
+    y = M(x_true) + 0.01 * jnp.asarray(rng.standard_normal(int(keep.sum())), jnp.float32)
+    mk = lambda fuse: PDS(
+        (H, W), F=SquaredL2Loss(M.codim_shape, data=y) * M,
+        G=NonNegativeOrthant((H, W)),
+        H=0.05 * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
+        max_iter=200, fuse=fuse,
+    )
+    fused, generic = mk(True), mk(False)
+    assert isinstance(fused._fused, TVDeconvolution)
+    assert fused._fused.mask is not None
+    st_f = fused.run_fixed(60)
+    st_g = generic.run_fixed(60)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )
+    z_f = np.stack([np.asarray(st_f["z0"]), np.asarray(st_f["z1"])])
+    np.testing.assert_allclose(z_f, np.asarray(st_g["z"]), rtol=1e-4, atol=1e-5)
+
+
+def test_downsampling_superres_matches_generic_pds(rng):
+    """Zero-fill super-resolution: F = SquaredL2Loss * DownSampling."""
+    from pycsou_tpu.func import SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.ops.sampling import DownSampling
+    from pycsou_tpu.opt import PDS, TVDeconvolution
+
+    H, W = 32, 32
+    D = DownSampling((H, W), 2)
+    x_true = jnp.asarray(np.abs(rng.standard_normal((H, W))), jnp.float32)
+    y = D(x_true)
+    mk = lambda fuse: PDS(
+        (H, W), F=SquaredL2Loss(D.codim_shape, data=y) * D,
+        H=0.1 * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
+        max_iter=200, fuse=fuse,
+    )
+    fused, generic = mk(True), mk(False)
+    assert isinstance(fused._fused, TVDeconvolution)
+    st_f = fused.run_fixed(50)
+    st_g = generic.run_fixed(50)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_masked_solver_inpaints(rng):
+    """End-to-end: TV inpainting fills a hole with values near its rim."""
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    H, W = 32, 32
+    x_true = jnp.ones((H, W))
+    keep = np.ones((H, W), bool)
+    keep[12:20, 12:20] = False  # hole
+    m = jnp.asarray(keep.astype(np.float32))
+    y_img = m * x_true
+    solver = TVDeconvolution((H, W), y_img, lam=0.1, mask=m, nonneg=True, max_iter=500)
+    info = solver.solve()
+    hole = np.asarray(info["x"])[12:20, 12:20]
+    assert np.all(np.abs(hole - 1.0) < 0.2)
+
+
+def test_mask_mode_validation():
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    y = jnp.zeros((16, 16))
+    m = jnp.ones((16, 16))
+    with pytest.raises(ValueError, match="filt=None"):
+        TVDeconvolution((16, 16), y, 0.1, filt=np.ones((3, 3), np.float32), mask=m)
+    with pytest.raises(ValueError, match="mask shape"):
+        TVDeconvolution((16, 16), y, 0.1, mask=jnp.ones((8, 8)))
+    with pytest.raises(ValueError):
+        # sweepm needs mask mode
+        TVDeconvolution((16, 16), y, 0.1, stencil="sweepm", use_pallas=True)
