@@ -335,7 +335,13 @@ class IterativeSolver(Module):
         elif checkpoint_dir is not None:
             chunk = 100
         else:
-            chunk = max(100, min(self.max_iter, 1000))
+            # one dispatch end-to-end whenever max_iter allows: the
+            # convergence predicate stops INSIDE the while_loop, so a large
+            # chunk never overshoots, while every extra chunk boundary costs
+            # a ~25-35 ms tunnel roundtrip — the dominant term for small
+            # problems (BASELINE configs 1-2, VERDICT r4 task 7).  The cap
+            # only bounds how long the host goes without a progress sync.
+            chunk = max(100, min(self.max_iter, 10_000))
         checkpoint_every = max(1, int(checkpoint_every))
         n_chunks = 0
         t0 = time.perf_counter()

@@ -107,7 +107,10 @@ def _pmyula_kernel(si_ref, wf_ref, *refs, R, nT, H, W, gamma, tau, lam,
         xj = s_x[...]
 
         if noise_mode == "prng":
-            pltpu.prng_seed(si_ref[0], si_ref[1], i)
+            # Mosaic caps prng_seed at TWO values: fold the tile index into
+            # the first word with a wrapping golden-ratio hash (distinct
+            # streams per (seed, n, tile); int32 overflow wraps by design)
+            pltpu.prng_seed(si_ref[0] + i * jnp.int32(-1640531527), si_ref[1])
             z = _normal_from_bits((R, W)).astype(dt)
         else:
             z = n_ref[...]

@@ -140,10 +140,13 @@ class ConsensusADMM(IterativeSolver):
         spec_s = NamedSharding(self.mesh, PartitionSpec(self.axis_name, *([None] * (data.ndim - 1))))
         self.data = jax.device_put(data, spec_s)
         if h_hats is not None:
-            h_hats = jnp.asarray(h_hats)
-            sh = NamedSharding(self.mesh, PartitionSpec(self.axis_name, *([None] * (h_hats.ndim - 1))))
-            self._h_re = jax.device_put(jnp.real(h_hats), sh)
-            self._h_im = jax.device_put(jnp.imag(h_hats), sh)
+            # split re/im ON HOST: complex host->device transfers are
+            # unimplemented on this TPU runtime (like complex d2h — see
+            # ops/conv.py transfer functions)
+            h_np = np.asarray(h_hats)
+            sh = NamedSharding(self.mesh, PartitionSpec(self.axis_name, *([None] * (h_np.ndim - 1))))
+            self._h_re = jax.device_put(jnp.asarray(np.real(h_np), jnp.float32), sh)
+            self._h_im = jax.device_put(jnp.asarray(np.imag(h_np), jnp.float32), sh)
             self.ops = None
         else:
             ax = self.axis_name
