@@ -847,8 +847,10 @@ def bench_numpy(h, y):
 def main():
     wd = _Watchdog()
     # phase A: the wedged-at-startup failure mode (the round-4 record was
-    # lost exactly here — BENCH_r04.json rc=124, hung before first compile)
-    wd.arm("first-device-op", 120)
+    # lost exactly here — BENCH_r04.json rc=124, hung before first compile).
+    # 180 s: a recovering-but-alive tunnel has been measured taking 93 s on
+    # its first op, so a tighter deadline would re-exec a healthy run
+    wd.arm("first-device-op", 180)
     _first_device_op()
     # phase B: the headline section end-to-end (generous — first compiles on
     # this tunnel run 20-40 s each; the numpy baseline runs inside it too)

@@ -241,6 +241,64 @@ def _match_conv_least_squares(dim_shape, F):
     return filt, y
 
 
+def match_cps_tv_denoise(
+    dim_shape,
+    F,
+    G,
+    H,
+    K,
+    tau: float,
+    sigma: float,
+    rho: float,
+    metric_every: int = 1,
+):
+    """Chambolle-Pock TV denoising: ``F = None``, ``G = SquaredL2Loss(y)``
+    (the data term as a PROX), ``H = lam * L21Norm/L1Norm``, ``K =
+    Gradient`` (reference proxalgs.py:628-716's canonical configuration).
+
+    The prox x-update ``x+ = (x - tau div z + 2 tau y) / (1 + 2 tau)`` is
+    ALGEBRAICALLY a gradient step with the effective step ``tau' =
+    tau / (1 + 2 tau)`` applied to both the (identity-Gram) data gradient
+    ``2(x - y)`` and the divergence::
+
+        (x - tau*div + 2*tau*y)/(1+2*tau) = x - tau'*(2(x - y) + div)
+
+    so the SAME fused engines compute CPS's iterates exactly — the delegate
+    is a denoise :class:`~pycsou_tpu.opt.tv.TVDeconvolution` with
+    ``tau = tau'``, ``sigma`` unchanged.  Returns None on mismatch."""
+    from pycsou_tpu.func.base import NullDifferentiableFunctional
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    dim_shape = tuple(dim_shape)
+    if len(dim_shape) != 2:
+        return None
+    if not (tau > 0 and sigma > 0):
+        return None
+    if type(F) is not NullDifferentiableFunctional:
+        return None
+    gy = _match_conv_least_squares(dim_shape, G)
+    if gy is None or gy[0] is not None:  # plain ||x - y||^2 only (prox form)
+        return None
+    y = gy[1]
+    if _why_K(K, dim_shape) is not None:
+        return None
+    lam, iso, h_reason = _why_H(H, dim_shape)
+    if h_reason is not None:
+        return None
+    return TVDeconvolution(
+        dim_shape,
+        y,
+        lam,
+        filt=None,
+        nonneg=False,
+        tau=float(tau) / (1.0 + 2.0 * float(tau)),
+        sigma=float(sigma),
+        rho=float(rho),
+        metric_every=metric_every,
+        isotropic=iso,
+    )
+
+
 def _match_sampling_least_squares(dim_shape, F):
     """``||A x - y||^2`` with A a sampling operator whose Gram is DIAGONAL
     (Masking / DownSampling / SubSampling: ``A^H A = diag(A^H 1)`` — gather

@@ -219,6 +219,17 @@ class PMYULA(IterativeSolver):
         self._prox_mode, self._lam_l1 = prox_mode, float(lam)
         self.engine = "megal-interpret" if interpret else "megal"
 
+    def _without_pallas(self) -> "PMYULA":
+        """GSPMD-safe twin (``_module.strip_pallas``): the fused Langevin
+        kernel does not partition under sharding constraints; the generic
+        chain (explicit jax.random noise + XLA Gram) does."""
+        if not self.engine:
+            return self
+        return self.replace(
+            engine="", _lg_B=None, _lg_C=None, _lg_F=None,
+            _lg_Et=None, _lg_Eb=None, _lg_atb=None,
+        )
+
     # -- state -------------------------------------------------------------
     def initial_state(self):
         state = {

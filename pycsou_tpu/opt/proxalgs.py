@@ -213,6 +213,19 @@ class PrimalDualSplitting(IterativeSolver):
 
                 warnings.warn(f"expression fusion failed, running generic: {e!r}")
                 self._fused = None
+            if self._fused is None:
+                # Chambolle-Pock TV denoising (F absent, the data term a
+                # PROX in G): algebraically a gradient step with
+                # tau' = tau/(1+2tau) — same fused engines (opt/fuse.py)
+                from pycsou_tpu.opt.fuse import match_cps_tv_denoise
+
+                try:
+                    self._fused = match_cps_tv_denoise(
+                        dim_shape, self.F, self.G, self.H, self.K,
+                        self.tau, self.sigma, self.rho, metric_every=metric_every,
+                    )
+                except Exception:
+                    self._fused = None
             if self._fused is not None:
                 self.iters_per_step = self._fused.iters_per_step
             else:
@@ -454,8 +467,11 @@ class PrimalDualSplitting(IterativeSolver):
             return None
         if fused.mask is not None or fused.filt is None or not fused.iso:
             return None
-        if self.tau != self.sigma:
-            return None  # the distributed engines plumb one balanced scalar
+        # gate on the DELEGATE's step sizes: a CPS-routed denoise carries the
+        # effective tau' = tau/(1+2tau) != sigma, which the distributed
+        # engines (one balanced scalar) cannot express
+        if fused.tau != fused.sigma:
+            return None
         sh = shardings.get("x")
         if not isinstance(sh, NamedSharding):
             return None
@@ -471,7 +487,7 @@ class PrimalDualSplitting(IterativeSolver):
                 dist = DistributedTVDeconv2D(
                     tuple(fused.y.shape), fused.filt, fused.y, fused.lam,
                     nonneg=fused.nonneg, mesh=mesh, axis_name=spec[0],
-                    tau=self.tau, rho=self.rho, max_iter=self.max_iter,
+                    tau=fused.tau, rho=self.rho, max_iter=self.max_iter,
                     min_iter=self.min_iter, accuracy_threshold=self.tol,
                 )
             elif (
@@ -483,7 +499,7 @@ class PrimalDualSplitting(IterativeSolver):
 
                 dist = Spatial2DTVDeconv2D(
                     tuple(fused.y.shape), fused.filt, fused.y, fused.lam,
-                    nonneg=fused.nonneg, mesh=mesh, tau=self.tau,
+                    nonneg=fused.nonneg, mesh=mesh, tau=fused.tau,
                     rho=self.rho, max_iter=self.max_iter,
                     min_iter=self.min_iter, accuracy_threshold=self.tol,
                 )

@@ -373,3 +373,45 @@ def test_fbs_rho_relaxation_stays_generic(rng, caplog):
         solver = FBS(Hs, F=SquaredL2Loss(Hs, data=y) * A, G=0.02 * L1Norm(Hs), max_iter=50)
     assert solver._fused is None
     assert any("rho" in r.message for r in caplog.records)
+
+
+def test_cps_tv_denoise_fuses_and_matches_generic(rng):
+    """CPS TV denoising (F=None, data prox in G) fuses onto the denoise
+    TVDeconvolution via the tau' = tau/(1+2tau) identity — iterates equal
+    the generic Chambolle-Pock chain exactly."""
+    H, W = 32, 32
+    y = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    mk = lambda fuse: CPS(
+        (H, W), G=SquaredL2Loss((H, W), data=y),
+        H=0.1 * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
+        max_iter=200, fuse=fuse,
+    )
+    fused, generic = mk(True), mk(False)
+    assert isinstance(fused._fused, TVDeconvolution)
+    assert not fused._fused.nonneg and fused._fused.mask is None
+    st_f = fused.run_fixed(60)
+    st_g = generic.run_fixed(60)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )
+    z_f = np.stack([np.asarray(st_f["z0"]), np.asarray(st_f["z1"])])
+    np.testing.assert_allclose(z_f, np.asarray(st_g["z"]), rtol=1e-4, atol=1e-5)
+
+
+def test_cps_aniso_tv_denoise_fuses(rng):
+    from pycsou_tpu.func.penalty import L1Norm
+
+    H, W = 24, 24
+    y = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    mk = lambda fuse: CPS(
+        (H, W), G=SquaredL2Loss((H, W), data=y),
+        H=0.1 * L1Norm((2, H, W)), K=Gradient((H, W)),
+        max_iter=100, fuse=fuse,
+    )
+    fused = mk(True)
+    assert isinstance(fused._fused, TVDeconvolution) and not fused._fused.iso
+    st_f = fused.run_fixed(40)
+    st_g = mk(False).run_fixed(40)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )

@@ -344,3 +344,32 @@ def test_sharded_routing_declines_gracefully(rng):
     assert aniso._fused is not None and not aniso._fused.iso
     sh2 = aniso.with_shardings(x=xsh)
     assert sh2._fused is None and sh2.state_shardings
+
+
+def test_cps_delegate_sharding_declines_routing(rng):
+    """A CPS-routed denoise delegate carries tau' = tau/(1+2tau) != sigma —
+    the distributed engines can't express it, so sharding falls back to the
+    generic GSPMD chain with CORRECT iterates (regression: routing once read
+    the PDS's own tau instead of the delegate's)."""
+    from pycsou_tpu.func import SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.opt import CPS
+
+    shape = (32, 32)
+    y = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    mk = lambda fuse: CPS(
+        shape, G=SquaredL2Loss(shape, data=y),
+        H=0.1 * L21Norm((2,) + shape, axis=0), K=Gradient(shape),
+        max_iter=100, fuse=fuse,
+    )
+    cps = mk(True)
+    assert cps._fused is not None and cps._fused.tau != cps._fused.sigma
+    mesh = make_mesh(axis_names=("sp",))
+    sharded = cps.with_shardings(x=NamedSharding(mesh, P("sp", None)))
+    assert sharded._fused is None and sharded.state_shardings
+    st_s = sharded.run_fixed(25)
+    st_g = mk(False).run_fixed(25)
+    np.testing.assert_allclose(
+        np.asarray(st_s["x"]), np.asarray(st_g["x"]), rtol=2e-4, atol=2e-5
+    )

@@ -128,3 +128,20 @@ def test_pmyula_fused_gating():
     # denoise posterior with no G: fused, prox_mode 'none'
     s3 = PMYULA((H, W), F=SquaredL2Loss((H, W), data=y), use_pallas="interpret")
     assert s3.engine == "megal-interpret" and s3._prox_mode == "none"
+
+
+def test_pmyula_strip_pallas_twin():
+    """with_shardings / strip_pallas drops the fused engine (pallas does not
+    partition); the twin runs the generic chain."""
+    from pycsou_tpu._module import strip_pallas
+    from pycsou_tpu.func import SquaredL2Loss
+    from pycsou_tpu.opt.mcmc import PMYULA
+
+    H, W = 64, 384
+    s = PMYULA((H, W), F=SquaredL2Loss((H, W), data=jnp.zeros((H, W))),
+               use_pallas="interpret")
+    assert s.engine == "megal-interpret"
+    twin = strip_pallas(s)
+    assert twin.engine == "" and twin._lg_B is None
+    st = twin.run_fixed(3)  # generic chain executes
+    assert st["x"].shape == (H, W)
