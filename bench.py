@@ -436,6 +436,16 @@ def sec_inpaint(ctx):
     log(f"inpaint stencil={si.stencil_mode}")
     iips, _ = _time_solver(si, "inpaint", iters=50, reps=2)
     RESULTS["inpaint_ips"] = round(iips, 1)
+    emit()
+    # large-image TV DENOISING now auto-routes through the same double-step
+    # diagonal-Gram engine (identity mask): ~1.8x over the mega3 machinery
+    sd = TVDeconvolution(
+        SHAPE, ctx["yj"], LAM, filt=None, nonneg=True, max_iter=1000,
+        metric_every=1,
+    )
+    log(f"denoise stencil={sd.stencil_mode}")
+    dips, _ = _time_solver(sd, "denoise4096", iters=50, reps=2)
+    RESULTS["denoise_ips"] = round(dips, 1)
 
 
 def sec_rank6(ctx):
@@ -610,8 +620,9 @@ def sec_cfg2_denoise512(ctx):
     info = _time_solve_warm(solver, "cfg2")
     RESULTS["cfg2_time_ms"] = round(info.elapsed * 1e3, 1)
 
-    # numpy twin: one PDS denoise iteration (identity Gram — pure ufuncs)
-    tau = solver.tau
+    # numpy twin: one EXACT Condat-Vu denoise iteration (identity Gram —
+    # pure ufuncs; proxalgs.py:343-355 update rule, u = 2 x_temp - x)
+    tau, sigma = solver.tau, solver.sigma
     x = np.zeros((m, m), np.float32)
     z = np.zeros((2, m, m), np.float32)
 
@@ -627,9 +638,10 @@ def sec_cfg2_denoise512(ctx):
         div[:, 1:] += y1[:, :-1]
         div -= y1
         xt = x - tau * (2 * (x - yn)) - tau * div
+        u = 2 * xt - x
         v = z.copy()
-        v[0, :-1] += tau * (2 * xt[1:] - 2 * xt[:-1])
-        v[1, :, :-1] += tau * (2 * xt[:, 1:] - 2 * xt[:, :-1])
+        v[0, :-1] += sigma * (u[1:] - u[:-1])
+        v[1, :, :-1] += sigma * (u[:, 1:] - u[:, :-1])
         mag = np.sqrt(v[0] ** 2 + v[1] ** 2)[None]
         zt = v * (lam / np.maximum(mag, lam))
         x = 0.9 * xt + 0.1 * x

@@ -522,6 +522,151 @@ def tv_pds_sweepm_step_stats(x, z0, z1, m, atb, *, tau: float, sigma: float,
     )(jnp.zeros((1,), jnp.int32), x, m, atb, z0, z1)
 
 
+def _tv_sweepm2_kernel(x_ref, m_ref, a_ref, z0_ref, z1_ref,
+                       xo, z0o, z1o, so,
+                       s_x, s_m, s_a, s_m2, s_a2, s_z0, s_z1,
+                       s_x1, s_z01, s_z11,
+                       *, R, nT, H, W, tau, sigma, rho, lam, nonneg, iso):
+    """TWO masked-TV PDS iterations per sweep (the mega3 trick without the
+    Gram machinery: the diagonal Gram's gradient ``2(m*x - atb)`` needs no
+    cross-tile compute, so the two-deep software pipeline only rings the
+    stage-1 iterates).  Every HBM stream is amortised over two iterations:
+    8 streams per DOUBLE step vs sweepm's 8 per single step."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init0():
+        s_z0[:8] = jnp.zeros((8, W), jnp.float32)
+        so[...] = jnp.zeros((8, 128), jnp.float32)
+
+    @pl.when(i <= 1)
+    def _init1():
+        s_z01[:8] = jnp.zeros((8, W), jnp.float32)
+
+    cur_x = x_ref[...]
+    cur_m = m_ref[...]
+    cur_a = a_ref[...]
+    cur_z0 = z0_ref[...]
+    cur_z1 = z1_ref[...]
+
+    # ---- stage 1: iteration t+1 on tile j1 = i-1 (garbage at i==0 and the
+    # trailing steps; every consumer is overwritten or masked) -------------
+    j1 = i - 1
+    row1 = j1 * R
+    xw1 = jnp.concatenate([s_x[...], cur_x[:8]], axis=0)
+    mw1 = jnp.concatenate([s_m[...], cur_m[:8]], axis=0)
+    aw1 = jnp.concatenate([s_a[...], cur_a[:8]], axis=0)
+    gw1 = 2.0 * (mw1 * xw1 - aw1)
+    z0w1 = jnp.concatenate([s_z0[8:], cur_z0[:8]], axis=0)
+    z0up1 = jnp.concatenate([s_z0[7 : R + 8], cur_z0[:7]], axis=0)
+    z1w1 = jnp.concatenate([s_z1[...], cur_z1[:8]], axis=0)
+    x1, z01, z11 = _pds_stencil(
+        xw1, gw1, z0w1, z0up1, z1w1, row1, R, H, W, tau, sigma, rho, lam,
+        nonneg, iso=iso,
+    )
+
+    # ---- stage 2: iteration t+2 on tile j2 = i-2 -------------------------
+    @pl.when(i > 1)
+    def _stage2():
+        j2 = i - 2
+        row2 = j2 * R
+        xw2 = jnp.concatenate([s_x1[...], x1[:8]], axis=0)
+        mw2 = jnp.concatenate([s_m2[...], s_m[:8]], axis=0)
+        aw2 = jnp.concatenate([s_a2[...], s_a[:8]], axis=0)
+        gw2 = 2.0 * (mw2 * xw2 - aw2)
+        z0w2 = jnp.concatenate([s_z01[8:], z01[:8]], axis=0)
+        z0up2 = jnp.concatenate([s_z01[7 : R + 8], z01[:7]], axis=0)
+        z1w2 = jnp.concatenate([s_z11[...], z11[:8]], axis=0)
+        x2, z02, z12 = _pds_stencil(
+            xw2, gw2, z0w2, z0up2, z1w2, row2, R, H, W, tau, sigma, rho, lam,
+            nonneg, iso=iso,
+        )
+        xo[...] = x2
+        z0o[...] = z02
+        z1o[...] = z12
+        # stats measure the SECOND iteration only (single-iteration stopping
+        # semantics despite the double step — the mega3 convention)
+        _stats_update(so, [(x2, xw2[:R]), (z02, z0w2[:R]), (z12, z1w2[:R])])
+
+    # ---- ring updates (tails capture OLD contents, then carry) -----------
+    @pl.when(i > 0)
+    def _tail0():
+        s_z0[:8] = s_z0[R : R + 8]
+
+    @pl.when(i > 1)
+    def _tail1():
+        s_z01[:8] = s_z01[R : R + 8]
+
+    # the i-2 mask/atb rings shift every step (trailing steps read the
+    # clamped repeats, which is exactly tile j2 there)
+    s_m2[...] = s_m[...]
+    s_a2[...] = s_a[...]
+
+    @pl.when(i < nT)
+    def _carry():
+        s_x[...] = cur_x
+        s_m[...] = cur_m
+        s_a[...] = cur_a
+        s_z0[8:] = cur_z0
+        s_z1[...] = cur_z1
+
+    # stage-1 result rings (garbage written at i==0 / trailing steps is
+    # overwritten or guarded by the zeroed tails before any stage-2 use)
+    s_x1[...] = x1
+    s_z01[8:] = z01
+    s_z11[...] = z11
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "iso")
+)
+def tv_pds_sweepm2_step(x, z0, z1, m, atb, *, tau: float, sigma: float,
+                        rho: float, lam: float, nonneg: bool = True,
+                        interpret: bool = False, iso: bool = True):
+    """TWO full masked-TV PDS iterations in one fused sweep (see
+    :func:`tv_pds_sweepm_step_stats` for the single-step variant and the
+    masked-Gram convention).  Returns ``(x, z0, z1, stats)`` — the state
+    after TWO iterations plus the (8, 128) stats block measuring the SECOND
+    iteration's improvement only.  Requires ``>= 2`` row tiles."""
+    H, W = x.shape
+    R = _pick_sweep_rows(H, W)
+    if R == 0 or H // R < 2:
+        raise ValueError(f"no sweepm2 tiling for H={H}, W={W} (needs >= 2 tiles)")
+    nT = H // R
+    in_spec = pl.BlockSpec((R, W), lambda i: (jnp.minimum(i, nT - 1), 0))
+    out_spec = pl.BlockSpec((R, W), lambda i: (jnp.maximum(i - 2, 0), 0))
+    stats_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    kern = functools.partial(
+        _tv_sweepm2_kernel, R=R, nT=nT, H=H, W=W,
+        tau=float(tau), sigma=float(sigma), rho=float(rho), lam=float(lam),
+        nonneg=bool(nonneg), iso=bool(iso),
+    )
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
+    try:
+        params = cp(dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # pragma: no cover - older pallas without the knob
+        params = cp(dimension_semantics=("arbitrary",))
+    tile = lambda rows: pltpu.VMEM((rows, W), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(nT + 2,),
+        in_specs=[in_spec] * 5,
+        out_specs=[out_spec] * 3 + [stats_spec],
+        out_shape=[jax.ShapeDtypeStruct((H, W), x.dtype)] * 3
+        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        # in-place x/z0/z1 (the mega3 aliasing argument: output tile i-2 is
+        # written strictly after its inputs were consumed into the rings)
+        input_output_aliases={0: 0, 3: 1, 4: 2},
+        scratch_shapes=[
+            tile(R), tile(R), tile(R), tile(R), tile(R),  # s_x s_m s_a s_m2 s_a2
+            tile(R + 8), tile(R),                          # s_z0 s_z1
+            tile(R), tile(R + 8), tile(R),                 # s_x1 s_z01 s_z11
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(x, m, atb, z0, z1)
+
+
 def tv_pds_sweep_shard_step(x, g, z0, z1, halos, off, *, H_global: int,
                             R: int, tau: float, sigma: float, rho: float, lam: float,
                             nonneg: bool = True, interpret: bool = False, vma=None,

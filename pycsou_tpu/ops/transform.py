@@ -25,21 +25,26 @@ __all__ = ["FFTOperator", "DCTOperator", "IDCTOperator"]
 
 
 def _dct2_1d_fft(x, axis: int):
-    """Orthonormal DCT-II along ``axis`` built from a plain real FFT (the
-    length-4N odd-embedding identity: ``t_k = Re(fft(u)[k])`` with
-    ``u[2n+1] = x[n]``) — the TPU path.  ``jax.scipy.fft.dctn`` lowers to a
-    primitive this runtime's TPU compiler rejects (UNIMPLEMENTED, and the
-    failure poisons every subsequent dispatch of the process), while the FFT
-    primitives are first-class on TPU."""
+    """Orthonormal DCT-II along ``axis`` built from a length-2N real FFT
+    (mirror embedding: ``rfft([x, reversed(x)])_k = e^{i pi k/(2N)} 2 t_k``
+    with ``t`` the unnormalised DCT-II) — the TPU path.
+    ``jax.scipy.fft.dctn`` lowers to a primitive this runtime's TPU
+    compiler rejects (UNIMPLEMENTED, and the failure poisons every
+    subsequent dispatch of the process), while the FFT primitives are
+    first-class on TPU."""
     N = x.shape[axis]
     x = jnp.moveaxis(x, axis, -1)
-    u = jnp.zeros(x.shape[:-1] + (4 * N,), x.dtype)
-    u = u.at[..., 1 : 2 * N : 2].set(x)
-    t = jnp.real(jnp.fft.rfft(u)[..., :N])
-    scale = np.concatenate(
+    u = jnp.concatenate([x, x[..., ::-1]], axis=-1)
+    U = jnp.fft.rfft(u)[..., :N]
+    k = np.arange(N)
+    # 0.5 * Re(e^{-i pi k/(2N)} U_k), with the ortho scales folded in
+    cscale = np.concatenate(
         [[1.0 / np.sqrt(N)], np.full(N - 1, np.sqrt(2.0 / N))]
-    ).astype(np.float32)
-    return jnp.moveaxis(t * scale, -1, axis)
+    )
+    w_re = jnp.asarray(0.5 * cscale * np.cos(np.pi * k / (2 * N)), jnp.float32)
+    w_im = jnp.asarray(0.5 * cscale * np.sin(np.pi * k / (2 * N)), jnp.float32)
+    t = jnp.real(U) * w_re + jnp.imag(U) * w_im
+    return jnp.moveaxis(t.astype(x.dtype), -1, axis)
 
 
 def _dctn_ortho(x, axes: Optional[Tuple[int, ...]]):
@@ -83,7 +88,7 @@ def _dct3_1d_fft(y, axis: int):
     return jnp.moveaxis(x.astype(y.dtype), -1, axis)
 
 
-def _idctn_ortho(y, axes: Optional[Tuple[int, ...]], dim_shape):
+def _idctn_ortho(y, axes: Optional[Tuple[int, ...]]):
     """Orthonormal inverse DCT (DCT-III): scipy path on CPU, FFT-composed
     path on TPU (see :func:`_dct3_1d_fft`)."""
     if jax.default_backend() == "cpu":
@@ -145,7 +150,7 @@ class DCTOperator(UnitaryMixin, LinearOperator):
         return _dctn_ortho(x, self.axes).astype(self.dtype)
 
     def adjoint(self, y):
-        return _idctn_ortho(jnp.asarray(y), self.axes, self.dim_shape).astype(self.dtype)
+        return _idctn_ortho(jnp.asarray(y), self.axes).astype(self.dtype)
 
 
 class IDCTOperator(UnitaryMixin, LinearOperator):
@@ -169,7 +174,7 @@ class IDCTOperator(UnitaryMixin, LinearOperator):
         self.axes = tuple(axes) if axes is not None else None
 
     def apply(self, x):
-        return _idctn_ortho(x, self.axes, self.dim_shape).astype(self.dtype)
+        return _idctn_ortho(x, self.axes).astype(self.dtype)
 
     def adjoint(self, y):
         return _dctn_ortho(jnp.asarray(y), self.axes).astype(self.dtype)

@@ -164,21 +164,11 @@ class PMYULA(IterativeSolver):
                 self.engine = ""
 
     def _try_fused_engine(self, dim_shape, F, G, interpret: bool = False):
-        from pycsou_tpu.kernels.tv import (
-            MEGA_HG,
-            make_mega2_lane_plan,
-            make_mega3_corr_mats,
-            make_mega_band,
-            pallas_available,
-        )
         from pycsou_tpu.opt.fuse import _match_conv_least_squares, _why_G_l1, _why_G_nonneg
-        from pycsou_tpu.ops.conv import Convolve2D, SeparableConvGram2D
+        from pycsou_tpu.opt.tv import mega3_plans
+        from pycsou_tpu.ops.conv import Convolve2D
 
-        if len(dim_shape) != 2 or not pallas_available():
-            return
-        H, W = dim_shape
-        R = 32
-        if H % R or H // R < 2 or W % 128 or W < 384:
+        if len(dim_shape) != 2:
             return
         fy = _match_conv_least_squares(dim_shape, F) if F is not None else None
         if fy is None:
@@ -200,21 +190,12 @@ class PMYULA(IterativeSolver):
         if filt is None:
             filt = np.ones((1, 1), np.float32)
         A = Convolve2D(dim_shape, filt)
-        gram = A.gram
-        if not (isinstance(gram, SeparableConvGram2D) and gram.g_meta is not None):
+        # single source of the mega3-class engine gates + plan construction
+        # (opt/tv.py mega3_plans — shared with TVDeconvolution)
+        plans = mega3_plans(A.gram, dim_shape)
+        if plans is None:
             return
-        K1 = (len(gram.g_rows_acorr) - 1) // 2
-        _, L_r, _, _ = gram.g_meta
-        K1c = len(gram.g_cols_taps) - 1 if gram.g_cols_taps is not None else 999
-        if K1 > MEGA_HG - 1 or L_r > 32 or 2 * K1c > 128:
-            return
-        C, Fc = make_mega2_lane_plan(gram.g_cols_taps, W)
-        Et_p, Eb_p = make_mega3_corr_mats(gram.g_rows_E, L_r)
-        self._lg_B = jnp.asarray(make_mega_band(gram.g_rows_acorr, r=R))
-        self._lg_C = jnp.asarray(C)
-        self._lg_F = jnp.asarray(Fc)
-        self._lg_Et = jnp.asarray(Et_p)
-        self._lg_Eb = jnp.asarray(Eb_p)
+        self._lg_B, self._lg_C, self._lg_F, self._lg_Et, self._lg_Eb = plans
         self._lg_atb = A.adjoint(jnp.asarray(y, jnp.float32))
         self._prox_mode, self._lam_l1 = prox_mode, float(lam)
         self.engine = "megal-interpret" if interpret else "megal"

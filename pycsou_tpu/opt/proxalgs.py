@@ -465,7 +465,10 @@ class PrimalDualSplitting(IterativeSolver):
         fused = self._fused
         if not isinstance(fused, TVDeconvolution):
             return None
-        if fused.mask is not None or fused.filt is None or not fused.iso:
+        # filt is None for a TRUE sampling mask (no distributed masked
+        # engine yet); a denoise routed through the masked engines keeps
+        # the identity-conv marker filt = ones((1,1)) and re-dispatches fine
+        if fused.filt is None or not fused.iso:
             return None
         # gate on the DELEGATE's step sizes: a CPS-routed denoise carries the
         # effective tau' = tau/(1+2tau) != sigma, which the distributed

@@ -42,7 +42,51 @@ from pycsou_tpu.kernels.tv import (
 from pycsou_tpu.ops.conv import Convolve2D
 from pycsou_tpu.utils.shapes import as_shape
 
-__all__ = ["TVDeconvolution"]
+__all__ = ["TVDeconvolution", "mega3_plans"]
+
+
+def mega3_plans(gram, shape):
+    """``(B, C, F, Et_p, Eb_p)`` mega3-class kernel plans (32-row tiles,
+    both Gram directions in-kernel, in-kernel edge-correction matrices) for
+    a rank-1 separable conv Gram on ``shape``, or None when any engine gate
+    fails.  The SINGLE source of the mega3 eligibility rules — consumed by
+    :class:`TVDeconvolution`'s mega3 branch and by
+    :class:`~pycsou_tpu.opt.mcmc.PMYULA`'s fused Langevin engine (the gates
+    must never drift apart; they describe the same kernel family)."""
+    from pycsou_tpu.kernels.tv import (
+        MEGA_HG,
+        make_mega2_lane_plan,
+        make_mega3_corr_mats,
+        make_mega_band,
+        pallas_available,
+    )
+    from pycsou_tpu.ops.conv import SeparableConvGram2D
+
+    H, W = shape
+    R = 32
+    if not pallas_available():
+        return None
+    # shape gates: 32-row tiles (>= 2), 128-aligned width for the corner-fix
+    # slices, and the w-window under the ~0.8MB Mosaic tile budget (the
+    # stricter of the mega/mega2 gates)
+    if H % R or H // R < 2 or W % 128 or W < 384 or 48 * W * 4 > 820_000:
+        return None
+    if not (isinstance(gram, SeparableConvGram2D) and gram.g_meta is not None):
+        return None
+    if gram.g_cols_taps is None:
+        return None
+    K1 = (len(gram.g_rows_acorr) - 1) // 2
+    _, L_r, _, _ = gram.g_meta
+    K1c = len(gram.g_cols_taps) - 1
+    if K1 > MEGA_HG - 1 or L_r > 32 or 2 * K1c > 128:
+        return None
+    C, F = make_mega2_lane_plan(gram.g_cols_taps, W)
+    Et_p, Eb_p = make_mega3_corr_mats(gram.g_rows_E, L_r)
+    B = make_mega_band(gram.g_rows_acorr, r=R)
+    return (
+        jnp.asarray(B), jnp.asarray(C), jnp.asarray(F),
+        jnp.asarray(Et_p), jnp.asarray(Eb_p),
+    )
 
 
 class TVDeconvolution(IterativeSolver):
@@ -70,7 +114,7 @@ class TVDeconvolution(IterativeSolver):
 
     # engines whose kernels emit the stopping-metric partial sums from
     # their epilogue (``_stats`` state entry; metric_every=1 is free)
-    _STATS_ENGINES = ("mega2", "mega3", "megar", "sweep", "sweepm")
+    _STATS_ENGINES = ("mega2", "mega3", "megar", "sweep", "sweepm", "sweepm2")
 
     y: jax.Array = None
     gram: object = None
@@ -152,6 +196,25 @@ class TVDeconvolution(IterativeSolver):
         self.rho = float(rho)
 
         self.mask = None
+        self.filt = None
+        if mask is None and filt is None and (
+            stencil in ("sweepm", "sweepm2")
+            or (stencil in ("auto", "xla") and shape[0] * shape[1] >= (1 << 21))
+        ):
+            # LARGE-image denoising (A = I) IS the all-ones diagonal Gram:
+            # route it through the masked engines — the sweepm2 double-step
+            # kernel has no band matmuls at all and beats the identity-Gram
+            # mega3 machinery ~1.8x at 4096^2 (2346 vs 1523 iters/s,
+            # stream-bound).  BELOW ~2M pixels the per-grid-step overhead
+            # dominates and mega3 stays faster (91k vs 24k at 512^2), so
+            # small denoises keep the identity-conv path; explicit
+            # sweepm/sweepm2 requests always convert.
+            # Same semantics either way: atb = y, beta = 2, auto steps equal.
+            mask = np.ones(shape, np.float32)
+            # identity-conv marker: with_shardings can still re-dispatch a
+            # denoise onto DistributedTVDeconv2D (a true sampling mask has
+            # filt None and declines routing)
+            self.filt = jnp.ones((1, 1), jnp.float32)
         if mask is not None:
             # diagonal-Gram (sampling forward operator) mode: A^H A =
             # diag(mask) with mask = A^H(1) — Masking/DownSampling/
@@ -216,7 +279,7 @@ class TVDeconvolution(IterativeSolver):
         # the shape/PSF doesn't qualify (ADVICE r2).
         from pycsou_tpu.kernels.tv import element_available, sweep_available
 
-        _STENCILS = ("auto", "mega3", "mega2", "megar", "mega", "sweep", "sweepm", "element", "xla")
+        _STENCILS = ("auto", "mega3", "mega2", "megar", "mega", "sweep", "sweepm", "sweepm2", "element", "xla")
         if stencil not in _STENCILS:
             raise ValueError(f"unknown stencil {stencil!r}; expected one of {_STENCILS}")
 
@@ -236,29 +299,51 @@ class TVDeconvolution(IterativeSolver):
             self.use_pallas = False
             self.stencil_mode = "xla"
         elif self.mask is not None:
-            # diagonal-Gram mode: the masked fused sweep is the only Pallas
-            # engine (band/mega plans don't apply to a per-pixel Gram)
-            if stencil not in ("auto", "sweepm"):
+            # diagonal-Gram mode ladder: sweepm2 (TWO iterations per pass —
+            # the mega3 trick without Gram rings) > sweepm > xla.  The
+            # band/mega plans don't apply to a per-pixel Gram.
+            if stencil not in ("auto", "sweepm", "sweepm2"):
                 raise ValueError(
-                    "mask mode supports stencil 'auto', 'sweepm' or 'xla'"
+                    "mask mode supports stencil 'auto', 'sweepm', 'sweepm2' "
+                    "or 'xla'"
                 )
-            if sweep_available(*shape):
+            from pycsou_tpu.kernels.tv import _pick_sweep_rows
+
+            _r = _pick_sweep_rows(*shape)
+            m2_ok = _r != 0 and shape[0] // _r >= 2
+            if stencil in ("sweepm", "sweepm2"):
+                # an explicit engine request is honored or raises (ADVICE
+                # r2 contract) — never silently degraded
+                ok = {"sweepm": _r != 0, "sweepm2": m2_ok}[stencil]
+                if not ok:
+                    raise ValueError(
+                        f"stencil={stencil!r} is not eligible for shape "
+                        f"{shape} (no sweep tiling; H needs an 8-divisor "
+                        "within the Mosaic tile budget"
+                        + (", >= 2 tiles for sweepm2)" if stencil == "sweepm2" else ")")
+                    )
+                self.stencil_mode = stencil
+            elif m2_ok:
+                self.stencil_mode = "sweepm2"
+            elif _r != 0:
                 self.stencil_mode = "sweepm"
             else:
                 self.stencil_mode = "xla"
                 self.use_pallas = False
+            if self.stencil_mode == "sweepm2":
+                self.iters_per_step = 2
         else:
             H, W = shape
             mega_ok = self._mega_eligible(shape)
             mega2_ok = mega_ok and self._mega2_eligible(shape)
-            mega3_ok = False
             mega_r2 = MEGA_R
-            if mega2_ok:
+            if mega2_ok and H % 32 == 0 and (32 + 8) * W * 4 <= 820_000:
                 # 32-row tiles halve the sequential grid's per-step overhead
-                if H % 32 == 0 and (32 + 8) * W * 4 <= 820_000:
-                    mega_r2 = 32
-                _, L_r, _, _ = self.gram.g_meta
-                mega3_ok = mega_r2 == 32 and H // 32 >= 2 and L_r <= 32
+                mega_r2 = 32
+            # mega3 gates + plan construction live in ONE place
+            # (module-level mega3_plans — PMYULA's fused engine shares it)
+            m3_plans = mega3_plans(self.gram, shape) if mega2_ok and mega_r2 == 32 else None
+            mega3_ok = m3_plans is not None
             # megar: any rank <= 4 PSF rides the fused forward+adjoint-sweep
             # stencil (kernels/tvr.py) — the rank >= 2 flagship engine
             megar_plan = None
@@ -292,7 +377,7 @@ class TVDeconvolution(IterativeSolver):
                     self.use_pallas = False
             _need = {"mega3": mega3_ok, "mega2": mega2_ok, "megar": megar_ok,
                      "mega": mega_ok, "sweep": sweep_available(*shape),
-                     "sweepm": False,  # needs mask mode
+                     "sweepm": False, "sweepm2": False,  # need mask mode
                      "element": element_available(*shape)}
             if not _need.get(mode, True):
                 raise ValueError(
@@ -307,10 +392,7 @@ class TVDeconvolution(IterativeSolver):
                 self.mega_C = jnp.asarray(C)
                 self.mega_F = jnp.asarray(F)
             if mode == "mega3":
-                _, L_r, _, _ = self.gram.g_meta
-                Et_p, Eb_p = make_mega3_corr_mats(self.gram.g_rows_E, L_r)
-                self.mega_Et = jnp.asarray(Et_p)
-                self.mega_Eb = jnp.asarray(Eb_p)
+                _, _, _, self.mega_Et, self.mega_Eb = m3_plans
                 self.iters_per_step = 2
             if mode in ("mega", "mega2", "mega3"):
                 self.mega_B = jnp.asarray(make_mega_band(self.gram.g_rows_acorr, r=self.mega_r))
@@ -403,6 +485,13 @@ class TVDeconvolution(IterativeSolver):
             x, z0, z1, stats = tv_pds_mega2_step(
                 x, z0, z1, self.atb, corr, self.mega_B, self.mega_C, self.mega_F,
                 mega_r=self.mega_r, **kw,
+            )
+            return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
+        if self.stencil_mode == "sweepm2":
+            from pycsou_tpu.kernels.tv import tv_pds_sweepm2_step
+
+            x, z0, z1, stats = tv_pds_sweepm2_step(
+                x, z0, z1, self.mask, self.atb, **kw
             )
             return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
         if self.stencil_mode == "sweepm":
@@ -543,11 +632,20 @@ class TVDeconvolution(IterativeSolver):
         """Objective value (pure/jittable; usable with track_objective).
 
         With a blur, the data term is evaluated through the Gram identity
-        ``||Ax-y||^2 = <x, A^H A x> - 2 <x, A^H y> + ||y||^2``."""
+        ``||Ax-y||^2 = <x, A^H A x> - 2 <x, A^H y> + ||y||^2``.  In mask
+        mode ``||Ax-y||^2 = sum_i c_i (x_i - atb_i/c_i)^2`` over observed
+        pixels (c = sample counts; exact for 0/1 masks, and correct up to
+        the constant within-pixel variance of repeated observations for
+        SubSampling counts > 1 — the back-projection atb cannot recover
+        ``||y||^2`` then).  ``isotropic=False`` scores the anisotropic
+        ``sum |dx| + |dy|`` TV term the engines actually minimise."""
         from pycsou_tpu.ops.diff import fdiff_forward
 
         x = jnp.asarray(x)
-        if self.gram is None:
+        if self.mask is not None:
+            yc = self.atb / jnp.maximum(self.mask, 1.0)
+            data = jnp.sum(self.mask * (x - yc) ** 2)
+        elif self.gram is None:
             data = jnp.sum((x - self.y) ** 2)
         else:
             data = (
@@ -555,5 +653,9 @@ class TVDeconvolution(IterativeSolver):
                 - 2.0 * jnp.vdot(x, self.atb)
                 + jnp.vdot(self.y, self.y)
             ).real
-        tv = jnp.sum(jnp.sqrt(fdiff_forward(x, 0) ** 2 + fdiff_forward(x, 1) ** 2))
+        dx, dy = fdiff_forward(x, 0), fdiff_forward(x, 1)
+        if self.iso:
+            tv = jnp.sum(jnp.sqrt(dx**2 + dy**2))
+        else:
+            tv = jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))
         return data + self.lam * tv

@@ -170,3 +170,18 @@ def test_tv_solver_aniso_converges(rng):
     assert float(jnp.linalg.norm(info["x"] - x_true)) < 0.5 * float(
         jnp.linalg.norm(y - x_true)
     )
+
+
+def test_aniso_objective_uses_l1_term(rng):
+    """objective() with isotropic=False scores sum|dx| + sum|dy|, the
+    functional the anisotropic engines actually minimise (regression: it
+    once always scored the L21 term)."""
+    from pycsou_tpu.ops.diff import fdiff_forward
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    y = jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)
+    s = TVDeconvolution((16, 16), y, 0.2, nonneg=False, isotropic=False, use_pallas=False)
+    x = jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)
+    dx, dy = fdiff_forward(x, 0), fdiff_forward(x, 1)
+    want = float(jnp.sum((x - y) ** 2) + 0.2 * (jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))))
+    np.testing.assert_allclose(float(s.objective(x)), want, rtol=1e-5)

@@ -388,7 +388,9 @@ def test_cps_tv_denoise_fuses_and_matches_generic(rng):
     )
     fused, generic = mk(True), mk(False)
     assert isinstance(fused._fused, TVDeconvolution)
-    assert not fused._fused.nonneg and fused._fused.mask is None
+    # denoise now routes through the masked (diagonal-Gram) engines with an
+    # all-ones mask — same mathematics, double-step sweepm2 kernel on TPU
+    assert not fused._fused.nonneg
     st_f = fused.run_fixed(60)
     st_g = generic.run_fixed(60)
     np.testing.assert_allclose(
