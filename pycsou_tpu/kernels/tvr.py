@@ -352,12 +352,13 @@ def tv_pds_megar_step(x, z0, z1, atb, Bf, Cf, Ba, Ca, *, tau: float, sigma: floa
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r", "H_global", "vma"),
+    static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret", "mega_r", "H_global", "vma", "iso"),
 )
 def tv_pds_megar_shard_step(x, z0, z1, atb_ext, halos, Bf, Cf, Ba, Ca, off, *,
                             H_global: int, tau: float, sigma: float, rho: float,
                             lam: float, nonneg: bool = True,
-                            interpret: bool = False, mega_r: int = 32, vma=None):
+                            interpret: bool = False, mega_r: int = 32, vma=None,
+                            iso: bool = True):
     """Shard-aware megar step (callable INSIDE shard_map): the device's
     rank-r fused iteration over its CORE (h_loc, W) blocks with six (R, W)
     ppermute halo blocks ``(xt, xb, z0t, z0b, z1t, z1b)`` stitched in-VMEM
@@ -377,20 +378,20 @@ def tv_pds_megar_shard_step(x, z0, z1, atb_ext, halos, Bf, Cf, Ba, Ca, off, *,
         x, atb_ext, z0, z1, Bf, Cf, Ba, Ca, off,
         R=R, H_global=int(H_global), core_lo=1, core_hi=nTc,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg,
-        interpret=interpret, vma=vma, halos=halos,
+        interpret=interpret, vma=vma, halos=halos, iso=iso,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tau", "sigma", "rho", "lam", "nonneg", "interpret",
-                     "mega_r", "H_global", "W_global", "vma"),
+                     "mega_r", "H_global", "W_global", "vma", "iso"),
 )
 def tv_pds_megar_shard2d_step(x_ext, z0_ext, z1_ext, atb_ext, halos, Bf, Cf,
                               Ba, Ca, off, *, H_global: int, W_global: int,
                               tau: float, sigma: float, rho: float, lam: float,
                               nonneg: bool = True, interpret: bool = False,
-                              mega_r: int = 32, vma=None):
+                              mega_r: int = 32, vma=None, iso: bool = True):
     """Fused rank-r PDS step for a TRUE 2-D spatial mesh (callable INSIDE a
     ``shard_map`` over ``(sp0, sp1)``): the device's (h_loc, w_loc) block
     with ONE-chunk (128-lane) column halos and R-row row halos.
@@ -414,6 +415,6 @@ def tv_pds_megar_shard2d_step(x_ext, z0_ext, z1_ext, atb_ext, halos, Bf, Cf,
         x_ext, atb_ext, z0_ext, z1_ext, Bf, Cf, Ba, Ca, off,
         R=R, H_global=int(H_global), core_lo=1, core_hi=nTc,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg,
-        interpret=interpret, vma=vma, halos=halos,
+        interpret=interpret, vma=vma, halos=halos, iso=iso,
         W_global=int(W_global), core_l=128,
     )

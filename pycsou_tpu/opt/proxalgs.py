@@ -455,9 +455,10 @@ class PrimalDualSplitting(IterativeSolver):
 
     def _route_sharded_fused(self, shardings):
         """DistributedTVDeconv2D / Spatial2DTVDeconv2D delegate for a
-        spatially-partitioned fused TV problem, or None when the request
-        doesn't map (non-TV delegate, mask mode, anisotropic, tau != sigma,
-        non-spatial spec, or a mesh the distributed ctor rejects)."""
+        spatially-partitioned fused TV problem (isotropic OR anisotropic),
+        or None when the request doesn't map (non-TV delegate, true
+        sampling-mask mode, tau != sigma, non-spatial spec, or a mesh the
+        distributed ctor rejects)."""
         from jax.sharding import NamedSharding
 
         from pycsou_tpu.opt.tv import TVDeconvolution
@@ -467,8 +468,10 @@ class PrimalDualSplitting(IterativeSolver):
             return None
         # filt is None for a TRUE sampling mask (no distributed masked
         # engine yet); a denoise routed through the masked engines keeps
-        # the identity-conv marker filt = ones((1,1)) and re-dispatches fine
-        if fused.filt is None or not fused.iso:
+        # the identity-conv marker filt = ones((1,1)) and re-dispatches
+        # fine.  Anisotropic TV routes too (the distributed engines thread
+        # the same static iso flag into the shard kernels).
+        if fused.filt is None:
             return None
         # gate on the DELEGATE's step sizes: a CPS-routed denoise carries the
         # effective tau' = tau/(1+2tau) != sigma, which the distributed
@@ -492,6 +495,7 @@ class PrimalDualSplitting(IterativeSolver):
                     nonneg=fused.nonneg, mesh=mesh, axis_name=spec[0],
                     tau=fused.tau, rho=self.rho, max_iter=self.max_iter,
                     min_iter=self.min_iter, accuracy_threshold=self.tol,
+                    isotropic=fused.iso,
                 )
             elif (
                 spec[0] is not None
@@ -505,6 +509,7 @@ class PrimalDualSplitting(IterativeSolver):
                     nonneg=fused.nonneg, mesh=mesh, tau=fused.tau,
                     rho=self.rho, max_iter=self.max_iter,
                     min_iter=self.min_iter, accuracy_threshold=self.tol,
+                    isotropic=fused.iso,
                 )
         except Exception as e:  # ctor gates (rank, divisibility, halo reach)
             from pycsou_tpu.opt.fuse import logger as _flog

@@ -100,6 +100,9 @@ class DistributedTVDeconv2D(IterativeSolver):
     rho: float = static_field(default=0.9)
     beta: float = static_field(default=2.0)
     nonneg: bool = static_field(default=True)
+    # isotropic (L21) vs anisotropic (L1 o Gradient) TV: the engines only
+    # differ in the per-pixel dual projection (kernels/tv.py _dual_prox)
+    iso: bool = static_field(default=True)
     mesh: Mesh = static_field(default=None)
     axis_name: str = static_field(default="sp")
     shape: Tuple[int, int] = static_field(default=None)
@@ -142,8 +145,10 @@ class DistributedTVDeconv2D(IterativeSolver):
         accuracy_threshold: float = 1e-6,
         verbose: Optional[int] = None,
         use_pallas: str = "auto",
+        isotropic: bool = True,
     ):
         super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
+        self.iso = bool(isotropic)
         H, W = shape
         self.mesh = mesh if mesh is not None else make_mesh(axis_names=(axis_name,))
         if len(self.mesh.axis_names) != 1:
@@ -438,8 +443,11 @@ class DistributedTVDeconv2D(IterativeSolver):
         # (lam ||.||_{2,1})* = indicator of the per-pixel l2 ball of radius
         # lam -> fenchel prox is the per-pixel ball projection (fused, local)
         v = z + sigma * sharded_grad2d(2.0 * x_temp - x, ax)
-        mag = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
-        z_temp = v * (lam / jnp.maximum(mag, lam))
+        if self.iso:
+            mag = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+            z_temp = v * (lam / jnp.maximum(mag, lam))
+        else:  # anisotropic: per-component box projection
+            z_temp = jnp.clip(v, -lam, lam)
 
         x_new = rho * x_temp + (1 - rho) * x
         z_new = rho * z_temp + (1 - rho) * z
@@ -478,7 +486,7 @@ class DistributedTVDeconv2D(IterativeSolver):
             self._mega_B, self._mega_C, self._mega_F,
             off, H_global=H, mega_r=R, interpret=self._pallas_interpret,
             tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
-            nonneg=self.nonneg,
+            nonneg=self.nonneg, iso=self.iso,
         )
         st = jax.lax.psum(st[0, :6], ax)
         return xn, z0n, z1n, st
@@ -504,7 +512,7 @@ class DistributedTVDeconv2D(IterativeSolver):
             self._megar_Bf, self._megar_Cf, self._megar_Ba, self._megar_Ca,
             off, H_global=H, mega_r=R, interpret=self._pallas_interpret,
             tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
-            nonneg=self.nonneg,
+            nonneg=self.nonneg, iso=self.iso,
         )
         st = jax.lax.psum(st[0, :6], ax)
         return xn, z0n, z1n, st
@@ -529,7 +537,7 @@ class DistributedTVDeconv2D(IterativeSolver):
             x, grad, z0, z1, (xt, xb, gt, gb, z0t, z0b, z1t, z1b), off,
             H_global=H, R=R, interpret=self._pallas_interpret,
             tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
-            nonneg=self.nonneg,
+            nonneg=self.nonneg, iso=self.iso,
         )
         st = jax.lax.psum(st[0, :6], ax)
         return xn, z0n, z1n, st
@@ -664,7 +672,10 @@ class DistributedTVDeconv2D(IterativeSolver):
         r = smapped(x) - self.y
         g0 = fdiff_forward(x, 0)
         g1 = fdiff_forward(x, 1)
-        tv = jnp.sum(jnp.sqrt(g0 * g0 + g1 * g1))
+        if self.iso:
+            tv = jnp.sum(jnp.sqrt(g0 * g0 + g1 * g1))
+        else:
+            tv = jnp.sum(jnp.abs(g0)) + jnp.sum(jnp.abs(g1))
         return jnp.sum(r * r) + self.lam * tv
 
 
@@ -707,6 +718,7 @@ class BatchedDistributedTVDeconv2D(IterativeSolver):
         min_iter: int = 10,
         accuracy_threshold: float = 1e-6,
         verbose: Optional[int] = None,
+        isotropic: bool = True,
     ):
         super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
         y = jnp.asarray(y, dtype)
@@ -742,6 +754,7 @@ class BatchedDistributedTVDeconv2D(IterativeSolver):
             rho=rho,
             dtype=dtype,
             max_iter=max_iter,
+            isotropic=isotropic,
         )
         self._inner = inner
         self.tau, self.sigma, self.rho = inner.tau, inner.sigma, inner.rho
@@ -842,6 +855,7 @@ class Spatial2DTVDeconv2D(IterativeSolver):
     rho: float = static_field(default=0.9)
     beta: float = static_field(default=2.0)
     nonneg: bool = static_field(default=True)
+    iso: bool = static_field(default=True)
     mesh: Mesh = static_field(default=None)
     ax_r: str = static_field(default="sp0")
     ax_c: str = static_field(default="sp1")
@@ -877,8 +891,10 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         accuracy_threshold: float = 1e-6,
         verbose: Optional[int] = None,
         use_pallas: str = "auto",
+        isotropic: bool = True,
     ):
         super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
+        self.iso = bool(isotropic)
         H, W = shape
         if mesh is None:
             n = jax.device_count()
@@ -1133,7 +1149,7 @@ class Spatial2DTVDeconv2D(IterativeSolver):
                 self._megar_Bf, self._megar_Cf, self._megar_Ba, self._megar_Ca,
                 off, H_global=H, mega_r=R, interpret=self._pallas_interpret,
                 tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
-                nonneg=self.nonneg,
+                nonneg=self.nonneg, iso=self.iso,
             )
             st = jax.lax.psum(jax.lax.psum(st[0, :6], ar), ac)
             return xn, z0n, z1n, st
@@ -1155,7 +1171,7 @@ class Spatial2DTVDeconv2D(IterativeSolver):
             off, H_global=H, W_global=W, mega_r=R,
             interpret=self._pallas_interpret,
             tau=self.tau, sigma=self.sigma, rho=self.rho, lam=self.lam,
-            nonneg=self.nonneg,
+            nonneg=self.nonneg, iso=self.iso,
         )
         st = jax.lax.psum(jax.lax.psum(st[0, :6], ar), ac)
         return xn, z0n, z1n, st
@@ -1177,8 +1193,11 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         if self.nonneg:
             x_temp = jnp.maximum(x_temp, 0.0)
         v = z + sigma * sharded_grad2d_2d(2.0 * x_temp - x, ar, ac)
-        mag = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
-        z_temp = v * (lam / jnp.maximum(mag, lam))
+        if self.iso:
+            mag = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+            z_temp = v * (lam / jnp.maximum(mag, lam))
+        else:  # anisotropic: per-component box projection
+            z_temp = jnp.clip(v, -lam, lam)
         return rho * x_temp + (1 - rho) * x, rho * z_temp + (1 - rho) * z
 
     # -- IterativeSolver protocol -------------------------------------------
@@ -1295,5 +1314,8 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         data = jnp.vdot(x, smapped(x)) - 2.0 * jnp.vdot(x, self.atb) + self._y2
         g0 = fdiff_forward(x, 0)
         g1 = fdiff_forward(x, 1)
-        tv = jnp.sum(jnp.sqrt(g0 * g0 + g1 * g1))
+        if self.iso:
+            tv = jnp.sum(jnp.sqrt(g0 * g0 + g1 * g1))
+        else:
+            tv = jnp.sum(jnp.abs(g0)) + jnp.sum(jnp.abs(g1))
         return data + self.lam * tv

@@ -318,13 +318,15 @@ def test_sharded_pds_routes_to_spatial2d_engine(rng):
 
 
 def test_sharded_routing_declines_gracefully(rng):
-    """tau != sigma / anisotropic / unroutable specs fall back to the
-    generic GSPMD chain (state_shardings set, no delegate)."""
+    """tau != sigma / unroutable specs fall back to the generic GSPMD chain
+    (state_shardings set, no delegate); anisotropic TV ROUTES (the
+    distributed engines thread the same iso flag) with exact iterates."""
     from pycsou_tpu.func import SquaredL2Loss
     from pycsou_tpu.func.penalty import L1Norm
     from pycsou_tpu.ops.conv import Convolve2D
     from pycsou_tpu.ops.diff import Gradient
     from pycsou_tpu.opt import PDS
+    from pycsou_tpu.parallel.solvers import DistributedTVDeconv2D
 
     shape = (64, 64)
     filt = _gauss(7, 1.5)
@@ -337,13 +339,20 @@ def test_sharded_routing_declines_gracefully(rng):
     sh1 = tau_ne.with_shardings(x=xsh)
     assert sh1._fused is None and sh1.state_shardings
 
-    aniso = PDS(
+    mk_aniso = lambda fuse: PDS(
         shape, F=SquaredL2Loss(shape, data=y) * Convolve2D(shape, filt),
-        H=0.05 * L1Norm((2,) + shape), K=Gradient(shape), max_iter=50,
+        H=0.05 * L1Norm((2,) + shape), K=Gradient(shape), max_iter=100,
+        fuse=fuse,
     )
+    aniso = mk_aniso(True)
     assert aniso._fused is not None and not aniso._fused.iso
     sh2 = aniso.with_shardings(x=xsh)
-    assert sh2._fused is None and sh2.state_shardings
+    assert isinstance(sh2._fused, DistributedTVDeconv2D) and not sh2._fused.iso
+    st_s = sh2.run_fixed(25)
+    st_g = mk_aniso(False).run_fixed(25)
+    np.testing.assert_allclose(
+        np.asarray(st_s["x"]), np.asarray(st_g["x"]), rtol=2e-4, atol=2e-5
+    )
 
 
 def test_cps_delegate_sharding_declines_routing(rng):

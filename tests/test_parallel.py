@@ -426,3 +426,29 @@ def test_distributed_tv_rejects_multiaxis_mesh(rng):
     mesh2d = make_mesh((2, 4), ("sp", "b"))
     with pytest.raises(ValueError, match="1-D mesh"):
         DistributedTVDeconv2D((32, 16), h, y, 0.05, mesh=mesh2d)
+
+
+def test_distributed_aniso_matches_single_device(rng):
+    """DistributedTVDeconv2D(isotropic=False) == the single-device
+    anisotropic solver across the mesh (XLA chain; the fused per-shard
+    engines thread the same static iso flag into the kernels)."""
+    import numpy as np
+
+    from pycsou_tpu.opt.tv import TVDeconvolution
+    from pycsou_tpu.parallel import DistributedTVDeconv2D, make_mesh
+
+    H, W = 64, 32
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    h = np.outer(g, g).astype(np.float32)
+    h /= h.sum()
+    y = np.abs(rng.standard_normal((H, W))).astype(np.float32)
+    mesh = make_mesh(axis_names=("sp",))
+    dist = DistributedTVDeconv2D((H, W), h, y, lam=0.05, nonneg=True,
+                                 mesh=mesh, isotropic=False)
+    single = TVDeconvolution((H, W), jnp.asarray(y), 0.05, filt=h, nonneg=True,
+                             isotropic=False, use_pallas=False, max_iter=100)
+    st_d = dist.run_fixed(30)
+    st_s = single.run_fixed(30)
+    np.testing.assert_allclose(
+        np.asarray(st_d["x"]), np.asarray(st_s["x"]), rtol=2e-4, atol=2e-5
+    )

@@ -271,3 +271,32 @@ def test_megar2d_rank2_without_engine_raises(rng):
     y = _problem(rng, 128, 512, h2)
     with pytest.raises(ValueError, match="megar2d"):
         Spatial2DTVDeconv2D((128, 512), h2, y, 0.05, mesh=_mesh2d((2, 2)), use_pallas=False)
+
+
+def test_megasp_aniso_matches_xla_chain(rng):
+    """The fused per-shard mega2 engine with isotropic=False (box dual
+    projection threaded into the shard kernel) == the distributed XLA
+    chain with the same flag."""
+    import numpy as np
+
+    from pycsou_tpu.parallel import DistributedTVDeconv2D, make_mesh
+
+    H, W = 32 * 8, 384
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    h = np.outer(g, g).astype(np.float32)
+    h /= h.sum()
+    y = np.abs(rng.standard_normal((H, W))).astype(np.float32)
+    mesh = make_mesh(axis_names=("sp",))
+    mk = lambda up: DistributedTVDeconv2D(
+        (H, W), h, y, lam=0.05, nonneg=True, mesh=mesh, isotropic=False,
+        use_pallas=up,
+    )
+    fused, chain = mk("interpret"), mk(False)
+    assert fused._sp_engine == "megasp" and not fused.iso
+    st_f = fused.run_fixed(5)
+    st_c = chain.run_fixed(5)
+    z_f = np.stack([np.asarray(st_f["z0"]), np.asarray(st_f["z1"])])
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_c["x"]), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(z_f, np.asarray(st_c["z"]), rtol=2e-4, atol=2e-5)
