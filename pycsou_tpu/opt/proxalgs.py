@@ -466,13 +466,12 @@ class PrimalDualSplitting(IterativeSolver):
         fused = self._fused
         if not isinstance(fused, TVDeconvolution):
             return None
-        # filt is None for a TRUE sampling mask (no distributed masked
-        # engine yet); a denoise routed through the masked engines keeps
-        # the identity-conv marker filt = ones((1,1)) and re-dispatches
-        # fine.  Anisotropic TV routes too (the distributed engines thread
-        # the same static iso flag into the shard kernels).
-        if fused.filt is None:
-            return None
+        # Every single-chip TV flavour re-dispatches: conv/denoise (filt
+        # set), TRUE sampling masks (filt None -> DistributedTVDeconv2D's
+        # own mask mode, 1-D meshes only), isotropic or anisotropic.
+        mask_mode = fused.filt is None
+        if mask_mode and fused.mask is None:
+            return None  # defensive: no recognisable data term
         # gate on the DELEGATE's step sizes: a CPS-routed denoise carries the
         # effective tau' = tau/(1+2tau) != sigma, which the distributed
         # engines (one balanced scalar) cannot express
@@ -491,12 +490,16 @@ class PrimalDualSplitting(IterativeSolver):
                 from pycsou_tpu.parallel.solvers import DistributedTVDeconv2D
 
                 dist = DistributedTVDeconv2D(
-                    tuple(fused.y.shape), fused.filt, fused.y, fused.lam,
+                    tuple(fused.y.shape), None if mask_mode else fused.filt,
+                    fused.y, fused.lam,
                     nonneg=fused.nonneg, mesh=mesh, axis_name=spec[0],
                     tau=fused.tau, rho=self.rho, max_iter=self.max_iter,
                     min_iter=self.min_iter, accuracy_threshold=self.tol,
                     isotropic=fused.iso,
+                    mask=fused.mask if mask_mode else None,
                 )
+            elif mask_mode:
+                return None  # Spatial2D has no mask engine (yet)
             elif (
                 spec[0] is not None
                 and spec[1] is not None

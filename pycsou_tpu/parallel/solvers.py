@@ -81,6 +81,10 @@ class DistributedTVDeconv2D(IterativeSolver):
     y: jax.Array = None
     filt: jax.Array = None
     atb: jax.Array = None
+    # diagonal-Gram (sampling-operator) mode: A^H A = diag(mask) — the
+    # distributed realisation of opt/tv.py's inpainting/superres mode.
+    # grad is elementwise per shard; the stencil rides the sweepsp engine.
+    mask: jax.Array = None
     # rFFT transfer functions, split re/im (complex d2h is unimplemented on
     # some TPU runtimes and split-real keeps closure-jit usable)
     _h_hat_fwd: tuple = None
@@ -146,6 +150,7 @@ class DistributedTVDeconv2D(IterativeSolver):
         verbose: Optional[int] = None,
         use_pallas: str = "auto",
         isotropic: bool = True,
+        mask=None,
     ):
         super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
         self.iso = bool(isotropic)
@@ -162,10 +167,65 @@ class DistributedTVDeconv2D(IterativeSolver):
         if H % n_dev:
             raise ValueError(f"image height {H} must divide over {n_dev} devices")
         self.shape = (H, W)
-        self.filt = jnp.asarray(filt, dtype)
         self.lam = float(lam)
         self.nonneg = bool(nonneg)
         self.rho = float(rho)
+
+        if use_pallas is True and jax.default_backend() in ("cpu",):
+            # a compiled (non-interpret) Mosaic kernel cannot lower on the
+            # CPU backend — fail at construction with the fix named (ADVICE r4)
+            raise ValueError(
+                "use_pallas=True forces the compiled TPU engine but the "
+                "active backend is CPU; pass use_pallas='interpret' for "
+                "CPU meshes or leave the default 'auto'"
+            )
+
+        self.mask = None
+        if mask is not None:
+            # diagonal-Gram (sampling-operator) mode, the distributed twin
+            # of opt/tv.py's inpainting mode: ``y`` is the back-projected
+            # data A^H y, grad = 2 (mask * x - atb) elementwise per shard,
+            # and the stencil rides the sweepsp fused engine.
+            if filt is not None:
+                raise ValueError(
+                    "mask mode models a diagonal sampling forward operator; "
+                    "pass filt=None"
+                )
+            m = jnp.asarray(mask, dtype)
+            if m.shape != (H, W):
+                raise ValueError(f"mask shape {m.shape} != image shape {(H, W)}")
+            self.filt = None
+            beta = 2.0 * float(jnp.max(m))
+            L_K = math.sqrt(8.0)
+            if tau is None:
+                tau = (1.0 / L_K**2) * (-beta / 4 + math.sqrt(beta**2 / 16 + L_K**2))
+            self.tau = self.sigma = float(tau)
+            self.beta = beta
+            spec_x = NamedSharding(self.mesh, PartitionSpec(self.axis_name, None))
+            self.y = jax.device_put(jnp.asarray(y, dtype), spec_x)
+            self.atb = self.y
+            self.mask = jax.device_put(m, spec_x)
+            self._h_hat_fwd = self._h_hat_adj = self._acorr_hat = None
+            self._use_gram = self._use_band = False
+            self._band_rows = self._band_cols = None
+            self._mega_B = self._mega_C = self._mega_F = self._atb_ext = None
+            self._megar_Bf = self._megar_Cf = self._megar_Ba = self._megar_Ca = None
+            self._sp_engine, self._sp_r = "", 0
+            self._pallas_interpret = use_pallas == "interpret"
+            pallas_on = (
+                use_pallas == "interpret"
+                or bool(use_pallas is True)
+                or (use_pallas == "auto" and jax.default_backend() not in ("cpu",))
+            )
+            h_local_ = H // n_dev
+            if pallas_on:
+                for r in (32, 16, 8):
+                    if h_local_ % r == 0 and h_local_ >= r and (r + 8) * W * 4 <= 820_000:
+                        self._sp_engine, self._sp_r = "sweepsp", r
+                        break
+            return
+
+        self.filt = jnp.asarray(filt, dtype)
 
         # Lipschitz constants, closed form (no ARPACK):
         pad = (H + self.filt.shape[0] - 1, W + self.filt.shape[1] - 1)
@@ -428,11 +488,14 @@ class DistributedTVDeconv2D(IterativeSolver):
         r = sharded_conv2d(x, filt, ax, h_hat=_join(self._h_hat_fwd)) - y_loc
         return 2.0 * sharded_conv2d_adjoint(r, filt, ax, h_hat=_join(self._h_hat_adj))
 
-    def _local_step(self, x, z, atb_loc, y_loc=None):
+    def _local_step(self, x, z, atb_loc, y_loc=None, m_loc=None):
         ax = self.axis_name
         tau, sigma, rho, lam = self.tau, self.sigma, self.rho, self.lam
 
-        grad = self._data_grad(x, atb_loc, y_loc)
+        if m_loc is not None:  # diagonal (sampling) Gram: elementwise
+            grad = 2.0 * (m_loc * x - atb_loc)
+        else:
+            grad = self._data_grad(x, atb_loc, y_loc)
 
         # x+ = prox_G(x - tau grad - tau K^H z)
         x_temp = x - tau * grad - tau * sharded_grad2d_adjoint(z, ax)
@@ -517,17 +580,21 @@ class DistributedTVDeconv2D(IterativeSolver):
         st = jax.lax.psum(st[0, :6], ax)
         return xn, z0n, z1n, st
 
-    def _local_step_sweepsp(self, x, z0, z1, atb_loc, y_loc):
-        """Sharded Gram (banded / FFT / forward+adjoint — ANY mode) for the
-        data-term gradient, then the fused stencil sweep kernel per shard
-        with R-row halos of (x, g, z0, z1)."""
+    def _local_step_sweepsp(self, x, z0, z1, atb_loc, y_loc, m_loc=None):
+        """Sharded Gram (banded / FFT / forward+adjoint — ANY mode, or the
+        elementwise diagonal mask Gram) for the data-term gradient, then the
+        fused stencil sweep kernel per shard with R-row halos of
+        (x, g, z0, z1)."""
         from pycsou_tpu.kernels.tv import tv_pds_sweep_shard_step
 
         ax = self.axis_name
         R = self._sp_r
         H, W = self.shape
         h_loc = H // self.mesh.devices.size
-        grad = self._data_grad(x, atb_loc, y_loc)
+        if m_loc is not None:  # diagonal (sampling) Gram: elementwise
+            grad = 2.0 * (m_loc * x - atb_loc)
+        else:
+            grad = self._data_grad(x, atb_loc, y_loc)
         off = (jax.lax.axis_index(ax) * h_loc - R).astype(jnp.int32).reshape(1)
         xt, xb = self._halos_local(x, R)
         gt, gb = self._halos_local(grad, R)
@@ -577,6 +644,20 @@ class DistributedTVDeconv2D(IterativeSolver):
             )
             x, z0, z1, st = smapped(state["x"], state["z0"], state["z1"], self._atb_ext)
             return {"x": x, "z0": z0, "z1": z1, "_stats": st}
+        if self._sp_engine == "sweepsp" and self.mask is not None:
+            smapped = jax.shard_map(
+                lambda x, z0, z1, m, t: self._local_step_sweepsp(
+                    x, z0, z1, t, None, m_loc=m
+                ),
+                mesh=self.mesh,
+                in_specs=(self._spec_x(),) * 5,
+                out_specs=(self._spec_x(),) * 3 + (P(),),
+                check_vma=False,
+            )
+            x, z0, z1, st = smapped(
+                state["x"], state["z0"], state["z1"], self.mask, self.atb
+            )
+            return {"x": x, "z0": z0, "z1": z1, "_stats": st}
         if self._sp_engine == "sweepsp":
             third = self.atb if (self._use_band or self._use_gram) else self.y
             smapped = jax.shard_map(
@@ -592,6 +673,15 @@ class DistributedTVDeconv2D(IterativeSolver):
             )
             x, z0, z1, st = smapped(state["x"], state["z0"], state["z1"], third)
             return {"x": x, "z0": z0, "z1": z1, "_stats": st}
+        if self.mask is not None:  # diagonal-Gram XLA chain
+            smapped = jax.shard_map(
+                lambda x, z, m, t: self._local_step(x, z, t, m_loc=m),
+                mesh=self.mesh,
+                in_specs=(self._spec_x(), self._spec_z(), self._spec_x(), self._spec_x()),
+                out_specs=(self._spec_x(), self._spec_z()),
+            )
+            x, z = smapped(state["x"], state["z"], self.mask, self.atb)
+            return {"x": x, "z": z}
         # same predicate _data_grad keys on: atb is consumed iff the band
         # OR fused-Gram route runs (today band implies gram-eligible, but
         # the dispatch must not rely on that coupling)
@@ -658,9 +748,19 @@ class DistributedTVDeconv2D(IterativeSolver):
         return state["x"], state["z"]
 
     def objective(self, x) -> jax.Array:
-        """Global objective (pure/jittable; GSPMD reduces over the mesh)."""
+        """Global objective (pure/jittable; GSPMD reduces over the mesh).
+        Mask mode scores observed pixels only (see opt/tv.py objective)."""
         from pycsou_tpu.ops.diff import fdiff_forward
 
+        g0 = fdiff_forward(x, 0)
+        g1 = fdiff_forward(x, 1)
+        if self.iso:
+            tv = jnp.sum(jnp.sqrt(g0 * g0 + g1 * g1))
+        else:
+            tv = jnp.sum(jnp.abs(g0)) + jnp.sum(jnp.abs(g1))
+        if self.mask is not None:
+            yc = self.atb / jnp.maximum(self.mask, 1.0)
+            return jnp.sum(self.mask * (x - yc) ** 2) + self.lam * tv
         ax = self.axis_name
         P = PartitionSpec
         smapped = jax.shard_map(
@@ -670,12 +770,6 @@ class DistributedTVDeconv2D(IterativeSolver):
             out_specs=P(ax, None),
         )
         r = smapped(x) - self.y
-        g0 = fdiff_forward(x, 0)
-        g1 = fdiff_forward(x, 1)
-        if self.iso:
-            tv = jnp.sum(jnp.sqrt(g0 * g0 + g1 * g1))
-        else:
-            tv = jnp.sum(jnp.abs(g0)) + jnp.sum(jnp.abs(g1))
         return jnp.sum(r * r) + self.lam * tv
 
 

@@ -452,3 +452,33 @@ def test_distributed_aniso_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(st_d["x"]), np.asarray(st_s["x"]), rtol=2e-4, atol=2e-5
     )
+
+
+def test_distributed_mask_mode_matches_single_device(rng):
+    """DistributedTVDeconv2D(mask=...) — the distributed inpainting mode —
+    equals the single-device diagonal-Gram solver across the mesh (XLA
+    chain on CPU; sweepsp carries the same grad on TPU)."""
+    import numpy as np
+
+    from pycsou_tpu.opt.tv import TVDeconvolution
+    from pycsou_tpu.parallel import DistributedTVDeconv2D, make_mesh
+
+    H, W = 64, 32
+    keep = rng.random((H, W)) < 0.5
+    m = keep.astype(np.float32)
+    y_img = m * np.abs(rng.standard_normal((H, W))).astype(np.float32)
+    mesh = make_mesh(axis_names=("sp",))
+    dist = DistributedTVDeconv2D((H, W), None, y_img, lam=0.05, nonneg=True,
+                                 mesh=mesh, mask=m)
+    assert dist.mask is not None and dist.filt is None
+    single = TVDeconvolution((H, W), jnp.asarray(y_img), 0.05, mask=jnp.asarray(m),
+                             nonneg=True, use_pallas=False, max_iter=100)
+    st_d = dist.run_fixed(30)
+    st_s = single.run_fixed(30)
+    np.testing.assert_allclose(
+        np.asarray(st_d["x"]), np.asarray(st_s["x"]), rtol=2e-4, atol=2e-5
+    )
+    # objective parity too (observed pixels only)
+    np.testing.assert_allclose(
+        float(dist.objective(st_d["x"])), float(single.objective(st_s["x"])), rtol=1e-5
+    )

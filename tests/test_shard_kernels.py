@@ -300,3 +300,30 @@ def test_megasp_aniso_matches_xla_chain(rng):
         np.asarray(st_f["x"]), np.asarray(st_c["x"]), rtol=2e-4, atol=2e-5
     )
     np.testing.assert_allclose(z_f, np.asarray(st_c["z"]), rtol=2e-4, atol=2e-5)
+
+
+def test_sweepsp_masked_matches_xla_chain(rng):
+    """The per-shard fused sweepsp engine with the DIAGONAL mask Gram ==
+    the distributed XLA chain (interpret mode on the CPU mesh)."""
+    import numpy as np
+
+    from pycsou_tpu.parallel import DistributedTVDeconv2D, make_mesh
+
+    H, W = 32 * 8, 256
+    keep = rng.random((H, W)) < 0.4
+    m = keep.astype(np.float32)
+    y_img = m * np.abs(rng.standard_normal((H, W))).astype(np.float32)
+    mesh = make_mesh(axis_names=("sp",))
+    mk = lambda up: DistributedTVDeconv2D(
+        (H, W), None, y_img, lam=0.05, nonneg=True, mesh=mesh, mask=m,
+        use_pallas=up,
+    )
+    fused, chain = mk("interpret"), mk(False)
+    assert fused._sp_engine == "sweepsp" and chain._sp_engine == ""
+    st_f = fused.run_fixed(5)
+    st_c = chain.run_fixed(5)
+    z_f = np.stack([np.asarray(st_f["z0"]), np.asarray(st_f["z1"])])
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_c["x"]), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(z_f, np.asarray(st_c["z"]), rtol=2e-4, atol=2e-5)
