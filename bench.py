@@ -437,6 +437,17 @@ def sec_inpaint(ctx):
     iips, _ = _time_solver(si, "inpaint", iters=50, reps=2)
     RESULTS["inpaint_ips"] = round(iips, 1)
     emit()
+    # COMBINED blur + mask (partial blurred measurements — superres with
+    # blur): the masked megar cascade fuses forward sweep -> data mask ->
+    # adjoint sweep -> stencil in one pass ('megarm')
+    ss = TVDeconvolution(
+        SHAPE, m * ctx["yj"], LAM, filt=ctx["h"], mask=m, nonneg=True,
+        max_iter=1000, metric_every=1,
+    )
+    log(f"superres stencil={ss.stencil_mode}")
+    sips, _ = _time_solver(ss, "superres", iters=50, reps=2)
+    RESULTS["superres_ips"] = round(sips, 1)
+    emit()
     # large-image TV DENOISING now auto-routes through the same double-step
     # diagonal-Gram engine (identity mask): ~1.8x over the mega3 machinery
     sd = TVDeconvolution(

@@ -70,7 +70,7 @@ def make_megar_plan(us, vs, shape):
 
 def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
                      RANK, core_lo, core_hi, shard, W_global=None, CORE_L=0,
-                     W_core=None, iso=True):
+                     W_core=None, iso=True, masked=False):
     """Single-chip AND shard-aware fused rank-r step.  ``off_ref`` (SMEM,
     (2,) i32): GLOBAL (row, col) of (ext) local (0, 0) ((0, 0) single-chip;
     shard callers pass ``device_row0 - R``; 2-D-mesh callers additionally
@@ -90,9 +90,18 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
     off_c = off_ref[1]
     Wg = W if W_global is None else W_global
     Wc = W if W_core is None else W_core
+    m_ref = None
     if shard:
         (x_ref, a_ref, z0_ref, z1_ref, xt_r, xb_r, z0t_r, z0b_r, z1t_r, z1b_r,
          bf_ref, cf_ref, ba_ref, ca_ref, xo, z0o, z1o, so,
+         s_x1, s_x2, s_a, s_z0, s_z1, s_lv, s_lvt, s_la, s_lat) = refs
+    elif masked:
+        # masked deconvolution (superres-with-blur, VERDICT r4 task 2's
+        # '(o Conv)' case): the data mask streams at the t-tile index and
+        # multiplies t = A x between the forward and adjoint stages —
+        # the Gram becomes A^H diag(m) A exactly
+        (x_ref, a_ref, m_ref, z0_ref, z1_ref, bf_ref, cf_ref, ba_ref, ca_ref,
+         xo, z0o, z1o, so,
          s_x1, s_x2, s_a, s_z0, s_z1, s_lv, s_lvt, s_la, s_lat) = refs
     else:
         (x_ref, a_ref, z0_ref, z1_ref, bf_ref, cf_ref, ba_ref, ca_ref,
@@ -143,6 +152,8 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
                 tmask, jnp.logical_and(tcol >= 0, tcol < Wg)
             )
         t = t * jnp.where(tmask, 1.0, 0.0)
+        if masked:  # data mask on t = A x (tile i-1 — the m stream's index)
+            t = t * m_ref[...]
         la = _lane_conv_multi(t.astype(dt), ca_ref, W, RANK)
 
         @pl.when(i > 1)
@@ -240,7 +251,7 @@ def _tv_megar_kernel(off_ref, *refs, R, nT, H, W, tau, sigma, rho, lam, nonneg,
 
 def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
                 core_hi, tau, sigma, rho, lam, nonneg, interpret, vma=None,
-                halos=None, W_global=None, core_l=0, iso=True):
+                halos=None, W_global=None, core_l=0, iso=True, mask=None):
     """Shared pallas_call for the single-chip and shard-aware megar paths
     (the kernels/tv.py _mega2_call convention: in shard mode x/z0/z1 are the
     device's CORE (h_loc, W) blocks, ``atb`` the halo-EXTENDED
@@ -284,7 +295,7 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
         nonneg=bool(nonneg), RANK=rank,
         core_lo=int(core_lo), core_hi=int(core_hi), shard=shard,
         W_global=(None if W_global is None else int(W_global)),
-        CORE_L=int(core_l), W_core=Wc, iso=bool(iso),
+        CORE_L=int(core_l), W_core=Wc, iso=bool(iso), masked=mask is not None,
     )
     cp = getattr(pltpu, "CompilerParams", None) or getattr(pltpu, "TPUCompilerParams")
     try:
@@ -293,6 +304,11 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
         params = cp(dimension_semantics=("arbitrary",))
     in_specs = [off_spec, x_spec, a_spec, z_spec, z_spec]
     inputs = [off, x, atb, z0, z1]
+    if mask is not None:
+        if shard:
+            raise ValueError("masked megar is single-chip only (no shard mode)")
+        in_specs.insert(3, a_spec)  # m streams at the t-tile index, like atb
+        inputs.insert(3, mask)
     if shard:
         in_specs += [halo_spec] * 6
         inputs += list(halos)
@@ -307,8 +323,12 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
         out_shape=[sds((Hl, Wc), x.dtype)] * 3 + [sds((8, 128), jnp.float32)],
         # in-place x/z0/z1 (see _mega2_call): kills the while-carry copies.
         # The 2-D-mesh path cannot alias (ext inputs vs core outputs differ
-        # in shape) — it pays the carry copies instead
-        input_output_aliases=({1: 0, 3: 1, 4: 2} if core_l == 0 else {}),
+        # in shape) — it pays the carry copies instead.  The masked variant
+        # shifts the z inputs by one slot (m inserted at 3).
+        input_output_aliases=(
+            {} if core_l != 0
+            else ({1: 0, 4: 1, 5: 2} if mask is not None else {1: 0, 3: 1, 4: 2})
+        ),
         scratch_shapes=[
             pltpu.VMEM((R, W), jnp.float32),       # s_x1 (tile i-1)
             pltpu.VMEM((R, W), jnp.float32),       # s_x2 (tile i-2)
@@ -331,7 +351,8 @@ def _megar_call(x, atb, z0, z1, Bf, Cf, Ba, Ca, off, *, R, H_global, core_lo,
 )
 def tv_pds_megar_step(x, z0, z1, atb, Bf, Cf, Ba, Ca, *, tau: float, sigma: float,
                       rho: float, lam: float, nonneg: bool = True,
-                      interpret: bool = False, mega_r: int = 32, iso: bool = True):
+                      interpret: bool = False, mega_r: int = 32, iso: bool = True,
+                      mask=None):
     """One full TV PDS iteration with the ENTIRE rank-r Gram (forward +
     adjoint sweeps) fused into the stencil kernel — the rank >= 2 analogue
     of :func:`pycsou_tpu.kernels.tv.tv_pds_mega2_step` (same 7 HBM streams,
@@ -346,7 +367,7 @@ def tv_pds_megar_step(x, z0, z1, atb, Bf, Cf, Ba, Ca, *, tau: float, sigma: floa
         x, atb, z0, z1, Bf, Cf, Ba, Ca, jnp.zeros((2,), jnp.int32),
         R=R, H_global=H, core_lo=0, core_hi=H // R - 1,
         tau=tau, sigma=sigma, rho=rho, lam=lam, nonneg=nonneg, interpret=interpret,
-        iso=iso,
+        iso=iso, mask=mask,
     )
 
 

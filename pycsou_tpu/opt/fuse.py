@@ -195,13 +195,29 @@ def match_tv_deconvolution(
             isotropic=iso,
         )
     my = _match_sampling_least_squares(dim_shape, F)
-    if my is None:
+    if my is not None:
+        mask, y_img = my
+        return TVDeconvolution(
+            dim_shape,
+            y_img,
+            lam,
+            mask=mask,
+            nonneg=nonneg,
+            tau=float(tau),
+            sigma=float(sigma),
+            rho=float(rho),
+            metric_every=metric_every,
+            isotropic=iso,
+        )
+    mc = _match_masked_conv_least_squares(dim_shape, F)
+    if mc is None:
         return None
-    mask, y_img = my
+    filt, mask, y_img = mc
     return TVDeconvolution(
         dim_shape,
         y_img,
         lam,
+        filt=filt,
         mask=mask,
         nonneg=nonneg,
         tau=float(tau),
@@ -323,6 +339,36 @@ def _match_sampling_least_squares(dim_shape, F):
     mask = F.op.adjoint(ones)
     y_img = F.op.adjoint(F.data)
     return mask, y_img
+
+
+def _match_masked_conv_least_squares(dim_shape, F):
+    """``||M A x - y||^2`` with M a diagonal-Gram sampling operator composed
+    AFTER a real Convolve2D (partial blurred measurements — super-resolution
+    with blur).  Returns ``(filt, mask, y_img)`` with ``mask = M^H(1)`` and
+    ``y_img = M^H y`` — the inputs of TVDeconvolution's COMBINED mode (the
+    masked megar cascade fuses A^H diag(m) A).  None on mismatch; exact
+    node-type checks only."""
+    import jax.numpy as jnp
+
+    from pycsou_tpu.core.linop import LinOpComp
+    from pycsou_tpu.func.loss import LeastSquaresLoss
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.ops.sampling import DownSampling, Masking, SubSampling
+
+    if type(F) is not LeastSquaresLoss or type(F.op) is not LinOpComp:
+        return None
+    M, A = F.op.m1, F.op.m2
+    if type(M) not in (Masking, DownSampling, SubSampling):
+        return None
+    if type(A) is not Convolve2D or tuple(A.dim_shape) != tuple(dim_shape):
+        return None
+    filt = np.asarray(A.filt)
+    if not np.isrealobj(filt):
+        return None
+    ones = jnp.ones(M.codim_shape, jnp.float32)
+    mask = M.adjoint(ones)
+    y_img = M.adjoint(F.data)
+    return filt, mask, y_img
 
 
 def match_lasso(

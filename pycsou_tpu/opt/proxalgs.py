@@ -469,6 +469,9 @@ class PrimalDualSplitting(IterativeSolver):
         # Every single-chip TV flavour re-dispatches: conv/denoise (filt
         # set), TRUE sampling masks (filt None -> DistributedTVDeconv2D's
         # own mask mode, 1-D meshes only), isotropic or anisotropic.
+        # Combined blur+mask (conv set) has no distributed engine yet.
+        if fused.conv is not None:
+            return None
         mask_mode = fused.filt is None
         if mask_mode and fused.mask is None:
             return None  # defensive: no recognisable data term

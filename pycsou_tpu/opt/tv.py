@@ -114,7 +114,7 @@ class TVDeconvolution(IterativeSolver):
 
     # engines whose kernels emit the stopping-metric partial sums from
     # their epilogue (``_stats`` state entry; metric_every=1 is free)
-    _STATS_ENGINES = ("mega2", "mega3", "megar", "sweep", "sweepm", "sweepm2")
+    _STATS_ENGINES = ("mega2", "mega3", "megar", "megarm", "sweep", "sweepm", "sweepm2")
 
     y: jax.Array = None
     gram: object = None
@@ -127,6 +127,9 @@ class TVDeconvolution(IterativeSolver):
     # problem onto the per-shard fused distributed engines (VERDICT r4
     # task 3 — opt/proxalgs.py PrimalDualSplitting.with_shardings)
     filt: jax.Array = None
+    # combined (blur + mask) mode: the forward operator M o A — the Gram is
+    # A^H diag(mask) A, fused by the masked megar cascade ('megarm')
+    conv: object = None
     lam: float = static_field(default=0.1)
     tau: float = static_field(default=0.1)
     sigma: float = static_field(default=0.1)
@@ -215,18 +218,28 @@ class TVDeconvolution(IterativeSolver):
             # denoise onto DistributedTVDeconv2D (a true sampling mask has
             # filt None and declines routing)
             self.filt = jnp.ones((1, 1), jnp.float32)
-        if mask is not None:
+        self.conv = None
+        if mask is not None and filt is not None:
+            # COMBINED (blur + mask) mode: forward operator M o A — partial
+            # blurred measurements (super-resolution with blur, VERDICT r4
+            # task 2's '(o Conv)' case).  ``y`` is the back-projection
+            # M^H y_obs; Gram = A^H diag(mask) A (masked megar cascade).
+            m = jnp.asarray(mask, jnp.float32)
+            if m.shape != tuple(shape):
+                raise ValueError(f"mask shape {m.shape} != image shape {tuple(shape)}")
+            A = Convolve2D(shape, filt)
+            self.mask = m
+            self.filt = jnp.asarray(filt, jnp.float32)
+            self.conv = A
+            self.gram = None
+            self.atb = A.adjoint(self.y)
+            self.beta = 2.0 * float(jnp.max(m)) * A.lipschitz**2
+        elif mask is not None:
             # diagonal-Gram (sampling forward operator) mode: A^H A =
             # diag(mask) with mask = A^H(1) — Masking/DownSampling/
             # SubSampling data terms (inpainting, zero-fill superres;
             # reference sampling.py:125-196).  ``y`` here is the
             # BACK-PROJECTED data A^H y (the zero-filled observed image).
-            if filt is not None:
-                raise ValueError(
-                    "mask mode models a diagonal sampling forward operator; "
-                    "pass filt=None (blurred+masked forward operators are "
-                    "not fused yet)"
-                )
             m = jnp.asarray(mask, jnp.float32)
             if m.shape != tuple(shape):
                 raise ValueError(f"mask shape {m.shape} != image shape {tuple(shape)}")
@@ -279,7 +292,7 @@ class TVDeconvolution(IterativeSolver):
         # the shape/PSF doesn't qualify (ADVICE r2).
         from pycsou_tpu.kernels.tv import element_available, sweep_available
 
-        _STENCILS = ("auto", "mega3", "mega2", "megar", "mega", "sweep", "sweepm", "sweepm2", "element", "xla")
+        _STENCILS = ("auto", "mega3", "mega2", "megar", "megarm", "mega", "sweep", "sweepm", "sweepm2", "element", "xla")
         if stencil not in _STENCILS:
             raise ValueError(f"unknown stencil {stencil!r}; expected one of {_STENCILS}")
 
@@ -298,6 +311,34 @@ class TVDeconvolution(IterativeSolver):
                 )
             self.use_pallas = False
             self.stencil_mode = "xla"
+        elif self.conv is not None:
+            # combined (blur + mask) mode: the masked megar cascade fuses
+            # forward sweep -> mask -> adjoint sweep -> stencil for any
+            # rank <= 4 PSF; anything else runs the XLA chain
+            if stencil not in ("auto", "megarm"):
+                raise ValueError(
+                    "combined blur+mask mode supports stencil 'auto', "
+                    "'megarm' or 'xla'"
+                )
+            megar_plan = None
+            fac = Convolve2D._band_factors(jnp.asarray(self.filt, jnp.float32))
+            if fac is not None:
+                from pycsou_tpu.kernels.tvr import make_megar_plan
+
+                megar_plan = make_megar_plan(fac[0], fac[1], shape)
+            if megar_plan is not None:
+                (self.megar_Bf, self.megar_Cf, self.megar_Ba,
+                 self.megar_Ca, self.mega_r) = megar_plan
+                self.stencil_mode = "megarm"
+            elif stencil == "megarm":
+                raise ValueError(
+                    f"stencil='megarm' is not eligible for shape {shape} "
+                    "with this PSF (needs a rank <= 4 PSF within the sweep "
+                    "plan gates)"
+                )
+            else:
+                self.stencil_mode = "xla"
+                self.use_pallas = False
         elif self.mask is not None:
             # diagonal-Gram mode ladder: sweepm2 (TWO iterations per pass —
             # the mega3 trick without Gram rings) > sweepm > xla.  The
@@ -378,6 +419,7 @@ class TVDeconvolution(IterativeSolver):
             _need = {"mega3": mega3_ok, "mega2": mega2_ok, "megar": megar_ok,
                      "mega": mega_ok, "sweep": sweep_available(*shape),
                      "sweepm": False, "sweepm2": False,  # need mask mode
+                     "megarm": False,  # needs combined blur+mask mode
                      "element": element_available(*shape)}
             if not _need.get(mode, True):
                 raise ValueError(
@@ -441,6 +483,8 @@ class TVDeconvolution(IterativeSolver):
 
     # -- iteration ---------------------------------------------------------
     def _grad(self, x):
+        if self.conv is not None:  # combined blur + mask: A^H diag(m) A
+            return 2.0 * (self.conv.adjoint(self.mask * self.conv.apply(x)) - self.atb)
         if self.mask is not None:
             return 2.0 * (self.mask * x - self.atb)
         if self.gram is None:
@@ -472,12 +516,13 @@ class TVDeconvolution(IterativeSolver):
                 self.mega_Et, self.mega_Eb, mega_r=self.mega_r, **kw,
             )
             return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
-        if self.stencil_mode == "megar":
+        if self.stencil_mode in ("megar", "megarm"):
             from pycsou_tpu.kernels.tvr import tv_pds_megar_step
 
             x, z0, z1, stats = tv_pds_megar_step(
                 x, z0, z1, self.atb, self.megar_Bf, self.megar_Cf,
-                self.megar_Ba, self.megar_Ca, mega_r=self.mega_r, **kw,
+                self.megar_Ba, self.megar_Ca, mega_r=self.mega_r,
+                mask=self.mask if self.stencil_mode == "megarm" else None, **kw,
             )
             return {"x": x, "z0": z0, "z1": z1, "_stats": stats[0, :6]}
         if self.stencil_mode == "mega2":
@@ -642,7 +687,11 @@ class TVDeconvolution(IterativeSolver):
         from pycsou_tpu.ops.diff import fdiff_forward
 
         x = jnp.asarray(x)
-        if self.mask is not None:
+        if self.conv is not None:  # combined blur + mask: ||M A x - y||^2
+            t = self.conv.apply(x)
+            yc = self.y / jnp.maximum(self.mask, 1.0)
+            data = jnp.sum(self.mask * (t - yc) ** 2)
+        elif self.mask is not None:
             yc = self.atb / jnp.maximum(self.mask, 1.0)
             data = jnp.sum(self.mask * (x - yc) ** 2)
         elif self.gram is None:

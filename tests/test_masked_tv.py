@@ -121,8 +121,10 @@ def test_mask_mode_validation():
 
     y = jnp.zeros((16, 16))
     m = jnp.ones((16, 16))
-    with pytest.raises(ValueError, match="filt=None"):
-        TVDeconvolution((16, 16), y, 0.1, filt=np.ones((3, 3), np.float32), mask=m)
+    # filt + mask is now the COMBINED (blur + mask) mode
+    s = TVDeconvolution((16, 16), y, 0.1, filt=np.ones((3, 3), np.float32),
+                        mask=m, use_pallas=False)
+    assert s.conv is not None and s.mask is not None
     with pytest.raises(ValueError, match="mask shape"):
         TVDeconvolution((16, 16), y, 0.1, mask=jnp.ones((8, 8)))
     with pytest.raises(ValueError):
@@ -207,3 +209,93 @@ def test_masked_solver_sweepm2_iteration_units(rng):
         TVDeconvolution((8, 256), jnp.zeros((8, 256)), 0.05,
                         mask=jnp.ones((8, 256)), stencil="sweepm2",
                         use_pallas=True)
+
+
+def test_megarm_kernel_matches_oracle(rng):
+    """Masked megar cascade (forward sweep -> data mask -> adjoint sweep ->
+    stencil): chained parity vs the XLA oracle g = 2(A^H(m * A x) - atb)."""
+    from pycsou_tpu.kernels.tvr import make_megar_plan, tv_pds_megar_step
+    from pycsou_tpu.ops.conv import Convolve2D, lowrank_factors
+
+    H, W = 96, 384
+    u = rng.standard_normal((9, 2)) * 0.3
+    v = rng.standard_normal((7, 2)) * 0.3
+    filt = (u @ v.T).astype(np.float32)
+    filt /= np.abs(filt).sum()
+    fac = lowrank_factors(filt)
+    Bf, Cf, Ba, Ca, R = make_megar_plan(fac[0], fac[1], (H, W))
+    A = Convolve2D((H, W), filt, method="fft")
+    m = jnp.asarray((rng.random((H, W)) < 0.5).astype(np.float32))
+    atb = A.adjoint(m * jnp.asarray(rng.standard_normal((H, W)), jnp.float32))
+    kw = dict(tau=0.05, sigma=0.05, rho=0.9, lam=0.1, nonneg=True)
+    x = jnp.asarray(np.abs(rng.standard_normal((H, W))), jnp.float32)
+    z0 = z1 = jnp.zeros((H, W), jnp.float32)
+    for _ in range(3):
+        xm, z0m, z1m, _ = tv_pds_megar_step(
+            x, z0, z1, atb, Bf, Cf, Ba, Ca, mega_r=R, interpret=True, mask=m, **kw
+        )
+        g = 2.0 * (A.adjoint(m * A.apply(x)) - atb)
+        xr, zr = tv_pds_stencil_step_xla(x, jnp.stack([z0, z1]), g, **kw)
+        np.testing.assert_allclose(np.asarray(xm), np.asarray(xr), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(z0m), np.asarray(zr[0]), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(z1m), np.asarray(zr[1]), rtol=3e-4, atol=3e-5)
+        x, z0, z1 = xm, z0m, z1m
+
+
+def test_blurred_masking_superres_matches_generic_pds(rng):
+    """F = SquaredL2Loss o Masking o Convolve2D (partial blurred
+    measurements) fuses onto the COMBINED TVDeconvolution mode and computes
+    the generic chain's iterates exactly."""
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.ops.sampling import Masking
+    from pycsou_tpu.opt import PDS, TVDeconvolution
+
+    H, W = 32, 32
+    g1 = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    h = np.outer(g1, g1).astype(np.float32)
+    h /= h.sum()
+    A = Convolve2D((H, W), h)
+    keep = rng.random((H, W)) < 0.5
+    M = Masking((H, W), keep)
+    x_true = jnp.asarray(np.abs(rng.standard_normal((H, W))), jnp.float32)
+    y = M(A(x_true)) + 0.01 * jnp.asarray(
+        rng.standard_normal(int(keep.sum())), jnp.float32
+    )
+    mk = lambda fuse: PDS(
+        (H, W), F=SquaredL2Loss(M.codim_shape, data=y) * (M * A),
+        G=NonNegativeOrthant((H, W)),
+        H=0.05 * L21Norm((2, H, W), axis=0), K=Gradient((H, W)),
+        max_iter=200, fuse=fuse,
+    )
+    fused, generic = mk(True), mk(False)
+    assert isinstance(fused._fused, TVDeconvolution)
+    assert fused._fused.conv is not None and fused._fused.mask is not None
+    st_f = fused.run_fixed(50)
+    st_g = generic.run_fixed(50)
+    np.testing.assert_allclose(
+        np.asarray(st_f["x"]), np.asarray(st_g["x"]), rtol=1e-4, atol=1e-5
+    )
+    z_f = np.stack([np.asarray(st_f["z0"]), np.asarray(st_f["z1"])])
+    np.testing.assert_allclose(z_f, np.asarray(st_g["z"]), rtol=1e-4, atol=1e-5)
+    # objective parity with the expression's own value
+    xs = jnp.asarray(st_g["x"])
+    want = float(mk(False).objective(xs))
+    np.testing.assert_allclose(float(fused._fused.objective(xs)), want, rtol=1e-4)
+
+
+def test_combined_mode_validation(rng):
+    from pycsou_tpu.opt.tv import TVDeconvolution
+
+    y = jnp.zeros((32, 32))
+    m = jnp.ones((32, 32))
+    hf = np.abs(rng.standard_normal((5, 5))).astype(np.float32)  # full rank
+    hf /= hf.sum()
+    with pytest.raises(ValueError, match="megarm"):
+        TVDeconvolution((32, 32), y, 0.1, filt=hf, mask=m, stencil="megarm",
+                        use_pallas=True)
+    # full-rank PSF + mask: XLA chain fallback, still correct mode
+    s = TVDeconvolution((32, 32), y, 0.1, filt=hf, mask=m, use_pallas=False)
+    assert s.conv is not None and s.stencil_mode == "xla"
