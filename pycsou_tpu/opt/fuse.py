@@ -126,11 +126,13 @@ def _why_F(F, dim_shape) -> Optional[str]:
     if (
         _match_conv_least_squares(dim_shape, F) is None
         and _match_sampling_least_squares(dim_shape, F) is None
+        and _match_masked_conv_least_squares(dim_shape, F) is None
     ):
         return (
             f"F is {type(F).__name__}, not SquaredL2Loss (optionally composed "
-            "with an exact Convolve2D or a sampling operator "
-            "(Masking/DownSampling/SubSampling))"
+            "with an exact Convolve2D, a sampling operator "
+            "(Masking/DownSampling/SubSampling), or a sampling operator "
+            "after a Convolve2D)"
         )
     return None
 
@@ -179,43 +181,20 @@ def match_tv_deconvolution(
     nonneg, g_reason = _why_G_nonneg(G)
     if g_reason is not None:
         return None
-    fy = _match_conv_least_squares(dim_shape, F)
-    if fy is not None:
+    # the three F flavours normalise to one (filt, mask, y) triple:
+    # conv/denoise, sampling-only (inpainting), sampling-after-conv
+    filt = mask = y = None
+    if (fy := _match_conv_least_squares(dim_shape, F)) is not None:
         filt, y = fy
-        return TVDeconvolution(
-            dim_shape,
-            y,
-            lam,
-            filt=filt,
-            nonneg=nonneg,
-            tau=float(tau),
-            sigma=float(sigma),
-            rho=float(rho),
-            metric_every=metric_every,
-            isotropic=iso,
-        )
-    my = _match_sampling_least_squares(dim_shape, F)
-    if my is not None:
-        mask, y_img = my
-        return TVDeconvolution(
-            dim_shape,
-            y_img,
-            lam,
-            mask=mask,
-            nonneg=nonneg,
-            tau=float(tau),
-            sigma=float(sigma),
-            rho=float(rho),
-            metric_every=metric_every,
-            isotropic=iso,
-        )
-    mc = _match_masked_conv_least_squares(dim_shape, F)
-    if mc is None:
+    elif (my := _match_sampling_least_squares(dim_shape, F)) is not None:
+        mask, y = my
+    elif (mc := _match_masked_conv_least_squares(dim_shape, F)) is not None:
+        filt, mask, y = mc
+    else:
         return None
-    filt, mask, y_img = mc
     return TVDeconvolution(
         dim_shape,
-        y_img,
+        y,
         lam,
         filt=filt,
         mask=mask,

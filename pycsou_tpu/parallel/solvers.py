@@ -54,6 +54,27 @@ def _join(pair):
     return jax.lax.complex(pair[0], pair[1])
 
 
+def _pick_sweepsp_rows(h_local: int, W: int) -> int:
+    """Largest feasible sweepsp tile rows (plain (r, W) f32 tiles under the
+    ~0.8MB Mosaic budget, dividing the local block), or 0 — the ONE source
+    of the sweepsp eligibility gates (conv and mask modes share it)."""
+    for r in (32, 16, 8):
+        if h_local % r == 0 and h_local >= r and (r + 8) * W * 4 <= 820_000:
+            return r
+    return 0
+
+
+def _pallas_on(use_pallas) -> bool:
+    """Shared engine-enable predicate (interpret / forced / auto-on-TPU)."""
+    import jax
+
+    return (
+        use_pallas == "interpret"
+        or bool(use_pallas is True)
+        or (use_pallas == "auto" and jax.default_backend() not in ("cpu",))
+    )
+
+
 class DistributedTVDeconv2D(IterativeSolver):
     r"""Condat-Vu PDS for ``min_x ||h * x - y||^2 + lam ||grad x||_{2,1}
     (+ nonnegativity)`` on an image row-sharded over a device mesh.
@@ -212,17 +233,10 @@ class DistributedTVDeconv2D(IterativeSolver):
             self._megar_Bf = self._megar_Cf = self._megar_Ba = self._megar_Ca = None
             self._sp_engine, self._sp_r = "", 0
             self._pallas_interpret = use_pallas == "interpret"
-            pallas_on = (
-                use_pallas == "interpret"
-                or bool(use_pallas is True)
-                or (use_pallas == "auto" and jax.default_backend() not in ("cpu",))
-            )
-            h_local_ = H // n_dev
-            if pallas_on:
-                for r in (32, 16, 8):
-                    if h_local_ % r == 0 and h_local_ >= r and (r + 8) * W * 4 <= 820_000:
-                        self._sp_engine, self._sp_r = "sweepsp", r
-                        break
+            if _pallas_on(use_pallas):
+                r = _pick_sweepsp_rows(H // n_dev, W)
+                if r:
+                    self._sp_engine, self._sp_r = "sweepsp", r
             return
 
         self.filt = jnp.asarray(filt, dtype)
@@ -325,21 +339,8 @@ class DistributedTVDeconv2D(IterativeSolver):
         self._megar_Bf = self._megar_Cf = self._megar_Ba = self._megar_Ca = None
         self._sp_engine, self._sp_r = "", 0
         self._pallas_interpret = use_pallas == "interpret"
-        if use_pallas is True and jax.default_backend() in ("cpu",):
-            # a compiled (non-interpret) Mosaic kernel cannot lower on the
-            # CPU backend — fail at construction with the fix named instead
-            # of at compile time with a Mosaic internal error (ADVICE r4)
-            raise ValueError(
-                "use_pallas=True forces the compiled TPU engine but the "
-                "active backend is CPU; pass use_pallas='interpret' for "
-                "CPU meshes or leave the default 'auto'"
-            )
-        pallas_on = (
-            use_pallas == "interpret"
-            or bool(use_pallas is True)
-            or (use_pallas == "auto" and jax.default_backend() not in ("cpu",))
-        )
-        if pallas_on and not jnp.issubdtype(self.filt.dtype, jnp.complexfloating):
+        # (the use_pallas=True-on-CPU guard already ran before mode dispatch)
+        if _pallas_on(use_pallas) and not jnp.issubdtype(self.filt.dtype, jnp.complexfloating):
             from pycsou_tpu.kernels.tv import MEGA_HG, make_mega2_lane_plan, make_mega_band
 
             mega_r = sweep_r = 0
@@ -377,10 +378,7 @@ class DistributedTVDeconv2D(IterativeSolver):
                      self._megar_Ca, _) = megar_plan
                     self._atb_ext = self._make_ext(self.atb, 32)
                 else:
-                    for r in (32, 16, 8):
-                        if h_local % r == 0 and h_local >= r and (r + 8) * W * 4 <= 820_000:
-                            sweep_r = r
-                            break
+                    sweep_r = _pick_sweepsp_rows(h_local, W)
                     if sweep_r:
                         self._sp_engine, self._sp_r = "sweepsp", sweep_r
 

@@ -299,3 +299,35 @@ def test_combined_mode_validation(rng):
     # full-rank PSF + mask: XLA chain fallback, still correct mode
     s = TVDeconvolution((32, 32), y, 0.1, filt=hf, mask=m, use_pallas=False)
     assert s.conv is not None and s.stencil_mode == "xla"
+
+
+def test_near_miss_note_knows_masked_conv_F(rng, caplog):
+    """A masked-conv F is a SUPPORTED slot: the near-miss note for a K-only
+    mismatch must blame K, not F (regression: _why_F lagged the matcher)."""
+    import logging
+
+    from pycsou_tpu.func import NonNegativeOrthant, SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.conv import Convolve2D
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.ops.sampling import Masking
+    from pycsou_tpu.opt import PDS
+
+    H, W = 32, 32
+    g1 = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    h = np.outer(g1, g1).astype(np.float32)
+    h /= h.sum()
+    A = Convolve2D((H, W), h)
+    M = Masking((H, W), rng.random((H, W)) < 0.5)
+    y = M(A(jnp.ones((H, W))))
+    with caplog.at_level(logging.WARNING, logger="pycsou_tpu.fuse"):
+        solver = PDS(
+            (H, W), F=SquaredL2Loss(M.codim_shape, data=y) * (M * A),
+            G=NonNegativeOrthant((H, W)),
+            H=0.05 * L21Norm((2, H, W), axis=0),
+            K=Gradient((H, W), step=2.0),  # the ONLY mismatch
+            max_iter=50,
+        )
+    assert solver._fused is None
+    notes = [r.message for r in caplog.records if "NOT fused" in r.message]
+    assert notes and "steps" in notes[0] and "F is" not in notes[0]
