@@ -501,8 +501,6 @@ class PrimalDualSplitting(IterativeSolver):
                     isotropic=fused.iso,
                     mask=fused.mask if mask_mode else None,
                 )
-            elif mask_mode:
-                return None  # Spatial2D has no mask engine (yet)
             elif (
                 spec[0] is not None
                 and spec[1] is not None
@@ -511,11 +509,13 @@ class PrimalDualSplitting(IterativeSolver):
                 from pycsou_tpu.parallel.solvers import Spatial2DTVDeconv2D
 
                 dist = Spatial2DTVDeconv2D(
-                    tuple(fused.y.shape), fused.filt, fused.y, fused.lam,
+                    tuple(fused.y.shape), None if mask_mode else fused.filt,
+                    fused.y, fused.lam,
                     nonneg=fused.nonneg, mesh=mesh, tau=fused.tau,
                     rho=self.rho, max_iter=self.max_iter,
                     min_iter=self.min_iter, accuracy_threshold=self.tol,
                     isotropic=fused.iso,
+                    mask=fused.mask if mask_mode else None,
                 )
         except Exception as e:  # ctor gates (rank, divisibility, halo reach)
             from pycsou_tpu.opt.fuse import logger as _flog

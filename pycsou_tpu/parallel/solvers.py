@@ -939,6 +939,9 @@ class Spatial2DTVDeconv2D(IterativeSolver):
 
     y: jax.Array = None
     atb: jax.Array = None
+    # diagonal-Gram (sampling) mode on the 2-D mesh: grad is elementwise
+    # per shard; only the gradient-stencil halos ride ppermute
+    mask: jax.Array = None
     _band_rows: tuple = None
     _band_cols: tuple = None
     lam: float = static_field(default=0.1)
@@ -984,6 +987,7 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         verbose: Optional[int] = None,
         use_pallas: str = "auto",
         isotropic: bool = True,
+        mask=None,
     ):
         super().__init__(max_iter=max_iter, min_iter=min_iter, tol=accuracy_threshold, verbose=verbose)
         self.iso = bool(isotropic)
@@ -1005,6 +1009,41 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         self.lam = float(lam)
         self.nonneg = bool(nonneg)
         self.rho = float(rho)
+
+        self.mask = None
+        if mask is not None:
+            # diagonal-Gram (sampling) mode — the 2-D-mesh twin of
+            # DistributedTVDeconv2D's mask mode.  grad = 2(mask*x - atb) is
+            # elementwise per shard (no Gram halos at all); the gradient
+            # stencil's 1-pixel halos ride the existing sharded_grad2d_2d.
+            # XLA chain only (no 2-D-mesh pallas mask engine yet).
+            if filt is not None:
+                raise ValueError(
+                    "mask mode models a diagonal sampling forward operator; "
+                    "pass filt=None"
+                )
+            m = jnp.asarray(mask, dtype)
+            if m.shape != (H, W):
+                raise ValueError(f"mask shape {m.shape} != image shape {(H, W)}")
+            beta = 2.0 * float(jnp.max(m))
+            L_K = math.sqrt(8.0)
+            if tau is None:
+                tau = (1.0 / L_K**2) * (-beta / 4 + math.sqrt(beta**2 / 16 + L_K**2))
+            self.tau = self.sigma = float(tau)
+            self.beta = beta
+            spec_x = NamedSharding(self.mesh, self._spec_x())
+            self.y = jax.device_put(jnp.asarray(y, dtype), spec_x)
+            self.atb = self.y
+            self.mask = jax.device_put(m, spec_x)
+            self.rank = 0
+            self._band_rows = self._band_cols = None
+            self._rank_plans = None
+            self._y2 = 0.0
+            self._sp_engine, self._sp_r = "", 0
+            self._pallas_interpret = use_pallas == "interpret"
+            self._megar_Bf = self._megar_Cf = self._megar_Ba = self._megar_Ca = None
+            self._atb_ext = None
+            return
 
         filt = jnp.asarray(filt, dtype)
         m0, m1 = filt.shape
@@ -1269,7 +1308,7 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         return xn, z0n, z1n, st
 
     # -- one PDS iteration on LOCAL blocks (inside a 2-D shard_map) ---------
-    def _local_step(self, x, z, atb_loc):
+    def _local_step(self, x, z, atb_loc, m_loc=None):
         from pycsou_tpu.parallel.spatial import (
             sharded_grad2d_2d,
             sharded_grad2d_adjoint_2d,
@@ -1278,9 +1317,12 @@ class Spatial2DTVDeconv2D(IterativeSolver):
 
         tau, sigma, rho, lam = self.tau, self.sigma, self.rho, self.lam
         ar, ac = self.ax_r, self.ax_c
-        g_rows, g_cols = self._gplans()
 
-        grad = 2.0 * (sharded_sepgram_rank1_2d(x, g_rows, g_cols, ar, ac) - atb_loc)
+        if m_loc is not None:  # diagonal (sampling) Gram: elementwise
+            grad = 2.0 * (m_loc * x - atb_loc)
+        else:
+            g_rows, g_cols = self._gplans()
+            grad = 2.0 * (sharded_sepgram_rank1_2d(x, g_rows, g_cols, ar, ac) - atb_loc)
         x_temp = x - tau * grad - tau * sharded_grad2d_adjoint_2d(z, ar, ac)
         if self.nonneg:
             x_temp = jnp.maximum(x_temp, 0.0)
@@ -1319,6 +1361,15 @@ class Spatial2DTVDeconv2D(IterativeSolver):
             )
             x, z0, z1, st = smapped(state["x"], state["z0"], state["z1"], self._atb_ext)
             return {"x": x, "z0": z0, "z1": z1, "_stats": st}
+        if self.mask is not None:  # diagonal-Gram (sampling) chain
+            smapped = jax.shard_map(
+                lambda x, z, m, t: self._local_step(x, z, t, m_loc=m),
+                mesh=self.mesh,
+                in_specs=(self._spec_x(), self._spec_z(), self._spec_x(), self._spec_x()),
+                out_specs=(self._spec_x(), self._spec_z()),
+            )
+            x, z = smapped(state["x"], state["z"], self.mask, self.atb)
+            return {"x": x, "z": z}
         smapped = jax.shard_map(
             self._local_step,
             mesh=self.mesh,
@@ -1397,13 +1448,17 @@ class Spatial2DTVDeconv2D(IterativeSolver):
         GSPMD reduces over the mesh)."""
         from pycsou_tpu.ops.diff import fdiff_forward
 
-        smapped = jax.shard_map(
-            self._gram_local,
-            mesh=self.mesh,
-            in_specs=(self._spec_x(),),
-            out_specs=self._spec_x(),
-        )
-        data = jnp.vdot(x, smapped(x)) - 2.0 * jnp.vdot(x, self.atb) + self._y2
+        if self.mask is not None:  # observed pixels only (see opt/tv.py)
+            yc = self.atb / jnp.maximum(self.mask, 1.0)
+            data = jnp.sum(self.mask * (x - yc) ** 2)
+        else:
+            smapped = jax.shard_map(
+                self._gram_local,
+                mesh=self.mesh,
+                in_specs=(self._spec_x(),),
+                out_specs=self._spec_x(),
+            )
+            data = jnp.vdot(x, smapped(x)) - 2.0 * jnp.vdot(x, self.atb) + self._y2
         g0 = fdiff_forward(x, 0)
         g1 = fdiff_forward(x, 1)
         if self.iso:

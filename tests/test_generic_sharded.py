@@ -412,3 +412,33 @@ def test_sharded_inpainting_routes_to_distributed_mask_mode(rng):
     np.testing.assert_allclose(
         np.asarray(st_s["x"]), np.asarray(st_g["x"]), rtol=2e-4, atol=2e-5
     )
+
+
+def test_sharded_inpainting_routes_to_spatial2d_mask_mode(rng):
+    """A fused inpainting expression + 2-D spatial sharding re-dispatches
+    onto Spatial2DTVDeconv2D's mask mode with exact iterates."""
+    from pycsou_tpu.func import SquaredL2Loss
+    from pycsou_tpu.func.penalty import L21Norm
+    from pycsou_tpu.ops.diff import Gradient
+    from pycsou_tpu.ops.sampling import Masking
+    from pycsou_tpu.opt import PDS
+    from pycsou_tpu.parallel.solvers import Spatial2DTVDeconv2D
+
+    shape = (32, 64)
+    keep = rng.random(shape) < 0.5
+    M = Masking(shape, keep)
+    y = M(jnp.asarray(np.abs(rng.standard_normal(shape)), jnp.float32))
+    mk = lambda fuse: PDS(
+        shape, F=SquaredL2Loss(M.codim_shape, data=y) * M,
+        H=0.05 * L21Norm((2,) + shape, axis=0), K=Gradient(shape),
+        max_iter=100, fuse=fuse,
+    )
+    mesh = make_mesh((2, 4), ("sp0", "sp1"))
+    sharded = mk(True).with_shardings(x=NamedSharding(mesh, P("sp0", "sp1")))
+    assert isinstance(sharded._fused, Spatial2DTVDeconv2D)
+    assert sharded._fused.mask is not None
+    st_s = sharded.run_fixed(25)
+    st_g = mk(False).run_fixed(25)
+    np.testing.assert_allclose(
+        np.asarray(st_s["x"]), np.asarray(st_g["x"]), rtol=2e-4, atol=2e-5
+    )

@@ -482,3 +482,32 @@ def test_distributed_mask_mode_matches_single_device(rng):
     np.testing.assert_allclose(
         float(dist.objective(st_d["x"])), float(single.objective(st_s["x"])), rtol=1e-5
     )
+
+
+def test_spatial2d_mask_mode_matches_single_device(rng):
+    """Spatial2DTVDeconv2D(mask=...) on a 2-D (sp0, sp1) mesh == the
+    single-device diagonal-Gram solver (elementwise grad per shard; the
+    gradient-stencil halos ride sharded_grad2d_2d)."""
+    import numpy as np
+
+    from pycsou_tpu.opt.tv import TVDeconvolution
+    from pycsou_tpu.parallel import Spatial2DTVDeconv2D, make_mesh
+
+    H, W = 32, 64
+    keep = rng.random((H, W)) < 0.5
+    m = keep.astype(np.float32)
+    y_img = m * np.abs(rng.standard_normal((H, W))).astype(np.float32)
+    mesh = make_mesh((2, 4), ("sp0", "sp1"))
+    dist = Spatial2DTVDeconv2D((H, W), None, y_img, lam=0.05, nonneg=True,
+                               mesh=mesh, mask=m)
+    assert dist.mask is not None and dist._sp_engine == ""
+    single = TVDeconvolution((H, W), jnp.asarray(y_img), 0.05, mask=jnp.asarray(m),
+                             nonneg=True, use_pallas=False, max_iter=100)
+    st_d = dist.run_fixed(30)
+    st_s = single.run_fixed(30)
+    np.testing.assert_allclose(
+        np.asarray(st_d["x"]), np.asarray(st_s["x"]), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(dist.objective(st_d["x"])), float(single.objective(st_s["x"])), rtol=1e-5
+    )
